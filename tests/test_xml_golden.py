@@ -1,0 +1,216 @@
+"""Golden tests F1-F6 (FIXTURES.md), ported from the reference's suite
+(/root/reference/XmlStreamProcessor.Test/UnitTests/Test1.cs)."""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from xmlstreamprocessor_spark.plans import X, compile_spec
+from xmlstreamprocessor_spark.sources import extract_xml_records
+
+F1_XML = """<sample2 attr1='z'>
+  <a/>
+  <a><b/></a>
+  <a/>
+  <someint>1</someint>
+  <somestring>asd</somestring>
+  <subclasses attr2='x'>
+    <subclass/>
+    <subclass>
+      <someint>2</someint>
+      <subsubclass><somestring>zzz</somestring></subsubclass>
+    </subclass>
+    <subanotherclass>
+      <someint>3</someint>
+      <subsubclass></subsubclass>
+    </subanotherclass>
+    <subclass></subclass>
+  </subclasses>
+</sample2>"""
+
+F1_GOLDEN = {
+    "tag": "sample2",
+    "someint": 1,
+    "somestring": "asd",
+    "subclasses": [
+        {"tag": "subclass", "someint": 0, "subsubclass": None},
+        {
+            "tag": "subclass",
+            "someint": 2,
+            "subsubclass": {"tag": "subsubclass", "somestring": "zzz"},
+        },
+        {
+            "tag": "subanotherclass",
+            "someint": 3,
+            "subsubclass": {"tag": "subsubclass", "somestring": None},
+        },
+        {"tag": "subclass", "someint": 0, "subsubclass": None},
+    ],
+}
+
+
+def subsub_spec():
+    return X.struct("subsubclass", {"tag": X.tag(), "somestring": X.string("somestring")})
+
+
+def f1_spec():
+    # Test1.cs:14-97 (GenericTest): struct + array + wildcard "*" + Tag()
+    return X.struct(
+        "sample2",
+        {
+            "tag": X.tag(),
+            "someint": X.int_("someint"),
+            "somestring": X.string("somestring"),
+            "subclasses": X.array(
+                "subclasses",
+                X.struct(
+                    "*",
+                    {
+                        "tag": X.tag(),
+                        "someint": X.int_("someint"),
+                        "subsubclass": subsub_spec(),
+                    },
+                ),
+            ),
+        },
+    )
+
+
+def test_f1_generic():
+    [rec] = extract_xml_records([F1_XML], f1_spec())
+    assert rec == F1_GOLDEN
+
+
+def test_f1_subsubclass_missing_somestring():
+    # <subsubclass></subsubclass> -> struct with somestring=None (missing tag)
+    [rec] = extract_xml_records([F1_XML], f1_spec())
+    assert rec["subclasses"][2]["subsubclass"] == {
+        "tag": "subsubclass",
+        "somestring": None,
+    }
+
+
+def test_f2_composition():
+    """Test1.cs:100-185 (TestCompositeParser): independently defined specs
+    composed together produce identical output to the monolithic spec."""
+    inner = subsub_spec()  # defined independently
+    sub = X.struct(
+        "*", {"tag": X.tag(), "someint": X.int_("someint"), "subsubclass": inner}
+    )
+    sample = X.struct(
+        "sample2",
+        {
+            "tag": X.tag(),
+            "someint": X.int_("someint"),
+            "somestring": X.string("somestring"),
+            "subclasses": X.array("subclasses", sub),
+        },
+    )
+    [rec] = extract_xml_records([F1_XML], sample)
+    assert rec == F1_GOLDEN
+
+
+def test_f3_alternatives():
+    """Test1.cs:187-209 (TestAlternatives): coalesce over alternative tags +
+    arithmetic; each child sets exactly one slot. Golden [1, 20, 3]."""
+    from xmlstreamprocessor_spark.plans import compile_array_spec
+
+    xml = "<items><item1>1</item1><item2>2</item2><item1>3</item1></items>"
+    parser = compile_array_spec(
+        "items", X.coalesce(X.nint("item1"), X.nint("item2") * 10)
+    )
+    assert parser.extract_string(xml) == [1, 20, 3]
+
+
+def test_f4_attributes():
+    """Test1.cs:211-231 (TestAttributes): attribute extraction + concat
+    expression. Golden "qwezxc" (text content ignored)."""
+    xml = "<sample a='zxc' b='qwe'>\n  123\n</sample>"
+    spec = X.struct("sample", {"res": X.attr("b") + X.attr("a")})
+    [rec] = extract_xml_records([xml], spec)
+    assert rec["res"] == "qwezxc"
+
+
+F5_XML = """<?xml version='1.0'?>
+<!-- This is a sample XML document -->
+<!DOCTYPE Items [<!ENTITY number '123'>]>
+<Items>
+  <Item>Test with an entity: &number;</Item>
+  <Item>Test with a CDATA section <![CDATA[<456>]]> def</Item>
+  <Item>Test with a char entity: &#65;</Item>
+  <Item><more/>Test with a child element stuff</Item>
+  <Item>Test with a child element stuff <more/></Item>
+  <Item>Test with a child element <more/> stuff</Item>
+  <!-- Fourteen chars in this element.-->
+  <Item>1234567890ABCD</Item>
+</Items>"""
+
+F5_GOLDEN = [
+    "Test with an entity: 123",
+    "Test with a CDATA section <456> def",
+    "Test with a char entity: A",
+    "<more />Test with a child element stuff",
+    "Test with a child element stuff <more />",
+    "Test with a child element <more /> stuff",
+    "1234567890ABCD",
+]
+
+
+def test_f5_various_content():
+    """Test1.cs:233-271 (TestVariousContent): entities, CDATA, char refs,
+    comments, and the three mixed-content placements."""
+    from xmlstreamprocessor_spark.plans import compile_array_spec
+
+    parser = compile_array_spec("Items", X.string("Item"))
+    assert parser.extract_string(F5_XML) == F5_GOLDEN
+
+
+def test_f6_inner_lambda():
+    """Test1.cs:273-293 (TestInnerLambda): nested pure expressions survive."""
+    xml = "<root><int>1</int></root>"
+
+    def plus_zero(v):  # an "inner lambda" not referencing the extraction ctx
+        return v
+
+    spec = X.struct("root", {"val": X.nint("int") * 1})
+    [rec] = extract_xml_records([xml], spec)
+    assert plus_zero(rec["val"]) == 1
+
+
+def test_missing_int_defaults_to_zero():
+    [rec] = extract_xml_records(["<r><other>5</other></r>"], X.struct("r", {"i": X.int_("i")}))
+    assert rec["i"] == 0
+
+
+def test_first_occurrence_wins():
+    # Parser.cs:224-228: repeated scalar children keep the first value
+    [rec] = extract_xml_records(
+        ["<r><i>1</i><i>2</i></r>"], X.struct("r", {"i": X.nint("i")})
+    )
+    assert rec["i"] == 1
+
+
+def test_null_rules():
+    from xmlstreamprocessor_spark.plans import X as x
+
+    xml = "<r><b></b><d>notanumber</d><s></s></r>"
+    spec = x.struct(
+        "r", {"b": x.nbool("b"), "d": x.ndecimal("d"), "s": x.string("s"), "t": x.ndate("t")}
+    )
+    [rec] = extract_xml_records([xml], spec)
+    assert rec == {"b": None, "d": None, "s": "", "t": None}
+
+
+def test_wildcard_prefix_suffix():
+    xml = "<r><pre_a_post>1</pre_a_post><nope>2</nope></r>"
+    [rec] = extract_xml_records([xml], X.struct("r", {"v": X.nint("pre*post")}))
+    assert rec["v"] == 1
+
+
+def test_custom_escape_hatch():
+    xml = "<r><blob><x/><y/></blob></r>"
+    from pyspark.sql import types as T
+
+    spec = X.struct("r", {"n": X.custom("blob", lambda e: len(list(e)), T.IntegerType())})
+    [rec] = extract_xml_records([xml], spec)
+    assert rec["n"] == 2

@@ -1,0 +1,45 @@
+"""Distributed XML extraction: same goldens through Spark (mapInPandas and
+the bounded-memory file reader)."""
+
+import pytest
+
+from xmlstreamprocessor_spark.plans import X
+from xmlstreamprocessor_spark.sources import extract_xml, read_xml
+
+from tests.test_xml_golden import F1_GOLDEN, F1_XML, f1_spec
+
+
+def _rowdict(row):
+    d = row.asDict(recursive=True)
+    return d
+
+
+def test_extract_xml_distributed(spark):
+    df = spark.createDataFrame([(F1_XML,), (F1_XML,)], ["xml"])
+    out = extract_xml(df, "xml", f1_spec())
+    rows = out.collect()
+    assert len(rows) == 2
+    assert _rowdict(rows[0]) == F1_GOLDEN
+    # schema is the compiled StructType, stable across runs
+    assert [f.name for f in out.schema.fields] == [
+        "tag",
+        "someint",
+        "somestring",
+        "subclasses",
+    ]
+
+
+def test_read_xml_files(spark, tmp_path):
+    docs = "\n".join(
+        f"<sample2><someint>{i}</someint><somestring>s{i}</somestring>"
+        f"<subclasses><subclass><someint>{i * 10}</someint></subclass></subclasses>"
+        f"</sample2>"
+        for i in range(5)
+    )
+    for fidx in range(3):
+        (tmp_path / f"part{fidx}.xml").write_text(f"<docs>\n{docs}\n</docs>")
+    out = read_xml(spark, str(tmp_path), "sample2", f1_spec())
+    rows = out.orderBy("someint").collect()
+    assert len(rows) == 15
+    assert sorted(r["someint"] for r in rows) == sorted(list(range(5)) * 3)
+    assert rows[-1]["subclasses"][0]["someint"] == 40

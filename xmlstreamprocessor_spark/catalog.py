@@ -1,0 +1,38 @@
+"""Table loading for the driver-provided TPC-H-ish parquet star schema.
+
+At 100 TB the same call pattern holds: ``spark.read.parquet`` is the only
+scan API used anywhere in the engine, so predicate pushdown, column pruning,
+and partition pruning all happen in the parquet source.  Nothing here ever
+collects or caches eagerly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows always; supplier/part grow slowly).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

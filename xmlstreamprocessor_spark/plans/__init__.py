@@ -1,0 +1,8 @@
+from xmlstreamprocessor_spark.plans.spec import (
+    Spec,
+    X,
+    compile_array_spec,
+    compile_spec,
+)
+
+__all__ = ["X", "Spec", "compile_spec", "compile_array_spec"]

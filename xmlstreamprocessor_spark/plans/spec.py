@@ -1,0 +1,603 @@
+"""Declarative XML extraction specs — the Python analogue of the reference's
+expression-tree schema language.
+
+Reference parity map (kulalexey/XmlStreamProcessor, ``Parser.cs``):
+
+* ``X.struct(tag, fields)``      == ``INode.Type<T>(tag, lambda)``      (Parser.cs:456-458, 211-255)
+* ``X.array(tag, inner)``        == ``INode.Array<T>(tag, lambda)``     (Parser.cs:460-462, 257-316)
+* ``X.int_/nint/nbool/ndecimal/ndate/string``
+                                  == the six scalar parsers              (Parser.cs:15-95)
+* ``X.attr(name)``               == ``INode.Attribute(name)``           (Parser.cs:410-418)
+* ``X.tag()``                    == ``INode.Tag()``                     (Parser.cs:402-405, 477-481)
+* ``X.custom(tag, fn, dtype)``   == ``INode.Custom<T>(tag, parser)``    (Parser.cs:318-331)
+* expression nodes (coalesce, arithmetic, concat)
+                                  == pure C# expressions in the lambda   (Test1.cs:187-231)
+* wildcard tag patterns ("*", "pre*post")
+                                  == wildcard ElementSchema keys         (Parser.cs:175-187)
+
+Semantics locked to the reference (verified by golden tests F1-F6):
+
+* first-occurrence-wins for repeated scalar children (Parser.cs:224-228)
+* missing non-null int -> 0 (default(int), Parser.cs:531-536); other missing
+  scalars -> null
+* decimal: unparseable -> null (TryParse, Parser.cs:79-83)
+* string: mixed content serialized back into the value (Parser.cs:44-49)
+* array: one output record per matching child, document order, slots reset
+  per emit (Parser.cs:272-277)
+* unknown tags skipped without materialization (Parser.cs:194-202)
+
+A spec compiles to a Spark ``StructType`` (via :meth:`Spec.dtype`) plus a pure
+Python evaluator used by the distributed shredder in ``sources.xml_batch``.
+Unlike the reference this is NOT an expression-visitor over host-language
+lambdas — Spark already owns codegen (Catalyst/Tungsten); the spec layer only
+has to be declarative, composable, and cheap to evaluate per record.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import re
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# tag pattern matching (Parser.cs:175-187): exact name first, then patterns
+# containing a single '*' matched as prefix+suffix. "*" alone matches any tag.
+# ---------------------------------------------------------------------------
+
+
+def _localname(tag: str) -> str:
+    # reference matches on reader.LocalName only; namespaces ignored
+    # (Parser.cs:133, 166). ElementTree encodes ns as "{uri}local".
+    return tag.rsplit("}", 1)[-1]
+
+
+def match_pattern(pattern: str, name: str) -> bool:
+    if "*" not in pattern:
+        return pattern == name
+    pre, _, post = pattern.partition("*")
+    return (
+        len(name) >= len(pre) + len(post)
+        and name.startswith(pre)
+        and name.endswith(post)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar text -> value converters, with the reference's null/default rules
+# ---------------------------------------------------------------------------
+
+
+class ExtractionError(Exception):
+    """Parity with the reference's wrapped ApplicationException
+    ("Exception while parsing node '{name}'", Parser.cs:146-149)."""
+
+
+def _conv_int(text: str | None) -> int:
+    # IntParser (Parser.cs:26-32): Convert.ToInt32 — empty text throws.
+    if text is None or text.strip() == "":
+        raise ExtractionError("empty text for non-null int")
+    return int(text.strip())
+
+
+def _conv_nint(text: str | None) -> int | None:
+    if text is None or text.strip() == "":
+        return None
+    return int(text.strip())
+
+
+def _conv_nbool(text: str | None) -> bool | None:
+    if text is None or text.strip() == "":
+        return None
+    t = text.strip().lower()
+    if t in ("true", "1"):
+        return True
+    if t in ("false", "0"):
+        return False
+    raise ExtractionError(f"bad bool text {text!r}")
+
+
+def _conv_ndecimal(text: str | None) -> _decimal.Decimal | None:
+    # NullDecimalParser (Parser.cs:69-84): TryParse — unparseable -> null.
+    if text is None or text.strip() == "":
+        return None
+    try:
+        return _decimal.Decimal(text.strip())
+    except _decimal.InvalidOperation:
+        return None
+
+
+_DATE_FORMATS = (
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d",
+    "%m/%d/%Y %H:%M:%S",
+    "%m/%d/%Y",
+)
+
+
+def _conv_ndate(text: str | None) -> _dt.datetime | None:
+    if text is None or text.strip() == "":
+        return None
+    t = text.strip()
+    try:
+        return _dt.datetime.fromisoformat(t)
+    except ValueError:
+        pass
+    for fmt in _DATE_FORMATS:
+        try:
+            return _dt.datetime.strptime(t, fmt)
+        except ValueError:
+            continue
+    raise ExtractionError(f"bad datetime text {text!r}")
+
+
+def serialize_element(elem) -> str:
+    """Serialize an element the way .NET ``XmlWriter`` does for
+    ``ReadOuterXml`` — self-closing empty elements rendered ``<tag />``
+    (golden outputs in Test1.cs:261-270)."""
+    name = _localname(elem.tag)
+    attrs = "".join(f' {k}="{v}"' for k, v in elem.attrib.items())
+    inner = _inner_xml(elem)
+    if inner == "":
+        return f"<{name}{attrs} />"
+    return f"<{name}{attrs}>{inner}</{name}>"
+
+
+def _inner_xml(elem) -> str:
+    parts = [elem.text or ""]
+    for child in elem:
+        parts.append(serialize_element(child))
+        parts.append(child.tail or "")
+    return "".join(parts)
+
+
+def _conv_string(elem) -> str | None:
+    """StringParser (Parser.cs:34-56): mixed content (child elements) is
+    serialized back into the string; plain text returned as-is; empty -> ""."""
+    if len(elem) > 0:
+        return _inner_xml(elem)
+    if elem.text is None:
+        return ""
+    return elem.text
+
+
+# ---------------------------------------------------------------------------
+# spec nodes
+# ---------------------------------------------------------------------------
+
+
+class Spec:
+    """Base class for all extraction-spec expression nodes."""
+
+    def dtype(self) -> T.DataType:
+        raise NotImplementedError
+
+    nullable: bool = True
+
+    # -- expression sugar (Test1.cs:190-218: arithmetic / concat in schema) --
+    def __add__(self, other: Any) -> "Spec":
+        other = _as_spec(other)
+        if isinstance(self.dtype(), T.StringType) or isinstance(
+            other.dtype(), T.StringType
+        ):
+            return Concat(self, other)
+        return BinOp("+", self, other)
+
+    def __radd__(self, other: Any) -> "Spec":
+        return _as_spec(other).__add__(self)
+
+    def __mul__(self, other: Any) -> "Spec":
+        return BinOp("*", self, _as_spec(other))
+
+    __rmul__ = __mul__
+
+    def __sub__(self, other: Any) -> "Spec":
+        return BinOp("-", self, _as_spec(other))
+
+    # slots this node reads in the CURRENT element scope. Nested struct/array
+    # scopes own their children; they surface here as a single slot.
+    def refs(self) -> list["_Slot"]:
+        raise NotImplementedError
+
+    def eval(self, slots: dict[int, Any]) -> Any:
+        raise NotImplementedError
+
+
+def _as_spec(v: Any) -> Spec:
+    return v if isinstance(v, Spec) else Lit(v)
+
+
+class _Slot(Spec):
+    """A leaf that reads one tag/attribute/tag-name of the current element —
+    the analogue of a ParserData slot (Parser.cs:516-537).  ``kind`` is one of
+    element/attr/tag; ``parse(elem)`` produces the slot value."""
+
+    _ids = iter(range(1, 1 << 30))
+
+    def __init__(self, kind: str, pattern: str | None, dt: T.DataType, nullable=True):
+        self.slot_id = next(self._ids)
+        self.kind = kind
+        self.pattern = pattern
+        self._dtype = dt
+        self.nullable = nullable
+
+    def dtype(self) -> T.DataType:
+        return self._dtype
+
+    def refs(self) -> list["_Slot"]:
+        return [self]
+
+    def eval(self, slots):
+        return slots.get(self.slot_id)
+
+    def parse(self, elem) -> Any:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def default(self) -> Any:
+        """Value when the tag never appears — default(T) (Parser.cs:531-536)."""
+        return None
+
+
+class _ScalarSlot(_Slot):
+    def __init__(self, pattern, dt, conv, nullable=True, default=None):
+        super().__init__("element", pattern, dt, nullable)
+        self._conv = conv
+        self._default = default
+
+    def parse(self, elem):
+        try:
+            return self._conv(elem.text)
+        except ExtractionError:
+            raise
+        except Exception as e:
+            raise ExtractionError(
+                f"Exception while parsing node '{_localname(elem.tag)}': {e}"
+            ) from e
+
+    def default(self):
+        return self._default
+
+
+class _StringSlot(_Slot):
+    def __init__(self, pattern):
+        super().__init__("element", pattern, T.StringType())
+
+    def parse(self, elem):
+        return _conv_string(elem)
+
+
+class _AttrSlot(_Slot):
+    def __init__(self, name):
+        super().__init__("attr", name, T.StringType())
+
+    def parse(self, elem):  # elem here is the owning element
+        return elem.attrib.get(self.pattern)
+
+
+class _TagSlot(_Slot):
+    def __init__(self):
+        super().__init__("tag", None, T.StringType())
+
+    def parse(self, elem):
+        return _localname(elem.tag)
+
+
+class _CustomSlot(_Slot):
+    """Custom escape hatch (Parser.cs:318-331): arbitrary fn(element)->value."""
+
+    def __init__(self, pattern, fn: Callable[[Any], Any], dt: T.DataType):
+        super().__init__("element", pattern, dt)
+        self.fn = fn
+
+    def parse(self, elem):
+        return self.fn(elem)
+
+
+class Struct(_Slot):
+    """One record built from one element (TypeParser, Parser.cs:211-255)."""
+
+    def __init__(self, pattern: str, fields: dict[str, Spec]):
+        self.fields = dict(fields)
+        dt = T.StructType(
+            [
+                T.StructField(name, f.dtype(), f.nullable)
+                for name, f in self.fields.items()
+            ]
+        )
+        super().__init__("element", pattern, dt)
+
+    def parse(self, elem):
+        return _eval_record(elem, self.fields)
+
+
+class Arr(_Slot):
+    """Per-matching-child record stream (ArrayParser, Parser.cs:257-316):
+    under the container element, every child matching one of ``inner``'s
+    top-level slots emits one output, in document order, with all other
+    slots null (slot reset per emit, Parser.cs:272-277)."""
+
+    def __init__(self, pattern: str, inner: Spec):
+        self.inner = inner
+        super().__init__("element", pattern, T.ArrayType(inner.dtype(), True))
+
+    def parse(self, elem):
+        out = []
+        slots_schema = [s for s in self.inner.refs() if s.kind == "element"]
+        attr_slots = [s for s in self.inner.refs() if s.kind == "attr"]
+        tag_slots = [s for s in self.inner.refs() if s.kind == "tag"]
+        base: dict[int, Any] = {}
+        for s in attr_slots:  # container attributes are in scope
+            base[s.slot_id] = s.parse(elem)
+        for child in elem:
+            slot = _match_slot(slots_schema, _localname(child.tag))
+            if slot is None:
+                continue  # skip-unknown (Parser.cs:194-202)
+            slots = dict(base)
+            slots[slot.slot_id] = slot.parse(child)
+            for s in tag_slots:
+                slots[s.slot_id] = _localname(child.tag)
+            for s in slots_schema:
+                if s.slot_id not in slots:
+                    slots[s.slot_id] = s.default()
+            out.append(self.inner.eval(slots))
+        return out
+
+
+def _match_slot(slots: list[_Slot], name: str) -> _Slot | None:
+    # exact match first, then wildcard patterns in declaration order
+    # (Parser.cs:168-187)
+    for s in slots:
+        if s.pattern == name:
+            return s
+    for s in slots:
+        if "*" in (s.pattern or "") and match_pattern(s.pattern, name):
+            return s
+    return None
+
+
+def _eval_record(elem, fields: dict[str, Spec]) -> dict[str, Any]:
+    """TypeParser.Parse (Parser.cs:119-208): walk children once, fill slots
+    first-occurrence-wins, then evaluate every field expression."""
+    slots: dict[int, Any] = {}
+    elem_slots: list[_Slot] = []
+    for f in fields.values():
+        for s in f.refs():
+            if s.kind == "element":
+                elem_slots.append(s)
+            elif s.kind == "attr":
+                slots[s.slot_id] = s.parse(elem)
+            elif s.kind == "tag":
+                slots[s.slot_id] = s.parse(elem)
+    for child in elem:
+        slot = _match_slot(elem_slots, _localname(child.tag))
+        if slot is None:
+            continue
+        if slot.slot_id in slots:
+            continue  # first-occurrence-wins (Parser.cs:224-228)
+        slots[slot.slot_id] = slot.parse(child)
+    for s in elem_slots:
+        if s.slot_id not in slots:
+            slots[s.slot_id] = s.default()
+    return {name: f.eval(slots) for name, f in fields.items()}
+
+
+# ---------------------------------------------------------------------------
+# expression nodes (pure projections over slots — Test1.cs:187-231)
+# ---------------------------------------------------------------------------
+
+
+class Lit(Spec):
+    def __init__(self, value: Any):
+        self.value = value
+
+    def dtype(self):
+        if isinstance(self.value, bool):
+            return T.BooleanType()
+        if isinstance(self.value, int):
+            return T.IntegerType()
+        if isinstance(self.value, float):
+            return T.DoubleType()
+        if isinstance(self.value, _decimal.Decimal):
+            return T.DecimalType(38, 18)
+        return T.StringType()
+
+    def refs(self):
+        return []
+
+    def eval(self, slots):
+        return self.value
+
+
+class BinOp(Spec):
+    """Nullable arithmetic with C# ``int?`` semantics: null op x -> null."""
+
+    def __init__(self, op: str, left: Spec, right: Spec):
+        self.op, self.left, self.right = op, left, right
+
+    def dtype(self):
+        lt, rt = self.left.dtype(), self.right.dtype()
+        for t in (lt, rt):
+            if isinstance(t, T.DoubleType):
+                return T.DoubleType()
+        for t in (lt, rt):
+            if isinstance(t, T.DecimalType):
+                return t
+        return T.IntegerType()
+
+    def refs(self):
+        return self.left.refs() + self.right.refs()
+
+    def eval(self, slots):
+        l, r = self.left.eval(slots), self.right.eval(slots)
+        if l is None or r is None:
+            return None
+        if self.op == "+":
+            return l + r
+        if self.op == "-":
+            return l - r
+        if self.op == "*":
+            return l * r
+        raise ValueError(self.op)
+
+
+class Concat(Spec):
+    """C# string ``+``: null operands treated as empty string."""
+
+    def __init__(self, *parts: Spec):
+        self.parts = [_as_spec(p) for p in parts]
+
+    def dtype(self):
+        return T.StringType()
+
+    def refs(self):
+        return [r for p in self.parts for r in p.refs()]
+
+    def eval(self, slots):
+        vals = [p.eval(slots) for p in self.parts]
+        return "".join("" if v is None else str(v) for v in vals)
+
+
+class Coalesce(Spec):
+    """C# ``??`` over alternative tags (Test1.cs:187-209)."""
+
+    def __init__(self, *alts: Spec):
+        self.alts = [_as_spec(a) for a in alts]
+
+    def dtype(self):
+        return self.alts[0].dtype()
+
+    def refs(self):
+        return [r for a in self.alts for r in a.refs()]
+
+    def eval(self, slots):
+        for a in self.alts:
+            v = a.eval(slots)
+            if v is not None:
+                return v
+        return None
+
+
+# ---------------------------------------------------------------------------
+# public constructor namespace
+# ---------------------------------------------------------------------------
+
+
+class X:
+    """Spec constructors. ``X.struct("sample2", {...})`` is the analogue of
+    ``q => q.Type("sample2", a => new Sample {...})``."""
+
+    @staticmethod
+    def int_(tag: str) -> Spec:
+        # non-null int: missing tag -> 0 (default(int), Parser.cs:531-536)
+        return _ScalarSlot(tag, T.IntegerType(), _conv_int, nullable=False, default=0)
+
+    @staticmethod
+    def nint(tag: str) -> Spec:
+        return _ScalarSlot(tag, T.IntegerType(), _conv_nint)
+
+    @staticmethod
+    def nbool(tag: str) -> Spec:
+        return _ScalarSlot(tag, T.BooleanType(), _conv_nbool)
+
+    @staticmethod
+    def ndecimal(tag: str) -> Spec:
+        return _ScalarSlot(tag, T.DecimalType(38, 18), _conv_ndecimal)
+
+    @staticmethod
+    def ndate(tag: str) -> Spec:
+        return _ScalarSlot(tag, T.TimestampType(), _conv_ndate)
+
+    @staticmethod
+    def string(tag: str) -> Spec:
+        return _StringSlot(tag)
+
+    @staticmethod
+    def attr(name: str) -> Spec:
+        return _AttrSlot(name)
+
+    @staticmethod
+    def tag() -> Spec:
+        return _TagSlot()
+
+    @staticmethod
+    def struct(tag: str, fields: dict[str, Spec]) -> Struct:
+        return Struct(tag, fields)
+
+    @staticmethod
+    def array(tag: str, inner: Spec) -> Arr:
+        return Arr(tag, inner)
+
+    @staticmethod
+    def custom(tag: str, fn: Callable[[Any], Any], dtype: T.DataType) -> Spec:
+        return _CustomSlot(tag, fn, dtype)
+
+    @staticmethod
+    def coalesce(*alts: Spec) -> Spec:
+        return Coalesce(*alts)
+
+    @staticmethod
+    def concat(*parts: Spec) -> Spec:
+        return Concat(*parts)
+
+    @staticmethod
+    def lit(value: Any) -> Spec:
+        return Lit(value)
+
+
+# ---------------------------------------------------------------------------
+# compile + single-document execution (the unit the distributed shredder maps)
+# ---------------------------------------------------------------------------
+
+
+class CompiledSpec:
+    """Compile-once product, mirroring the reference's two-phase lifecycle
+    (schema extraction at CreateParser time, Parser.cs:110-115; per-record
+    work is slot fills + one generator call)."""
+
+    def __init__(self, root: Struct):
+        if not isinstance(root, Struct):
+            raise TypeError("top-level spec must be X.struct(...)")
+        self.root = root
+        self.schema: T.StructType = root.dtype()
+
+    def extract_element(self, elem) -> dict[str, Any] | None:
+        if not match_pattern(self.root.pattern, _localname(elem.tag)):
+            return None
+        return self.root.parse(elem)
+
+    def extract_string(self, xml: str) -> dict[str, Any] | None:
+        import xml.etree.ElementTree as ET
+
+        return self.extract_element(ET.fromstring(xml))
+
+
+class CompiledArraySpec:
+    """``ParserTool.CreateArrayParser`` (Parser.cs:341-345): the root element
+    is the container; one output value per matching child, document order."""
+
+    def __init__(self, container_pattern: str, inner: Spec):
+        self.arr = Arr(container_pattern, inner)
+        self.element_type = inner.dtype()
+
+    def extract_element(self, elem) -> list[Any] | None:
+        if not match_pattern(self.arr.pattern, _localname(elem.tag)):
+            return None
+        return self.arr.parse(elem)
+
+    def extract_string(self, xml: str) -> list[Any] | None:
+        import xml.etree.ElementTree as ET
+
+        return self.extract_element(ET.fromstring(xml))
+
+
+def compile_spec(root: Struct) -> CompiledSpec:
+    return CompiledSpec(root)
+
+
+def compile_array_spec(container_pattern: str, inner: Spec) -> CompiledArraySpec:
+    return CompiledArraySpec(container_pattern, inner)

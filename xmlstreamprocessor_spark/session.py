@@ -1,0 +1,51 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; the configuration is chosen so the same
+plans survive a 1000-executor cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), broadcast threshold high enough to broadcast
+TPC-H dimension tables, Arrow enabled for every Python<->JVM hop, and a UTC
+session timezone so timestamp semantics are engine-independent (matches the
+DuckDB oracle, which reads parquet timestamps as naive/UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "xmlstreamprocessor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Runtime-settable confs applied to an externally-created session.
+
+    The correctness driver builds its own SparkSession; queries route through
+    this so results are deterministic and comparable with DuckDB regardless of
+    who built the session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
