@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: one warm-up of a trivial action to absorb JVM/session
+start, then each query timed over plan-build + execution to a count/collect
+(results are small by construction).  AQE on, as in production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
+from xmlstreamprocessor_spark.session import get_session  # noqa: E402
+
+# headline set: one per operator family, weighted toward shuffle-heavy plans
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q_revenue_per_nation",
+    "join_left_customer_order_stats",
+    "window_topk_orders_per_customer",
+    "agg_rollup_order_year_priority",
+    "asof_join_purchase_last_view",
+    "sessionize_events_30m",
+    "window_tumbling_hourly_events",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "similarity_topk_bruteforce",
+    "text_stats_documents",
+    "text_fingerprint_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("xsp-bench")
+    spark.range(1).count()  # warm the session
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Vector math over ArrayType columns — pure JVM expressions (zip_with /
+aggregate), no Python UDFs, so they stay inside whole-stage codegen and
+vectorize at any scale.
+
+Accumulation is sequential over array positions in both Spark and the DuckDB
+oracle formulations, so double-precision results agree bit-for-bit; scores
+surfaced to users are still rounded to 6 decimals for robustness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def as_double_array(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine6(a: Column, b: Column) -> Column:
+    """Cosine similarity rounded to 6 decimals (cross-engine safe)."""
+    return F.round(cosine(a, b), 6)
+
+
+def duck_cosine6(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine6` (same sequential double accumulation)."""
+    return (
+        f"round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+    )

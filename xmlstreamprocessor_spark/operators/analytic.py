@@ -1,0 +1,197 @@
+"""Window / analytic operators (SURVEY.md §2B: ranking, analytic functions,
+row/range frames, top-k per group).  ABSENT from the reference; standard
+Spark Window API throughout — shuffles once on the partition key and sorts
+within partitions, which is the optimal distributed plan for these."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from xmlstreamprocessor_spark.operators.registry import avg6, dec2, fmt_d, query, t
+
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark, sf_dir):
+    """Top-K per group via row_number — the scalable alternative to
+    groupBy+collect_list+slice (never materializes the full group)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def window_rank_dense_ntile(spark, sf_dir):
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_total_per_customer(spark, sf_dir):
+    """Cumulative sum with a ROWS frame; decimal accumulation keeps the
+    running values exact (and therefore engine-independent)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).alias("running_total"),
+    )
+
+
+@query(
+    "window_lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT)  AS days_since_prev,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    """,
+)
+def window_lag_lead_order_gaps(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        fmt_d("o_orderdate").alias("orderdate"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date"))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "window_moving_avg_rows_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_rows_frame(spark, sf_dir):
+    """3-row moving average; built as exact-sum/count so both engines agree."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        avg6(F.sum(dec2("o_totalprice")).over(w), F.count(F.lit(1)).over(w)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@query(
+    "window_range_frame_value_band",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           count(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+                          RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+             AS n_within_5qty
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def window_range_frame_value_band(spark, sf_dir):
+    """RANGE frame over a value axis (not rows)."""
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, 5)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.count(F.lit(1)).over(w).alias("n_within_5qty"),
+        )
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_value(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w_full).alias("last_order"),
+        )
+        .distinct()
+    )

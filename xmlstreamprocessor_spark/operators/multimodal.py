@@ -1,0 +1,137 @@
+"""Multimodal column conventions: media payloads are opaque ``binary``
+columns traveling next to typed metadata; decode / feature-extract /
+frame-sample run as Arrow-batched ``mapInPandas`` stages.
+
+The actual image/audio codecs are NOT in this environment, so the decode
+kernels are stubbed: ``use_real_decoder=True`` raises NotImplementedError at
+the exact point a real implementation (PIL/ffmpeg) would plug in, and the
+default path substitutes a deterministic fake derived from the payload
+bytes.  Everything around the stub — schema contract, binary column
+plumbing, batch iteration shape, partition-preserving fan-out — is real and
+oracle/row checked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xmlstreamprocessor_spark.operators.registry import query, t
+
+
+def _payload_df(spark, sf_dir):
+    """documents.text re-materialized as an opaque binary payload column +
+    typed metadata — the multimodal storage convention."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.octet_length("text").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_items,
+           sum(octet_length(encode(text))) AS total_bytes,
+           max(octet_length(encode(text))) AS max_bytes,
+           min(md5(text)) AS min_digest
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_payload_stats(spark, sf_dir):
+    """Binary-column accounting per source shard — the first query any
+    100 TB media pipeline runs (skew detection before partitioning)."""
+    p = _payload_df(spark, sf_dir)
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.min(F.md5("payload")).alias("min_digest"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes, use_real_decoder: bool = False):
+    """Decode stub.  A real deployment plugs PIL/turbojpeg in here; this
+    container has no codec libs, so the default is a deterministic fake
+    derived from the payload digest (stable across runs/partitions)."""
+    if use_real_decoder:
+        raise NotImplementedError(
+            "real image decoding requires PIL/libjpeg — not available in "
+            "this environment; wire it in here"
+        )
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    feat = [b / 255.0 for b in digest[2:10]]
+    return width, height, "fake/raw", feat
+
+
+@query("multimodal_image_features", oracle=None)  # Python kernel: rows-only
+def multimodal_image_features(spark, sf_dir):
+    """Feature extraction over binary payloads via Arrow-batched
+    mapInPandas — the canonical multimodal UDF shape (batch in, batch out,
+    schema fixed up front).  Partitioning is preserved; at scale repartition
+    by size buckets first so decode work balances."""
+    p = _payload_df(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "format": [], "feat": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, fmt, feat = decode_image(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["format"].append(fmt)
+                out["feat"].append(feat)
+            yield pd.DataFrame(out)
+
+    return p.select("doc_id", "payload").mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, greatest(n_chars // 100, 1))) AS INTEGER)
+             AS frame_idx,
+           CAST(greatest(n_chars // 100, 1) AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out: one row per sampled frame (a 'video' with
+    n_chars/100 frames).  The fan-out is a JVM-side explode — rows multiply
+    without any Python; the per-frame decode would then be a mapInPandas
+    stage like multimodal_image_features."""
+    d = t(spark, sf_dir, "documents")
+    n_frames = F.greatest(F.floor(F.col("n_chars") / 100).cast("long"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("long"))).alias("frame_idx0"),
+        n_frames.cast("int").alias("n_frames"),
+    ).select(
+        "doc_id", F.col("frame_idx0").cast("int").alias("frame_idx"), "n_frames"
+    )

@@ -1,0 +1,66 @@
+"""Query registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Every operator in SURVEY.md §2 gets a named entry: a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) the equivalent
+DuckDB SQL over the pre-registered table views.  Cross-engine exactness
+rules used throughout:
+
+* money/quantity aggregation: cast the (2-decimal-valued) doubles to
+  ``decimal(18,2)`` *before* aggregating — decimal arithmetic is exact in
+  both engines, so sums match bit-for-bit regardless of partitioning or
+  parallelism (a float sum would depend on add order and diverge at scale).
+* averages / ratios: exact decimal sum -> cast double -> divide -> round(6);
+  the same IEEE ops in the same order on both engines.
+* timestamps in output: rendered with date_format/strftime to strings, or
+  epoch seconds — never raw timestamps, so timezone handling can't skew a
+  hash compare.
+* every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from xmlstreamprocessor_spark import catalog
+from xmlstreamprocessor_spark.session import tune_for_oracle
+
+REGISTRY: dict[str, tuple[Callable, str | None]] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark, sf_dir: str, name: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+def dec2(c) -> F.Column:
+    return F.col(c).cast("decimal(18,2)") if isinstance(c, str) else c.cast("decimal(18,2)")
+
+
+def dec4(c) -> F.Column:
+    return F.col(c).cast("decimal(18,4)") if isinstance(c, str) else c.cast("decimal(18,4)")
+
+
+def avg6(sum_dec: F.Column, count_col: F.Column) -> F.Column:
+    """Exact decimal sum -> double -> divide -> round(6): identical IEEE ops
+    in both engines (see module docstring)."""
+    return F.round(sum_dec.cast("double") / count_col, 6)
+
+
+def fmt_d(c) -> F.Column:
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def fmt_ts(c) -> F.Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")

@@ -1,0 +1,757 @@
+"""Core relational operators (SURVEY.md §2B: scans, filters, joins of every
+type, aggregations incl. distinct/rollup/cube/grouping-sets, sorts/limits,
+set ops, scalar function library, JSON access).
+
+The reference has none of these (its entire engine is extraction —
+Parser.cs:1-538); they are mandated extensions.  All plans are declarative
+DataFrame/SQL so Catalyst supplies pushdown, pruning, join selection, and
+whole-stage codegen.  Scale notes are on each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.operators.registry import (
+    avg6,
+    dec2,
+    fmt_d,
+    query,
+    t,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2))))      AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6)                          AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6)                          AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single wide scan -> partial+final hash aggregate.
+    Scale: no join; the groupBy key space is 6 rows so map-side partial
+    aggregation collapses virtually all data before the shuffle."""
+    l = t(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (
+        dec2("l_quantity"),
+        dec2("l_extendedprice"),
+        F.col("l_discount").cast("decimal(4,2)"),
+        F.col("l_tax").cast("decimal(4,2)"),
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
+            avg6(F.sum(qty), F.count(F.lit(1))).alias("avg_qty"),
+            avg6(F.sum(price), F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape. Scale: filters go below the joins (Catalyst pushes
+    them into the parquet scans); customer is the smallest side and AQE
+    turns it into a broadcast once the filter's selectivity is seen."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).alias("revenue"))
+        .select("o_orderkey", "revenue", fmt_d("o_orderdate").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join. Scale: nation/region/supplier are
+    explicitly broadcast (they stay tiny at any SF), so the only shuffles
+    are the orders<->lineitem join and the final 25-row aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg. Scale: every predicate is
+    parquet-pushable (verify PushedFilters in .explain) and only 4 columns
+    are read; this is the canonical predicate-pushdown check."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(dec2("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q_revenue_per_nation(spark, sf_dir):
+    """Flagship query (entry()): fact-fact join + broadcast dim + agg."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(disc_price).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join family (SURVEY.md §2B: inner/left/right/full/semi/anti/cross/non-equi)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_left_customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_customer_order_stats(spark, sf_dir):
+    """LEFT OUTER join preserving customers with zero orders. Scale: both
+    sides shuffle on custkey; at 100 TB bucket both tables by custkey to
+    make this a zero-shuffle sort-merge join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0).cast("decimal(18,2)")).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_high_value_order",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi_customers_with_high_value_order(spark, sf_dir):
+    """LEFT SEMI join == EXISTS. Scale: semi-join only carries the left
+    columns through the shuffle; the filter on the right side is pushed to
+    the scan."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join == NOT EXISTS."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer_nation_presence(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated sides (aggregate-before-join:
+    shrinks both inputs to |nations| rows before the join shuffle)."""
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full_outer").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross_region_pairs(spark, sf_dir):
+    """CROSS join (guarded: only ever on bounded dims — 5x5 here)."""
+    a = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("ka"), F.col("r_name").alias("region_a")
+    )
+    b = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("kb"), F.col("r_name").alias("region_b")
+    )
+    return a.crossJoin(b).filter(F.col("ka") < F.col("kb")).select("region_a", "region_b")
+
+
+@query(
+    "join_right_orders_customer_segment",
+    oracle="""
+    SELECT c.c_mktsegment, count(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_right_orders_customer_segment(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_nonequi_price_band",
+    oracle="""
+    SELECT p.p_partkey, count(*) AS n_cheaper_suppliers
+    FROM part p JOIN supplier s ON s.s_acctbal > p.p_retailprice / 100
+    WHERE p.p_partkey <= 50
+    GROUP BY p.p_partkey
+    """,
+)
+def join_nonequi_price_band(spark, sf_dir):
+    """Theta (non-equi) join -> broadcast nested loop. Scale: keep one side
+    broadcastable (here part is pre-filtered to a bounded key range);
+    unbounded theta joins need banding/bucketing instead."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    s = t(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(p)
+        .join(s, s.s_acctbal > p.p_retailprice / 100)
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_cheaper_suppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_distinct_counts(spark, sf_dir):
+    """COUNT(DISTINCT) — Spark expands to a two-phase partial-distinct
+    aggregate; no driver-side work."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_order_year_priority",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+)
+def agg_rollup_order_year_priority(spark, sf_dir):
+    """ROLLUP hierarchy (year -> priority -> grand total)."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return o.rollup("order_year", "o_orderpriority").agg(
+        F.sum(dec2("o_totalprice")).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_lineitem_flags(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec2("l_quantity")).alias("qty"))
+    )
+
+
+@query(
+    "agg_grouping_sets_mixed",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets_mixed(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("xsp_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM xsp_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_minmax_stats",
+    oracle="""
+    SELECT l_linestatus,
+           min(l_quantity)  AS min_qty,
+           max(l_quantity)  AS max_qty,
+           min(strftime(l_shipdate, '%Y-%m-%d')) AS first_ship,
+           max(strftime(l_shipdate, '%Y-%m-%d')) AS last_ship,
+           count(*) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_minmax_stats(spark, sf_dir):
+    """min/max are order-insensitive — safe on raw doubles."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min(fmt_d("l_shipdate")).alias("first_ship"),
+            F.max(fmt_d("l_shipdate")).alias("last_ship"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # approximate: rows-only check
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — the scale path for high-cardinality
+    distinct counts; no exact oracle by construction."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / set ops / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_top20_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_top20_orders(spark, sf_dir):
+    """ORDER BY + LIMIT -> Spark TakeOrderedAndProject: per-partition top-K
+    then a K-row merge on the driver — no global sort at any scale."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", fmt_d("o_orderdate").alias("orderdate"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "setop_union_all_keys",
+    oracle="""
+    SELECT nk, count(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+)
+def setop_union_all_keys(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_nations(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except_nations(spark, sf_dir):
+    # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle);
+    # exceptAll would be bag semantics and a different operator
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+@query(
+    "distinct_order_status_priority",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_order_status_priority(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# scalar function library + JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                   AS brand_upper,
+           lower(p_type)                    AS type_lower,
+           length(p_name)                   AS name_len,
+           substr(p_name, 1, 5)             AS name_prefix,
+           replace(p_type, ' ', '_')        AS type_snake,
+           concat(p_brand, ':', p_type)     AS brand_type,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def scalar_string_functions(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS y,
+           CAST(month(o_orderdate) AS INTEGER)   AS m,
+           CAST(day(o_orderdate) AS INTEGER)     AS d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+               AS days_since_epoch_start
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def scalar_date_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        fmt_d(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "scalar_math_functions",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal)                  AS abs_bal,
+           CAST(ceil(c_acctbal) AS BIGINT)  AS ceil_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           round(c_acctbal, 1)             AS round_bal,
+           round(sqrt(abs(c_acctbal)), 6)  AS sqrt_bal,
+           CASE WHEN c_acctbal < 0 THEN -1 WHEN c_acctbal = 0 THEN 0 ELSE 1 END
+               AS sign_bal
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def scalar_math_functions(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.ceil("c_acctbal").cast("bigint").alias("ceil_bal"),
+        F.floor("c_acctbal").cast("bigint").alias("floor_bal"),
+        F.round("c_acctbal", 1).alias("round_bal"),
+        F.round(F.sqrt(F.abs(F.col("c_acctbal"))), 6).alias("sqrt_bal"),
+        F.when(F.col("c_acctbal") < 0, -1)
+        .when(F.col("c_acctbal") == 0, 0)
+        .otherwise(1)
+        .alias("sign_bal"),
+    )
+
+
+@query(
+    "json_extract_event_props",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_event_props(spark, sf_dir):
+    """JSON access on the events.props column (get_json_object is JVM-side;
+    no Python in the loop)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "subquery_in_top_nations",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+    ) AND c_custkey <= 300
+    """,
+)
+def subquery_in_top_nations(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    c.createOrReplaceTempView("xsp_sub_customer")
+    n.createOrReplaceTempView("xsp_sub_nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM xsp_sub_customer
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM xsp_sub_nation WHERE n_regionkey = 2
+        ) AND c_custkey <= 300
+        """
+    )
+
+
+@query(
+    "subquery_scalar_above_avg_price",
+    oracle="""
+    SELECT count(*) AS n_above
+    FROM part
+    WHERE p_retailprice > (SELECT round(CAST(sum(CAST(p_retailprice AS
+        DECIMAL(18,2))) AS DOUBLE) / count(*), 6) FROM part)
+    """,
+)
+def subquery_scalar_above_avg_price(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("xsp_sub_part")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above
+        FROM xsp_sub_part
+        WHERE p_retailprice > (SELECT round(CAST(sum(CAST(p_retailprice AS
+            DECIMAL(18,2))) AS DOUBLE) / count(*), 6) FROM xsp_sub_part)
+        """
+    )

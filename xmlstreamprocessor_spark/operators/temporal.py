@@ -1,0 +1,219 @@
+"""Temporal operators: as-of join, sessionization, tumbling/sliding/session
+time windows (batch semantics identical to the Structured Streaming versions
+in ``streaming/``).  The reference has no time semantics at all; these are
+north-star extensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from xmlstreamprocessor_spark.operators.registry import dec2, fmt_ts, query, t
+
+
+@query(
+    "asof_join_purchase_last_view",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_purchase_last_view(spark, sf_dir):
+    """AS-OF join (for each purchase, the most recent earlier view by the
+    same user).  Spark has no ASOF primitive; the scalable formulation is
+    union-the-streams + last(ignorenulls) over a user/time window — one
+    shuffle on user_id, no per-user quadratic work, no Python.
+    Ties (view.ts == purchase.ts at equal ts) resolve to the LATEST view,
+    matching DuckDB ASOF (>=) semantics; within identical timestamps the
+    higher event_id wins deterministically."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("view_id"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # views sort before purchases at the same ts (is_purchase asc) so an
+    # equal-ts view is visible to the purchase row, matching ASOF >=.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "view_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("last_view", F.last("view_id", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            fmt_ts("ts").alias("purchase_ts"),
+            F.col("last_view").alias("view_id"),
+        )
+    )
+
+
+@query(
+    "sessionize_events_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events_30m(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap) via lag + running sum —
+    one shuffle on user_id; the same semantics as session_window in
+    streaming mode."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(fmt_ts("ts")).alias("session_start"),
+        )
+    )
+
+
+@query(
+    "window_tumbling_hourly_events",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hourly_events(spark, sf_dir):
+    """Tumbling 1h windows — batch twin of the streaming tumbling agg
+    (streaming/windows.py); F.window is the same expression readStream uses."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).alias("total_value"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_1h_30m_events",
+    oracle="""
+    WITH slid AS (
+      SELECT e.ts, e.value,
+             time_bucket(INTERVAL 30 MINUTE, e.ts) - k.k * INTERVAL 30 MINUTE
+               AS window_start
+      FROM events e, (SELECT unnest(range(0, 2)) AS k) k
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM slid
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY window_start
+    """,
+)
+def window_sliding_1h_30m_events(spark, sf_dir):
+    """Sliding windows (1h length, 30m slide): each event lands in 2
+    overlapping windows.  F.window expands rows JVM-side."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).alias("total_value"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_session_10m_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) >= 600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def window_session_10m_events(spark, sf_dir):
+    """session_window (10-min gap) per user — Spark's native session window;
+    the oracle reconstructs the identical merge semantics relationally
+    (a new session starts when the gap is >= the timeout; session end =
+    last event + gap)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start")).alias("session_start"),
+            fmt_ts(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )

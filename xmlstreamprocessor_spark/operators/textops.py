@@ -1,0 +1,200 @@
+"""Text-analysis operators for training-data pipelines: quality stats,
+language ID, tokenizer-style counting, fingerprinting.  All JVM-side column
+expressions (split/transform/aggregate/regexp) — embarrassingly parallel,
+zero shuffles except the optional final aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.operators.registry import query, t
+
+# stopword marker sets for the language-ID heuristic (deterministic; the
+# point is the operator shape, not linguistic accuracy)
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # argmax tiebreak priority
+
+
+@query(
+    "text_stats_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CAST(len(list_distinct(ws)) AS INTEGER) AS n_unique_words,
+           round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                 / len(ws), 6) AS avg_word_len,
+           round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+             AS unique_ratio,
+           n_chars
+    FROM w
+    """,
+)
+def text_stats_documents(spark, sf_dir):
+    """Per-document quality stats: token count, vocabulary size, mean token
+    length, type/token ratio."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(ws)
+    n_unique = F.size(F.array_distinct(ws))
+    sum_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, v: acc + v
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_unique.cast("int").alias("n_unique_words"),
+        F.round(sum_len.cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(n_unique.cast("double") / n_words, 6).alias("unique_ratio"),
+        "n_chars",
+    )
+
+
+def _duck_lang_score(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        f" x -> list_contains([{lst}], x)))"
+    )
+
+
+@query(
+    "text_langid_documents",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_duck_lang_score('en')} AS s_en,
+             {_duck_lang_score('es')} AS s_es,
+             {_duck_lang_score('de')} AS s_de,
+             {_duck_lang_score('fr')} AS s_fr,
+             {_duck_lang_score('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                     AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           CAST(s_en AS INTEGER) AS score_en
+    FROM scored
+    """,
+)
+def text_langid_documents(spark, sf_dir):
+    """N-gram-free language-ID heuristic: stopword-marker hit counts with a
+    fixed argmax priority (en > es > de > fr > zh on ties)."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+    def score(lang):
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(ws, lambda x: F.array_contains(markers, x)))
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[score(lg).alias(f"s_{lg}") for lg in _LANG_ORDER],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_ORDER}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("pred_lang"),
+        s["en"].cast("int").alias("score_en"),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_raw
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-ish tokenizer proxy: count alpha runs, digit runs, and standalone
+    punctuation — the standard pre-tokenization split."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_raw"),
+    )
+
+
+@query(
+    "text_fingerprint_documents",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8)
+             AS bucket
+    FROM documents
+    """,
+)
+def text_fingerprint_documents(spark, sf_dir):
+    """Normalized whole-document fingerprint (lower + whitespace collapse +
+    md5) with a shard bucket prefix."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm.cast("binary"))
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
+    )
+
+
+@query(
+    "text_rolling_hash_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(nt) - 6, 1) + 1),
+                                   i -> md5(substr(nt, i, 8)))) AS winnow_min
+    FROM n
+    """,
+)
+def text_rolling_hash_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling fingerprint: minimum hash over all 8-char
+    windows of the normalized text (documents sharing long substrings agree
+    on the minimum with high probability)."""
+    d = t(spark, sf_dir, "documents")
+    nt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(nt) - 6, F.lit(1)))
+    return d.select(
+        "doc_id",
+        F.array_min(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.substr(nt, i, F.lit(8)).cast("binary")),
+            )
+        ).alias("winnow_min"),
+    )
