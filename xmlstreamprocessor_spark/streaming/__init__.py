@@ -1,0 +1,18 @@
+from xmlstreamprocessor_spark.streaming.sources import stream_events, stream_xml
+from xmlstreamprocessor_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from xmlstreamprocessor_spark.streaming.dedup import dedup_within_watermark
+from xmlstreamprocessor_spark.streaming.stateful import sessionize_stateful
+
+__all__ = [
+    "stream_events",
+    "stream_xml",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_within_watermark",
+    "sessionize_stateful",
+]

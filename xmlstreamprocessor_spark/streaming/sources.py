@@ -1,0 +1,63 @@
+"""Streaming sources.
+
+The reference consumes exactly one forward-only XML token stream
+(Parser.cs:119-208).  The distributed generalization is Structured
+Streaming's file source: each discovered file is a bounded forward-only
+stream, processed exactly-once, with the same bounded-memory extraction
+kernel used in batch (sources/xml_batch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from xmlstreamprocessor_spark.plans.spec import CompiledSpec, Struct
+from xmlstreamprocessor_spark.sources.xml_batch import _ensure_compiled
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet replayed as a file-source stream (one micro-batch with
+    availableNow, or incremental as files land in a real deployment)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_xml(
+    spark: SparkSession, path: str, row_tag: str, spec: Struct | CompiledSpec
+) -> DataFrame:
+    """Streaming XML extraction: watch ``path`` for files, emit one row per
+    ``row_tag`` element using the compiled extraction spec.
+
+    Files are consumed via the text file source in wholetext mode (each file
+    one record — the parallel unit, as in batch read_xml) and shredded with
+    the same bounded-memory kernel; downstream ops (watermarks, windows,
+    joins) are ordinary Structured Streaming."""
+    import io
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    compiled = _ensure_compiled(spec)
+    schema = compiled.schema
+    names = [f.name for f in schema.fields]
+    raw = spark.readStream.format("text").option("wholetext", "true").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xmlstreamprocessor_spark.sources.xml_batch import iterparse_records
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["value"]:
+                rows.extend(
+                    iterparse_records(
+                        io.BytesIO(content.encode("utf-8")), row_tag, compiled
+                    )
+                )
+            yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+
+    return raw.mapInPandas(run, schema=schema)
