@@ -195,3 +195,44 @@ def window_first_last_value(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@query(
+    "analytic_funnel_view_click_purchase",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+           count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+             AS n_full_funnel
+    FROM stages
+    """,
+)
+def analytic_funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase) via conditional
+    min-timestamps per user.  Scale: one shuffle on user_id with map-side
+    partial mins; the final count is a scalar — no window, no self-join
+    (the naive N-way self-join on a 100 TB events table is the anti-pattern
+    this replaces)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    stage = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts")))
+    stages = e.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    cnt = lambda c: F.count(F.when(c, F.lit(1)))
+    return stages.agg(
+        cnt(F.col("t_view").isNotNull()).alias("n_view"),
+        cnt(F.col("t_view") < F.col("t_click")).alias("n_view_click"),
+        cnt(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("n_full_funnel"),
+    )

@@ -755,3 +755,86 @@ def subquery_scalar_above_avg_price(spark, sf_dir):
             DECIMAL(18,2))) AS DOUBLE) / count(*), 6) FROM xsp_sub_part)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# percentiles, pivot, skew-salted aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentiles_price_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+           round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_price_by_returnflag(spark, sf_dir):
+    """Exact interpolated percentiles per group.  Scale: Spark's percentile
+    is a sort-based aggregate per group; for sketch-sized answers at 100 TB
+    swap in approx_percentile (t-digest) — the exact form is the oracle-able
+    contract."""
+    l = t(spark, sf_dir, "lineitem")
+    ps = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 6).alias("p50"),
+            F.round(F.element_at("ps", 2), 6).alias("p90"),
+            F.round(F.element_at("ps", 3), 6).alias("p99"),
+        )
+    )
+
+
+@query(
+    "pivot_status_totals_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_totals_by_priority(spark, sf_dir):
+    """Pivot (long -> wide): one column per order status.  With explicit
+    pivot values Spark skips the extra distinct-values job and the whole op
+    is a single hash aggregate — same cost profile at any scale."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec2("o_totalprice")))
+        .withColumnsRenamed({"F": "f", "O": "o", "P": "p"})
+    )
+
+
+@query(
+    "agg_salted_skewed_event_totals",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skewed_event_totals(spark, sf_dir):
+    """Two-phase salted aggregation for heavily skewed keys (events has ~5
+    event types over millions of rows): phase 1 aggregates by (key, salt) so
+    no single reducer owns a hot key, phase 2 combines the 16 partials per
+    key.  Decimal sums are associative, so the result is bit-identical to the
+    direct groupBy (the oracle).  At 100 TB this is the pattern that keeps a
+    5-key aggregation from running on 5 tasks."""
+    e = t(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.sum(dec2("value")).alias("pv"), F.count(F.lit(1)).alias("pn")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pv").alias("total_value"), F.sum("pn").alias("n")
+    )

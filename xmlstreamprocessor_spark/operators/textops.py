@@ -198,3 +198,39 @@ def text_rolling_hash_fingerprint(spark, sf_dir):
             )
         ).alias("winnow_min"),
     )
+
+
+@query(
+    "text_ngram_top100",
+    oracle="""
+    WITH w AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), b AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS ngram
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT ngram, count(*) AS cnt
+    FROM b GROUP BY ngram
+    ORDER BY cnt DESC, ngram LIMIT 100
+    """,
+)
+def text_ngram_top100(spark, sf_dir):
+    """Corpus-wide top-100 word bigrams.  All JVM expressions; the explode
+    shuffles (ngram, 1) pairs with map-side combine, then a global top-k
+    (TakeOrderedAndProject — no full sort).  Ties at the cutoff break on the
+    ngram string so the answer is deterministic across engines."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"
+    )
+    return (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(100)
+    )
