@@ -1,0 +1,80 @@
+"""Connector round-trips: parquet/csv/json write -> read preserves values,
+partitioned layout prunes, bucketed join plans without a shuffle on the
+bucketed side."""
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark import catalog
+from xmlstreamprocessor_spark.sources import formats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nation(spark):
+    return catalog.load(spark, SF, "nation")
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = _nation(spark)
+    formats.write_parquet(df, str(tmp_path / "n"))
+    back = formats.read_parquet(spark, str(tmp_path / "n"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = _nation(spark)
+    formats.write_csv(df, str(tmp_path / "n"))
+    back = formats.read_csv(
+        spark,
+        str(tmp_path / "n"),
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _nation(spark)
+    formats.write_json(df, str(tmp_path / "n"))
+    back = formats.read_json(
+        spark,
+        str(tmp_path / "n"),
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = catalog.load(spark, SF, "orders")
+    formats.write_partitioned(df, str(tmp_path / "o"), ["o_orderstatus"])
+    back = formats.read_parquet(spark, str(tmp_path / "o"))
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not run as a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert pruned.count() == df.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    orders = catalog.load(spark, SF, "orders")
+    lineitem = catalog.load(spark, SF, "lineitem")
+    formats.write_bucketed(
+        orders, "t_orders_b", "o_orderkey", n_buckets=8, path=str(tmp_path / "ob")
+    )
+    formats.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        "o_orderkey",
+        n_buckets=8,
+        path=str(tmp_path / "lb"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed equi-join: SortMergeJoin with zero Exchange operators
+        assert "Exchange" not in plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -1,0 +1,118 @@
+"""File-format connectors (SURVEY.md §2B: formats/connectors row).
+
+The reference's only source is an ``XmlReader`` (Parser.cs:12); the engine
+generalizes to the standard lake formats through Spark's built-in sources so
+every scan benefits from predicate pushdown, column pruning, and (for
+parquet) partition pruning.  These helpers fix the options we rely on
+everywhere (header/schema handling, timestamp behavior) so callers at any
+scale get the same semantics.
+
+Writers default to snappy parquet — the only format we recommend as a sink
+at 100 TB.  ``write_partitioned`` and ``write_bucketed`` encode the two
+layout strategies that matter at scale: partition columns for pruning
+(low-cardinality, e.g. date), bucketing for shuffle-free joins on a hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan.  Always pass a schema in production: inference reads the
+    data twice and silently widens types."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines scan; explicit schema avoids the inference pass and keeps
+    corrupt records in ``_corrupt_record`` (PERMISSIVE), mirroring the
+    reference's error-context wrapping (Parser.cs:146-149)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan.  Without partitioning options the read is a single task —
+    never acceptable for large tables, so the bounds are first-class here."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Layout for partition pruning: one directory per value combination.
+    Keep the combined cardinality in the thousands, not millions — each
+    partition should hold >= 100 MB of parquet at the target scale."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed table: joins/aggregations on ``bucket_col`` between
+    co-bucketed tables skip the shuffle entirely (Catalyst sees the
+    HashPartitioning as satisfied).  The 100 TB pattern for repeated joins
+    on the same key (e.g. lineitem/orders on orderkey).  ``path`` makes the
+    table external (data at the given location instead of the warehouse)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
