@@ -145,3 +145,118 @@ def similarity_centroid_per_label(spark, sf_dir):
         ex.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
         .agg(F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("centroid_v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (the cosine scale path)
+# ---------------------------------------------------------------------------
+
+_RP_BITS = 16
+_RP_DIM = 64
+_RP_BAND_BITS = 4  # 4 bands x 4 bits
+
+
+def _rp_weights() -> list[list[int]]:
+    """Deterministic +-1 hyperplane matrix derived from md5 — identical
+    literals are embedded in the Spark plan and the DuckDB oracle, so the
+    signatures are exactly comparable across engines."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"rplsh:{k}:{j}".encode()).digest()[0] & 1 else -1
+            for j in range(_RP_DIM)
+        ]
+        for k in range(_RP_BITS)
+    ]
+
+
+_RP_W = _rp_weights()
+
+# integer-domain projection: floor(x * 1e6) as bigint makes every per-bit
+# sign sum exact integer arithmetic — associative, so engine/partition
+# summation order cannot flip a borderline sign.
+_SPARK_EI = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+_DUCK_EI = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+
+
+def _spark_bit(k: int) -> str:
+    w = ", ".join(str(v) for v in _RP_W[k])
+    return (
+        f"CASE WHEN aggregate(zip_with(ei, array({w}), (x, w) -> x * w), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _duck_bit(k: int) -> str:
+    w = ", ".join(str(v) for v in _RP_W[k])
+    return (
+        f"CASE WHEN list_sum(list_transform(range(1, {_RP_DIM + 1}), "
+        f"j -> ei[j] * ([{w}])[j])) > 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _band_expr(bit_exprs: list[str], band: int) -> str:
+    terms = [
+        f"({bit_exprs[band * _RP_BAND_BITS + r]}) * {1 << r}"
+        for r in range(_RP_BAND_BITS)
+    ]
+    return " + ".join(terms)
+
+
+_DUCK_RPLSH_SIGS = f"""
+    WITH ei_t AS (
+      SELECT vec_id, {_DUCK_EI} AS ei FROM embeddings
+    )
+    SELECT vec_id,
+           CAST({" + ".join(f"({_duck_bit(k)}) * {1 << k}" for k in range(_RP_BITS))}
+             AS BIGINT) AS sig,
+           {", ".join(f"CAST({_band_expr([_duck_bit(k) for k in range(_RP_BITS)], b)} AS INTEGER) AS band{b}" for b in range(_RP_BITS // _RP_BAND_BITS))}
+    FROM ei_t
+"""
+
+
+@query("similarity_rplsh_signatures", oracle=_DUCK_RPLSH_SIGS)
+def similarity_rplsh_signatures(spark, sf_dir):
+    """16-bit random-hyperplane (SimHash-for-cosine) signature per vector,
+    plus 4 x 4-bit band keys.  Pure JVM expressions; at scale the band keys
+    are the shuffle keys that turn all-pairs cosine search into equi-joins
+    (pairs agreeing on any band land in one bucket)."""
+    e = t(spark, sf_dir, "embeddings")
+    bits = [_spark_bit(k) for k in range(_RP_BITS)]
+    sig = " + ".join(f"({bits[k]}) * {1 << k}" for k in range(_RP_BITS))
+    return e.select(
+        "vec_id", F.expr(_SPARK_EI).alias("ei")
+    ).select(
+        "vec_id",
+        F.expr(f"CAST({sig} AS BIGINT)").alias("sig"),
+        *[
+            F.expr(f"CAST({_band_expr(bits, b)} AS INT)").alias(f"band{b}")
+            for b in range(_RP_BITS // _RP_BAND_BITS)
+        ],
+    )
+
+
+@query(
+    "similarity_rplsh_bucket_stats",
+    oracle=f"""
+    WITH sigs AS ({_DUCK_RPLSH_SIGS}),
+    bands AS (
+      SELECT 0 AS band, band0 AS key FROM sigs
+      UNION ALL SELECT 1, band1 FROM sigs
+      UNION ALL SELECT 2, band2 FROM sigs
+      UNION ALL SELECT 3, band3 FROM sigs
+    )
+    SELECT band, key, count(*) AS n_in_bucket
+    FROM bands GROUP BY band, key
+    """,
+)
+def similarity_rplsh_bucket_stats(spark, sf_dir):
+    """Bucket-occupancy profile of the rp-LSH bands — the quantity that
+    decides candidate-join cost at scale (sum of n_in_bucket^2 per bucket).
+    Implemented as an unpivot (stack) + hash aggregate."""
+    sigs = similarity_rplsh_signatures(spark, sf_dir)
+    bands = sigs.selectExpr(
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, key)"
+    )
+    return bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n_in_bucket"))
