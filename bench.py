@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "similarity_topk_bruteforce",
     "text_stats_documents",
     "text_fingerprint_documents",
+    "xml_roundtrip_orders_struct",
+    "text_ngram_top100",
+    "analytic_funnel_view_click_purchase",
 ]
 
 

@@ -11,3 +11,4 @@ from xmlstreamprocessor_spark.operators import dedup  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import similarity  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import textops  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import multimodal  # noqa: F401,E402
+from xmlstreamprocessor_spark.operators import xmlqueries  # noqa: F401,E402
