@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "text_stats_documents",
     "text_fingerprint_documents",
     "xml_roundtrip_orders_struct",
+    "xml_roundtrip_orders_struct_jvm",
     "text_ngram_top100",
     "analytic_funnel_view_click_purchase",
 ]

@@ -43,3 +43,33 @@ def test_read_xml_files(spark, tmp_path):
     assert len(rows) == 15
     assert sorted(r["someint"] for r in rows) == sorted(list(range(5)) * 3)
     assert rows[-1]["subclasses"][0]["someint"] == 40
+
+
+def test_jvm_path_matches_python_path(spark):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
+
+    docs = spark.createDataFrame(
+        [('<r a="7"><i>3</i><s>hi</s></r>',), ('<r a="8"><s></s></r>',)], ["doc"]
+    )
+    spec = X.struct(
+        "r", {"a": X.attr("a"), "i": X.int_("i"), "s": X.string("s")}
+    )
+    py = sorted(map(tuple, extract_xml(docs, "doc", spec).collect()))
+    jvm = sorted(map(tuple, extract_xml_jvm(docs, "doc", spec).collect()))
+    assert py == jvm == [("7", 3, "hi"), ("8", 0, "")]
+
+
+def test_jvm_path_rejects_wildcards(spark):
+    import pytest
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml_jvm
+
+    docs = spark.createDataFrame([("<a/>",)], ["doc"])
+    with pytest.raises(ValueError, match="wildcard"):
+        extract_xml_jvm(docs, "doc", X.struct("r", {"x": X.string("pre*")}))
+    with pytest.raises(ValueError, match="cannot express field"):
+        extract_xml_jvm(docs, "doc", X.struct("r", {"k": X.tag()}))

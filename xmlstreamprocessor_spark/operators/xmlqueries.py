@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from xmlstreamprocessor_spark.operators.registry import dec2, query, t
 from xmlstreamprocessor_spark.plans import X
-from xmlstreamprocessor_spark.sources.xml_batch import extract_xml
+from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
 
 
 @query(
@@ -135,4 +135,49 @@ def xml_roundtrip_lineitem_array(spark, sf_dir):
             "aggregate(qtys, CAST(0 AS DECIMAL(38,18)),"
             " (a, x) -> CAST(a + x AS DECIMAL(38,18)))"
         ).alias("total_qty"),
+    )
+
+
+@query(
+    "xml_roundtrip_orders_struct_jvm",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           o_orderpriority AS prio,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+    FROM orders
+    """,
+)
+def xml_roundtrip_orders_struct_jvm(spark, sf_dir):
+    """Same contract as xml_roundtrip_orders_struct but through the
+    ``from_xml`` JVM fast path (extract_xml_jvm) — zero Python in the plan,
+    so extraction fuses into whole-stage codegen.  Identical oracle: the two
+    execution paths must agree bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('<order id="'), F.col("o_orderkey").cast("string"),
+        F.lit('" status="'), F.col("o_orderstatus"),
+        F.lit('"><prio>'), F.col("o_orderpriority"),
+        F.lit("</prio><total>"), dec2("o_totalprice").cast("string"),
+        F.lit("</total><odate>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("</odate></order>"),
+    )
+    spec = X.struct(
+        "order",
+        {
+            "order_id": X.attr("id"),
+            "status": X.attr("status"),
+            "prio": X.string("prio"),
+            "total": X.ndecimal("total"),
+            "odate": X.ndate("odate"),
+        },
+    )
+    ex = extract_xml_jvm(o.select(doc.alias("doc")), "doc", spec)
+    return ex.select(
+        F.col("order_id").cast("bigint").alias("order_id"),
+        "status",
+        "prio",
+        "total",
+        F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
     )

@@ -111,3 +111,90 @@ def read_xml(
             yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
 
     return files_df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# JVM fast path: from_xml for specs the built-in source can express
+# ---------------------------------------------------------------------------
+
+
+def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
+    """Extract with Spark's built-in ``from_xml`` — fully JVM-side, no Python
+    hop, so it whole-stage-codegens with the surrounding plan.
+
+    Supported spec surface: a flat ``X.struct`` of typed scalar elements,
+    attributes, and single-level arrays (``X.array(container, scalar)``).
+    The reference-specific semantics the built-in source cannot express —
+    wildcard tag patterns, ``Tag()`` capture, mixed-content string folding
+    (Parser.cs:175-187, 402-405, 44-49), custom parsers, expression
+    projections — raise ``ValueError``; use ``extract_xml`` (the Python
+    kernel) for those.  Missing-tag defaults (``X.int_`` -> 0) are applied
+    with ``coalesce`` after parsing, matching ParserData.Get semantics
+    (Parser.cs:531-536)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from xmlstreamprocessor_spark.plans.spec import (
+        Arr,
+        _AttrSlot,
+        _ScalarSlot,
+        _Slot,
+        _StringSlot,
+        Struct,
+    )
+
+    if isinstance(spec, CompiledSpec):
+        spec = spec.root
+    if not isinstance(spec, Struct):
+        raise ValueError("JVM path needs an X.struct spec")
+
+    fields: list[T.StructField] = []
+    outs: list[tuple[str, object]] = []  # (out_name, fn(parsed_col) -> Column)
+
+    def _plain(slot: _Slot) -> str:
+        if slot.pattern is None or "*" in slot.pattern:
+            raise ValueError(
+                f"JVM path cannot express wildcard/tag slot {slot.pattern!r}; "
+                "use extract_xml (python kernel)"
+            )
+        return slot.pattern
+
+    for name, f in spec.fields.items():
+        if isinstance(f, _AttrSlot):
+            p = _plain(f)
+            fields.append(T.StructField(f"_{p}", T.StringType()))
+            outs.append((name, lambda x, p=p: x[f"_{p}"]))
+        elif isinstance(f, (_ScalarSlot, _StringSlot)):
+            p = _plain(f)
+            fields.append(T.StructField(p, f.dtype()))
+            dflt = f.default()
+            if dflt is not None:
+                outs.append((name, lambda x, p=p, d=dflt: F.coalesce(x[p], F.lit(d))))
+            else:
+                outs.append((name, lambda x, p=p: x[p]))
+        elif isinstance(f, Arr) and isinstance(f.inner, (_ScalarSlot, _StringSlot)):
+            cp, ip = _plain(f), _plain(f.inner)
+            fields.append(
+                T.StructField(
+                    cp,
+                    T.StructType(
+                        [T.StructField(ip, T.ArrayType(f.inner.dtype(), True))]
+                    ),
+                )
+            )
+            outs.append((name, lambda x, cp=cp, ip=ip: x[cp][ip]))
+        else:
+            raise ValueError(
+                f"JVM path cannot express field {name!r} ({type(f).__name__}); "
+                "use extract_xml (python kernel)"
+            )
+
+    parsed = F.from_xml(
+        F.col(col),
+        T.StructType(fields),
+        {"timestampFormat": "yyyy-MM-dd HH:mm:ss", "attributePrefix": "_"},
+    )
+    tmp = df.withColumn("__x", parsed)
+    return tmp.select(
+        *[fn(F.col("__x")).alias(name) for name, fn in outs]
+    )
