@@ -127,3 +127,45 @@ def test_stream_xml_extraction(spark, tmp_path):
     _drain(out, "t_xml")
     rows = spark.sql("SELECT * FROM t_xml ORDER BY id").collect()
     assert [r["id"] for r in rows] == [0, 1, 2, 10, 11, 12]
+
+
+def test_stream_static_join(spark):
+    from xmlstreamprocessor_spark.streaming import enrich_stream_static
+
+    ev = stream_events(spark, SF)
+    dim = (
+        catalog.load(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    _drain(enrich_stream_static(ev, dim).select("event_id", "user_id", "segment"),
+           "t_enriched")
+    got = spark.sql("SELECT count(*) AS n FROM t_enriched").collect()[0][0]
+    expected = catalog.load(spark, SF, "events").filter(F.col("user_id").isNotNull()).count()
+    assert got == expected
+
+
+def test_stream_stream_interval_join(spark):
+    from xmlstreamprocessor_spark.streaming import join_purchases_to_views
+
+    ev = stream_events(spark, SF)
+    _drain(join_purchases_to_views(ev), "t_ssjoin")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT purchase_id) AS np FROM t_ssjoin"
+    ).collect()[0]
+    # batch twin: same interval predicate as a plain self-join
+    batch = catalog.load(spark, SF, "events")
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"))
+    v = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    exp = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got[0] == exp

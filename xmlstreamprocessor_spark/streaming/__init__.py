@@ -6,6 +6,10 @@ from xmlstreamprocessor_spark.streaming.windows import (
 )
 from xmlstreamprocessor_spark.streaming.dedup import dedup_within_watermark
 from xmlstreamprocessor_spark.streaming.stateful import sessionize_stateful
+from xmlstreamprocessor_spark.streaming.joins import (
+    enrich_stream_static,
+    join_purchases_to_views,
+)
 
 __all__ = [
     "stream_events",
@@ -15,4 +19,6 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "sessionize_stateful",
+    "enrich_stream_static",
+    "join_purchases_to_views",
 ]
