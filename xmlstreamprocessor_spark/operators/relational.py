@@ -838,3 +838,78 @@ def agg_salted_skewed_event_totals(spark, sf_dir):
     return partial.groupBy("event_type").agg(
         F.sum("pv").alias("total_value"), F.sum("pn").alias("n")
     )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact-dim join + conditional aggregate ratio.  Scale:
+    the shipdate filter is pushed into the lineitem scan; part joins on its
+    key (broadcast under the 64 MB threshold, AQE otherwise); both sums are
+    exact decimals, divided once at the end."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), disc_price)
+    ).cast("double")
+    total = F.sum(disc_price).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join + agg + top-20.  Scale: returnflag filter
+    pushed to the lineitem scan; nation broadcasts; the limit runs as
+    TakeOrderedAndProject after partial top-k, never a full sort."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
