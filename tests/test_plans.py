@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB,
+asserted on the actual executed plans at sf0.001.
+
+These guard against silent plan regressions — a filter that stops reaching
+the parquet scan, a dimension join that stops broadcasting, an accidental
+cartesian product — which correctness tests cannot catch.
+"""
+
+import re
+
+from xmlstreamprocessor_spark.operators import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filters_push_into_parquet_scan(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = ";".join(pushed)
+    assert "EqualTo(c_mktsegment,BUILDING)" in joined
+    assert any("l_shipdate" in p for p in pushed)
+    assert any("o_orderdate" in p for p in pushed)
+
+
+def test_scan_prunes_columns(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    # lineitem has 11 columns; the scan must read only the ones used
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert len(cols) <= 4, cols
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_equijoin_queries(spark):
+    for name in (
+        "q_revenue_per_nation",
+        "join_left_customer_order_stats",
+        "dedup_minhash_lsh_pairs",
+        "q10_returned_items",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "sort_top20_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bruteforce_ann_broadcasts_query_side(spark):
+    plan = _plan(spark, "similarity_topk_bruteforce")
+    # the small query set must be the broadcast side of the NL join;
+    # the corpus must stream (no shuffle of the corpus relation)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_agg_is_partial_then_final_with_no_python(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # map-side combine: partial aggregation must run before the exchange
+    assert "partial_sum" in plan
+    # the scan -> filter -> partial agg pipeline must be JVM-only, not
+    # interrupted by a Python evaluator
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
