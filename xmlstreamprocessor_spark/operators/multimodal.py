@@ -135,3 +135,52 @@ def multimodal_frame_sample(spark, sf_dir):
     ).select(
         "doc_id", F.col("frame_idx0").cast("int").alias("frame_idx"), "n_frames"
     )
+
+
+@query(
+    "multimodal_resize_to_box",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS width,
+             64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(width  * 224 // greatest(width, height) AS INTEGER) AS out_w,
+           CAST(height * 224 // greatest(width, height) AS INTEGER) AS out_h
+    FROM dims
+    """,
+)
+def multimodal_resize_to_box(spark, sf_dir):
+    """Aspect-preserving resize planning to a 224x224 box.  The pixel
+    resample itself is the stubbed decode kernel; the *geometry* (the part a
+    planner must get right for batch shapes downstream) is exact integer
+    arithmetic, verified against the oracle.  Runs through the same
+    mapInPandas shape as multimodal_image_features."""
+    p = _payload_df(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "out_w": [], "out_h": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _fmt, _feat = decode_image(bytes(payload))
+                m = max(w, h)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(w * 224 // m)
+                out["out_h"].append(h * 224 // m)
+            yield pd.DataFrame(out)
+
+    return p.select("doc_id", "payload").mapInPandas(run, schema=out_schema)
