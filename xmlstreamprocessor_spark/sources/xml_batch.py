@@ -56,10 +56,21 @@ def extract_xml_records(xml_docs: Iterable[str], spec) -> list[dict]:
 
 
 def extract_xml(df: DataFrame, col: str, spec) -> DataFrame:
-    """One XML document per input row -> one output row of extracted fields."""
+    """One XML document per input row -> one output row of extracted fields.
+
+    The Python kernel's throughput scales with partitions, not bytes: a thin
+    input (one small parquet file = one partition) would run the whole batch
+    on one core, so inputs narrower than the cluster's default parallelism
+    are repartitioned first — one extra round-robin shuffle of the raw
+    strings buys full fan-out for the CPU-bound parse.  Inputs that are
+    already wide (any real 100 TB scan) pass through untouched."""
     compiled = _ensure_compiled(spec)
     schema = compiled.schema
     names = [f.name for f in schema.fields]
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
