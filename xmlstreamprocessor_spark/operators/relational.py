@@ -913,3 +913,36 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "scalar_array_functions",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           ws[1] AS first_word,
+           len(list_distinct(ws)) AS n_distinct,
+           array_to_string(list_sort(list_distinct(ws))[1:3], ',') AS first3_sorted,
+           list_contains(ws, 'the') AS has_the
+    FROM w
+    """,
+)
+def scalar_array_functions(spark, sf_dir):
+    """Array function library (size/element_at/array_distinct/array_sort/
+    slice/array_join/array_contains) — all JVM expressions over a split
+    column, no explode, so the row count never amplifies."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.element_at(ws, 1).alias("first_word"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(ws)), 1, 3), ","
+        ).alias("first3_sorted"),
+        F.array_contains(ws, "the").alias("has_the"),
+    )
