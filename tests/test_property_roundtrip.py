@@ -1,0 +1,87 @@
+"""Property-based round-trip: random record -> serialize to XML -> extract
+through the compiled spec -> must equal the original (SURVEY.md §5, strategy
+item 3).  Runs on the local kernel (extract_xml_records), no Spark session —
+the same code path every task executes, minus the Arrow hop."""
+
+import decimal
+from xml.sax.saxutils import escape, quoteattr
+
+from hypothesis import given, settings, strategies as st
+
+from xmlstreamprocessor_spark.plans import X
+from xmlstreamprocessor_spark.sources.xml_batch import extract_xml_records
+
+# text without XML structure of its own; extraction must preserve it exactly
+# once escaped on the way in (entity expansion is the parser's job)
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs", "Cc"), exclude_characters="\r"
+    ),
+    max_size=60,
+)
+
+_record = st.fixed_dictionaries(
+    {
+        "a": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "i": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+        "s": _text,
+        "dec": st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=-10**9, max_value=10**9, allow_nan=False, places=4
+            ),
+        ),
+        "b": st.one_of(st.none(), st.booleans()),
+    }
+)
+
+_SPEC = X.struct(
+    "r",
+    {
+        "a": X.attr("a"),
+        "i": X.nint("i"),
+        "s": X.string("s"),
+        "dec": X.ndecimal("dec"),
+        "b": X.nbool("b"),
+    },
+)
+
+
+def _to_xml(rec: dict) -> str:
+    parts = [f"<r a={quoteattr(str(rec['a']))}>"]
+    if rec["i"] is not None:
+        parts.append(f"<i>{rec['i']}</i>")
+    parts.append(f"<s>{escape(rec['s'])}</s>")
+    if rec["dec"] is not None:
+        parts.append(f"<dec>{rec['dec']}</dec>")
+    if rec["b"] is not None:
+        parts.append(f"<b>{str(rec['b']).lower()}</b>")
+    parts.append("</r>")
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_record, max_size=20))
+def test_roundtrip_preserves_values(recs):
+    docs = [_to_xml(r) for r in recs]
+    out = extract_xml_records(docs, _SPEC)
+    assert len(out) == len(recs)
+    for rec, got in zip(recs, out):
+        assert got["a"] == str(rec["a"])  # attributes are raw strings
+        assert got["i"] == rec["i"]
+        assert got["s"] == rec["s"]
+        if rec["dec"] is None:
+            assert got["dec"] is None
+        else:
+            assert got["dec"] == decimal.Decimal(str(rec["dec"]))
+        assert got["b"] == rec["b"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_text)
+def test_missing_vs_empty_semantics(s):
+    # missing <i> -> None (nint), missing <s> -> None slot -> eval None;
+    # empty <s/> -> "" (StringParser empty-string rule, Parser.cs:51-52)
+    out = extract_xml_records([f"<r a='1'><s>{escape(s)}</s></r>", "<r a='2'/>"], _SPEC)
+    assert out[0]["s"] == s and out[0]["i"] is None
+    assert out[1]["s"] is None and out[1]["i"] is None
