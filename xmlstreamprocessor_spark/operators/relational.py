@@ -946,3 +946,122 @@ def scalar_array_functions(spark, sf_dir):
         ).alias("first3_sorted"),
         F.array_contains(ws, "the").alias("has_the"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: 6-way join with a disjunctive cross-nation filter.
+    Scale: both nation sides broadcast; the OR predicate evaluates after the
+    joins but prunes via the two broadcasted nation filters (Catalyst pushes
+    the IN-set [NATION_1, NATION_2] to each nation scan)."""
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    nations = ["NATION_1", "NATION_2"]
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(disc_price).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH all_orders AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_orders GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 7-way star join + conditional-share aggregate.
+    Scale: region/nation broadcast; the EUROPE filter prunes through the
+    region->nation->customer chain before the fact join."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    volume = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    base = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    german = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+    ).cast("double")
+    total = F.sum("volume").cast("double")
+    return base.groupBy("o_year").agg(
+        F.round(german / total, 6).alias("mkt_share")
+    )

@@ -61,3 +61,34 @@ def stream_xml(
             yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
 
     return raw.mapInPandas(run, schema=schema)
+
+
+def stream_kafka_xml(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    row_tag: str,
+    spec: Struct | CompiledSpec,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka -> XML extraction stream: each record value is one XML document
+    (or fragment stream); parallelism is the topic's partition count, so at
+    production scale partition the topic to match the executor count.
+
+    Requires the spark-sql-kafka package on the classpath (not bundled in
+    this test container — the file-source path in ``stream_xml`` exercises
+    the identical downstream extraction)."""
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = r.load().selectExpr("CAST(value AS STRING) AS doc")
+
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml
+
+    return extract_xml(raw, "doc", spec)
