@@ -236,3 +236,43 @@ def analytic_funnel_view_click_purchase(spark, sf_dir):
             & (F.col("t_click") < F.col("t_purchase"))
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "analytic_weekly_retention_cohorts",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(a.w) - epoch(f.cohort_week)) // 604800 AS INTEGER)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM firstw f JOIN active a USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def analytic_weekly_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen week, counted
+    in each subsequent active week.  Two shuffles (per-user min, then the
+    cohort aggregate); the user_id join is co-partitioned with the first
+    aggregate so AQE usually elides the exchange."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wk = F.date_trunc("week", F.col("ts"))
+    firstw = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("w")).distinct()
+    j = firstw.join(active, "user_id")
+    offset = (
+        (F.unix_timestamp("w") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("int")
+    return (
+        j.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
