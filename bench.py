@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "xml_roundtrip_orders_struct_jvm",
     "text_ngram_top100",
     "analytic_funnel_view_click_purchase",
+    "q8_market_share",
+    "analytic_weekly_retention_cohorts",
 ]
 
 
