@@ -85,3 +85,42 @@ def test_missing_vs_empty_semantics(s):
     out = extract_xml_records([f"<r a='1'><s>{escape(s)}</s></r>", "<r a='2'/>"], _SPEC)
     assert out[0]["s"] == s and out[0]["i"] is None
     assert out[1]["s"] is None and out[1]["i"] is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), max_size=30))
+def test_array_roundtrip_preserves_order(vals):
+    doc = (
+        "<r a='0'><items>"
+        + "".join(f"<q>{v}</q>" for v in vals)
+        + "</items></r>"
+    )
+    spec = X.struct("r", {"qs": X.array("items", X.nint("q"))})
+    out = extract_xml_records([doc], spec)
+    assert out[0]["qs"] == vals  # per-child emit, document order
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["alpha", "beta", "gamma"]),
+    st.integers(-(2**31), 2**31 - 1),
+)
+def test_wildcard_and_tag_capture(kind, v):
+    doc = f"<t_{kind}><v>{v}</v></t_{kind}>"
+    spec = X.struct("t_*", {"kind": X.tag(), "v": X.nint("v")})
+    out = extract_xml_records([doc], spec)
+    assert out[0] == {"kind": f"t_{kind}", "v": v}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["x1", "x2"]),
+    st.integers(-(2**30), 2**30 - 1),
+)
+def test_coalesce_alternative_tags(tag, v):
+    # whichever alternative tag is present wins (TestAlternatives,
+    # Test1.cs:187-209); the x2 branch applies the *10 projection
+    doc = f"<r><{tag}>{v}</{tag}></r>"
+    spec = X.struct("r", {"val": X.coalesce(X.nint("x1"), X.nint("x2") * 10)})
+    out = extract_xml_records([doc], spec)
+    assert out[0]["val"] == (v if tag == "x1" else v * 10)
