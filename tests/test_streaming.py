@@ -169,3 +169,45 @@ def test_stream_stream_interval_join(spark):
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert got[0] == exp
+
+
+def test_stream_parquet_sink_exactly_once(spark, tmp_path):
+    from xmlstreamprocessor_spark.streaming.sinks import write_stream_parquet
+
+    ev = stream_events(spark, SF)
+    q = write_stream_parquet(
+        ev.select("event_id", "event_type"),
+        path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    total = catalog.load(spark, SF, "events").count()
+    assert back.count() == total
+    # restart with the same checkpoint: nothing new to process, no dupes
+    q2 = write_stream_parquet(
+        stream_events(spark, SF).select("event_id", "event_type"),
+        path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == total
+
+
+def test_stream_foreach_batch_sink(spark, tmp_path):
+    from xmlstreamprocessor_spark.streaming.sinks import write_stream_foreach_batch
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    ev = stream_events(spark, SF)
+    q = write_stream_foreach_batch(
+        ev, checkpoint=str(tmp_path / "ckpt2"), fn=sink, available_now=True
+    )
+    q.awaitTermination(120)
+    total = catalog.load(spark, SF, "events").count()
+    assert sum(n for _, n in seen) == total

@@ -23,7 +23,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
     )
-    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}")
+    # glob so the file source's basePath resolves to the directory while the
+    # stream matches only the events table (a bare file path is rejected,
+    # and the bare directory would ingest every table's parquet)
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
