@@ -1134,3 +1134,40 @@ def q12_shipmode_priority(spark, sf_dir):
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey, 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+             AS DOUBLE) / count(*)) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem l JOIN pavg p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < p.half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated per-part average subquery
+    decorrelated into an aggregate + self-join — the rewrite Catalyst itself
+    performs for correlated scalar subqueries.  Scale: one shuffle keyed by
+    partkey shared by both the aggregate and the join (AQE reuses the
+    exchange); no per-row subquery execution ever happens."""
+    l = t(spark, sf_dir, "lineitem")
+    pavg = l.groupBy("l_partkey").agg(
+        (
+            F.lit(0.5)
+            * (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("half_avg_qty")
+    ).withColumnRenamed("l_partkey", "p_key")
+    j = l.join(pavg, F.col("l_partkey") == F.col("p_key")).filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return j.agg(
+        F.round(F.sum(dec2("l_extendedprice")).cast("double") / 7.0, 6).alias(
+            "avg_yearly"
+        )
+    )
