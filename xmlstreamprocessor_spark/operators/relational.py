@@ -1171,3 +1171,91 @@ def q17_small_quantity_revenue(spark, sf_dir):
             "avg_yearly"
         )
     )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big b    ON o.o_orderkey = b.l_orderkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate used as a semi-filter on
+    the fact join.  Scale: the big-order set is tiny after the HAVING, so
+    AQE broadcasts it into the orders join; only qualifying orders reach
+    the customer join."""
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            fmt_d("o_orderdate").alias("orderdate"),
+            dec2("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS a
+      FROM orders
+    ), active AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    SELECT c.c_nationkey,
+           count(*) AS n_custs,
+           sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > 0
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM active)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: anti-join against the recently-active-customer
+    set plus a scalar filter (customers with balance but no 1998 order).  Scale: NOT IN decorrelates to a left-anti join on the
+    distinct custkey set; the distinct collapses map-side first."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    active = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(active, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(dec2("c_acctbal")).alias("total_bal"),
+        )
+    )

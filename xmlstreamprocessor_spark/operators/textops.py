@@ -234,3 +234,52 @@ def text_ngram_top100(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(100)
     )
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             length(text) - length(replace(text, '.', '')) AS n_periods
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, n_chars, len(ws) AS n_words,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE round(CAST(n_chars AS DOUBLE) / len(ws), 6) END
+               AS avg_word_len,
+             n_periods
+      FROM s
+    )
+    SELECT doc_id, lang, n_words, avg_word_len,
+           (n_words >= 50 AND avg_word_len >= 3.0 AND avg_word_len <= 12.0
+            AND n_periods >= 1) AS keep
+    FROM m
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """C4-style quality gate: length, mean word length band, and
+    sentence-punctuation heuristics folded into one boolean ``keep`` column.
+    The filter itself is a pure projection — at 100 TB it runs inside the
+    scan stage with zero shuffles, and downstream stages consume
+    ``WHERE keep`` with the predicate pushed to the column."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(ws)
+    avg_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_chars").cast("double") / n_words, 6)
+    )
+    n_periods = F.length("text") - F.length(F.regexp_replace("text", r"\.", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        (
+            (n_words >= 50)
+            & (avg_word_len >= 3.0)
+            & (avg_word_len <= 12.0)
+            & (n_periods >= 1)
+        ).alias("keep"),
+    )
