@@ -73,3 +73,30 @@ def test_jvm_path_rejects_wildcards(spark):
         extract_xml_jvm(docs, "doc", X.struct("r", {"x": X.string("pre*")}))
     with pytest.raises(ValueError, match="cannot express field"):
         extract_xml_jvm(docs, "doc", X.struct("r", {"k": X.tag()}))
+
+
+def test_jvm_path_nested_struct(spark):
+    from pyspark.sql import Row
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
+
+    docs = spark.createDataFrame(
+        [
+            ('<r><sub a="x"><n>5</n></sub><s>top</s></r>',),
+            ("<r><s>nosub</s></r>",),  # missing nested element -> null struct
+        ],
+        ["doc"],
+    )
+    spec = X.struct(
+        "r",
+        {
+            "sub": X.struct("sub", {"a": X.attr("a"), "n": X.nint("n")}),
+            "s": X.string("s"),
+        },
+    )
+    jvm = extract_xml_jvm(docs, "doc", spec).collect()
+    py = extract_xml(docs, "doc", spec).collect()
+    assert jvm[0]["sub"] == Row(a="x", n=5) and jvm[0]["s"] == "top"
+    assert jvm[1]["sub"] is None and jvm[1]["s"] == "nosub"
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in py]

@@ -133,8 +133,9 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
     """Extract with Spark's built-in ``from_xml`` — fully JVM-side, no Python
     hop, so it whole-stage-codegens with the surrounding plan.
 
-    Supported spec surface: a flat ``X.struct`` of typed scalar elements,
-    attributes, and single-level arrays (``X.array(container, scalar)``).
+    Supported spec surface: ``X.struct`` of typed scalar elements,
+    attributes, nested structs (any depth), and arrays of scalars
+    (``X.array(container, scalar)``).
     The reference-specific semantics the built-in source cannot express —
     wildcard tag patterns, ``Tag()`` capture, mixed-content string folding
     (Parser.cs:175-187, 402-405, 44-49), custom parsers, expression
@@ -159,10 +160,7 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
     if not isinstance(spec, Struct):
         raise ValueError("JVM path needs an X.struct spec")
 
-    fields: list[T.StructField] = []
-    outs: list[tuple[str, object]] = []  # (out_name, fn(parsed_col) -> Column)
-
-    def _plain(slot: _Slot) -> str:
+    def _plain(slot) -> str:
         if slot.pattern is None or "*" in slot.pattern:
             raise ValueError(
                 f"JVM path cannot express wildcard/tag slot {slot.pattern!r}; "
@@ -170,36 +168,61 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
             )
         return slot.pattern
 
-    for name, f in spec.fields.items():
-        if isinstance(f, _AttrSlot):
-            p = _plain(f)
-            fields.append(T.StructField(f"_{p}", T.StringType()))
-            outs.append((name, lambda x, p=p: x[f"_{p}"]))
-        elif isinstance(f, (_ScalarSlot, _StringSlot)):
-            p = _plain(f)
-            fields.append(T.StructField(p, f.dtype()))
-            dflt = f.default()
-            if dflt is not None:
-                outs.append((name, lambda x, p=p, d=dflt: F.coalesce(x[p], F.lit(d))))
-            else:
-                outs.append((name, lambda x, p=p: x[p]))
-        elif isinstance(f, Arr) and isinstance(f.inner, (_ScalarSlot, _StringSlot)):
-            cp, ip = _plain(f), _plain(f.inner)
-            fields.append(
-                T.StructField(
-                    cp,
-                    T.StructType(
-                        [T.StructField(ip, T.ArrayType(f.inner.dtype(), True))]
-                    ),
+    def _compile(struct: Struct):
+        """Returns (from_xml StructFields, [(out_name, fn(parsed) -> Column)])."""
+        fields: list[T.StructField] = []
+        outs: list[tuple[str, object]] = []
+        for name, f in struct.fields.items():
+            if isinstance(f, _AttrSlot):
+                p = _plain(f)
+                fields.append(T.StructField(f"_{p}", T.StringType()))
+                outs.append((name, lambda x, p=p: x[f"_{p}"]))
+            elif isinstance(f, (_ScalarSlot, _StringSlot)):
+                p = _plain(f)
+                fields.append(T.StructField(p, f.dtype()))
+                dflt = f.default()
+                if dflt is not None:
+                    outs.append(
+                        (name, lambda x, p=p, d=dflt: F.coalesce(x[p], F.lit(d)))
+                    )
+                else:
+                    outs.append((name, lambda x, p=p: x[p]))
+            elif isinstance(f, Arr) and isinstance(f.inner, (_ScalarSlot, _StringSlot)):
+                cp, ip = _plain(f), _plain(f.inner)
+                fields.append(
+                    T.StructField(
+                        cp,
+                        T.StructType(
+                            [T.StructField(ip, T.ArrayType(f.inner.dtype(), True))]
+                        ),
+                    )
                 )
-            )
-            outs.append((name, lambda x, cp=cp, ip=ip: x[cp][ip]))
-        else:
-            raise ValueError(
-                f"JVM path cannot express field {name!r} ({type(f).__name__}); "
-                "use extract_xml (python kernel)"
-            )
+                outs.append((name, lambda x, cp=cp, ip=ip: x[cp][ip]))
+            elif isinstance(f, Struct):
+                p = _plain(f)
+                sub_fields, sub_outs = _compile(f)
+                fields.append(T.StructField(p, T.StructType(sub_fields)))
+                # missing nested element -> null struct (default(T) = null,
+                # Parser.cs:531-536), not a struct of nulls
+                outs.append(
+                    (
+                        name,
+                        lambda x, p=p, so=sub_outs: F.when(
+                            x[p].isNotNull(),
+                            F.struct(
+                                *[fn(x[p]).alias(n) for n, fn in so]
+                            ),
+                        ),
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"JVM path cannot express field {name!r} ({type(f).__name__}); "
+                    "use extract_xml (python kernel)"
+                )
+        return fields, outs
 
+    fields, outs = _compile(spec)
     parsed = F.from_xml(
         F.col(col),
         T.StructType(fields),
