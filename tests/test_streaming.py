@@ -211,3 +211,44 @@ def test_stream_foreach_batch_sink(spark, tmp_path):
     q.awaitTermination(120)
     total = catalog.load(spark, SF, "events").count()
     assert sum(n for _, n in seen) == total
+
+
+def test_stream_event_time_sessionize_closes_on_watermark(spark):
+    from xmlstreamprocessor_spark.streaming.stateful import sessionize_event_time
+
+    ev = stream_events(spark, SF)
+    _drain(sessionize_event_time(ev, gap_minutes=30), "t_et_sessions")
+    got = spark.sql("SELECT * FROM t_et_sessions WHERE status = 'closed'")
+    # deterministic expectation: every 30-min-gap session whose horizon
+    # (last_ts + gap) lies strictly before the final watermark (= global max
+    # ts with 0s delay) must be closed; later sessions stay open
+    batch = catalog.load(spark, SF, "events").filter(F.col("user_id").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    gap_us = 30 * 60 * 1_000_000
+    max_ts = batch.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    sessions = (
+        batch.withColumn(
+            "new_s",
+            F.when(
+                prev.isNull() | (F.unix_micros("ts") - F.unix_micros(prev) > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+    expected_closed = sessions.filter(F.col("last_us") + gap_us < max_ts)
+    exp = {
+        (r["user_id"], r["n_events"]): None for r in expected_closed.collect()
+    }
+    act = {(r["user_id"], r["n_events"]): None for r in got.collect()}
+    exp_counts = sorted((u, n) for (u, n) in exp)
+    act_counts = sorted((u, n) for (u, n) in act)
+    assert act_counts == exp_counts

@@ -5,7 +5,10 @@ from xmlstreamprocessor_spark.streaming.windows import (
     tumbling_counts,
 )
 from xmlstreamprocessor_spark.streaming.dedup import dedup_within_watermark
-from xmlstreamprocessor_spark.streaming.stateful import sessionize_stateful
+from xmlstreamprocessor_spark.streaming.stateful import (
+    sessionize_event_time,
+    sessionize_stateful,
+)
 from xmlstreamprocessor_spark.streaming.joins import (
     enrich_stream_static,
     join_purchases_to_views,
@@ -19,6 +22,7 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "sessionize_stateful",
+    "sessionize_event_time",
     "enrich_stream_static",
     "join_purchases_to_views",
 ]

@@ -118,3 +118,81 @@ def sessionize_stateful(events: DataFrame, timeout_ms: int | None = 60_000) -> D
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def _make_event_time_fn(gap_us: int):
+    gap_ms = gap_us // 1000
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_last": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "status": ["closed"],
+                }
+            )
+            return
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+
+        out_rows: list[tuple] = []
+        ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        for ts in ts_all:
+            ts_us = ts.value // 1000
+            if start_us is None:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us > gap_us:
+                out_rows.append((user_id, start_us, last_us, n, "closed"))
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        # close when the event-time watermark passes the session's gap
+        # horizon — deterministic, no wall clock involved
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out_rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in out_rows],
+                    "session_last": [pd.Timestamp(r[2], unit="us") for r in out_rows],
+                    "n_events": [r[3] for r in out_rows],
+                    "status": [r[4] for r in out_rows],
+                }
+            )
+
+    return _fn
+
+
+def sessionize_event_time(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Event-time sessionization: sessions close when the watermark passes
+    last_event + gap — fully deterministic (replaying the same data gives
+    identical output, unlike processing-time timeouts), which is the
+    production configuration for late-data-tolerant pipelines."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_event_time_fn(gap_us),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
