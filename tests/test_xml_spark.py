@@ -100,3 +100,42 @@ def test_jvm_path_nested_struct(spark):
     assert jvm[0]["sub"] == Row(a="x", n=5) and jvm[0]["s"] == "top"
     assert jvm[1]["sub"] is None and jvm[1]["s"] == "nosub"
     assert [tuple(r) for r in jvm] == [tuple(r) for r in py]
+
+
+def test_infer_spec_roundtrip(spark):
+    import decimal
+
+    from xmlstreamprocessor_spark.plans.infer import infer_xml_spec
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml_records
+
+    docs = [
+        '<r id="7"><n>3</n><price>1.25</price><ok>true</ok>'
+        "<when>2024-01-02T03:04:05</when><name>ann</name>"
+        "<items><q>1</q><q>2</q></items>"
+        "<sub><x>9</x></sub></r>",
+        '<r id="8"><n>4</n><price>2</price><ok>false</ok>'
+        "<when>2024-02-02T03:04:05</when><name>bob</name>"
+        "<items><q>5</q><q>6</q></items>"
+        "<sub><x>10</x></sub></r>",
+    ]
+    spec = infer_xml_spec(docs)
+    assert spec.pattern == "r"
+    out = extract_xml_records(docs, spec)
+    assert out[0]["id"] == "7" and out[0]["n"] == 3
+    assert out[0]["price"] == decimal.Decimal("1.25")  # int+decimal widened
+    assert out[1]["price"] == decimal.Decimal("2")
+    assert out[0]["ok"] is True and out[1]["ok"] is False
+    assert out[0]["when"].year == 2024
+    assert out[0]["name"] == "ann"
+    assert out[0]["items"] == [1, 2] and out[1]["items"] == [5, 6]
+    assert out[0]["sub"] == {"x": 9}
+
+
+def test_infer_spec_widens_conflicts(spark):
+    from xmlstreamprocessor_spark.plans.infer import infer_xml_spec
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml_records
+
+    docs = ["<r><v>1</v></r>", "<r><v>abc</v></r>"]
+    spec = infer_xml_spec(docs)
+    out = extract_xml_records(docs, spec)
+    assert out[0]["v"] == "1" and out[1]["v"] == "abc"  # widened to string

@@ -1259,3 +1259,51 @@ def q22_global_sales_opportunity(spark, sf_dir):
             F.sum(dec2("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+@query(
+    "join_salted_skewed_fact_dim",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             upper(event_type) || '_' || CAST(length(event_type) AS VARCHAR)
+               AS type_label
+      FROM events
+    )
+    SELECT e.event_id, e.event_type, d.type_label
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def join_salted_skewed_fact_dim(spark, sf_dir):
+    """Salted join for skewed keys, for when the dimension is too large to
+    broadcast: the dim side is replicated across 16 salt values and the fact
+    side picks a deterministic salt, so each hot key's rows spread over 16
+    reducers instead of one.  Semantics are identical to the plain join (the
+    oracle).  AQE's skew-join split handles moderate skew automatically;
+    explicit salting is the remedy when one key dominates an entire
+    partition range."""
+    e = t(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_label",
+            F.concat_ws(
+                "_",
+                F.upper("event_type"),
+                F.length("event_type").cast("string"),
+            ),
+        )
+    )
+    n_salt = 16
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    fact_salted = e.select("event_id", "event_type").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(n_salt))
+    )
+    return (
+        fact_salted.hint("merge")
+        .join(dim_salted, ["event_type", "salt"])
+        .select("event_id", "event_type", "type_label")
+    )

@@ -4,5 +4,6 @@ from xmlstreamprocessor_spark.plans.spec import (
     compile_array_spec,
     compile_spec,
 )
+from xmlstreamprocessor_spark.plans.infer import infer_xml_spec
 
-__all__ = ["X", "Spec", "compile_spec", "compile_array_spec"]
+__all__ = ["X", "Spec", "compile_spec", "compile_array_spec", "infer_xml_spec"]
