@@ -252,3 +252,31 @@ def test_stream_event_time_sessionize_closes_on_watermark(spark):
     exp_counts = sorted((u, n) for (u, n) in exp)
     act_counts = sorted((u, n) for (u, n) in act)
     assert act_counts == exp_counts
+
+
+def test_stream_xml_to_windowed_agg(spark, tmp_path):
+    from xmlstreamprocessor_spark.plans import X
+
+    # 3 files x 4 events, two per hour bucket
+    for i in range(3):
+        (tmp_path / f"e{i}.xml").write_text(
+            "<events>"
+            + "".join(
+                f"<e><ts>2024-01-01T{h:02d}:{10 * (i + 1):02d}:00</ts>"
+                f"<v>{i * 10 + h}</v></e>"
+                for h in (9, 9, 10, 10)
+            )
+            + "</events>"
+        )
+    spec = X.struct("e", {"ts": X.ndate("ts"), "v": X.nint("v")})
+    ev = stream_xml(spark, str(tmp_path), "e", spec)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n", "sv")
+    )
+    _drain(agg, "t_xml_win")
+    got = {r["h"]: (r["n"], r["sv"]) for r in spark.sql("SELECT * FROM t_xml_win").collect()}
+    # hour 09 closes (watermark passes) in every run; 2 events x 3 files
+    assert got.get("09:00") == (6, sum(2 * (i * 10 + 9) for i in range(3)))
