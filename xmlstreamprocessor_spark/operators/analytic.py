@@ -276,3 +276,30 @@ def analytic_weekly_retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+    """,
+)
+def window_percent_rank_cume_dist(spark, sf_dir):
+    """Relative-position window functions (percent_rank, cume_dist) with a
+    fully deterministic frame: ordering on the exact decimal price plus the
+    key tiebreak removes duplicate-rank ambiguity across engines."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        dec2("o_totalprice"), F.col("o_orderkey")
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
