@@ -280,3 +280,43 @@ def test_stream_xml_to_windowed_agg(spark, tmp_path):
     got = {r["h"]: (r["n"], r["sv"]) for r in spark.sql("SELECT * FROM t_xml_win").collect()}
     # hour 09 closes (watermark passes) in every run; 2 events x 3 files
     assert got.get("09:00") == (6, sum(2 * (i * 10 + 9) for i in range(3)))
+
+
+def test_stream_xml_late_data_dropped_by_watermark(spark, tmp_path):
+    import os
+
+    from xmlstreamprocessor_spark.plans import X
+
+    # One file per micro-batch (mtime order).  The watermark that FILTERS
+    # input lags one batch behind the one that EVICTS state (verified
+    # empirically on this Spark version): the 09:00 window is evicted in
+    # the batch after 11:00 arrives, and the late 09:30 event arriving two
+    # batches later is dropped — it must neither re-open the emitted window
+    # nor create a duplicate.
+    files = [
+        ("a.xml", "<es><e><ts>2024-01-01T09:10:00</ts><v>1</v></e>"
+                  "<e><ts>2024-01-01T09:20:00</ts><v>2</v></e></es>"),
+        ("b.xml", "<es><e><ts>2024-01-01T11:00:00</ts><v>3</v></e></es>"),
+        ("c.xml", "<es><e><ts>2024-01-01T11:05:00</ts><v>4</v></e></es>"),
+        ("d.xml", "<es><e><ts>2024-01-01T09:30:00</ts><v>100</v></e></es>"),
+    ]
+    for i, (name, content) in enumerate(files):
+        p = tmp_path / name
+        p.write_text(content)
+        os.utime(p, (1_700_000_000 + i * 100,) * 2)
+
+    spec = X.struct("e", {"ts": X.ndate("ts"), "v": X.nint("v")})
+    ev = stream_xml(spark, str(tmp_path), "e", spec, max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n", "sv")
+    )
+    _drain(agg, "t_late")
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    nine = [(r["n"], r["sv"]) for r in rows if r["h"] == "09:00"]
+    # exactly one 09:00 emission, with only the on-time events; the late
+    # v=100 row appears nowhere
+    assert nine == [(2, 3)]
+    assert all(r["sv"] < 100 for r in rows)

@@ -31,7 +31,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_xml(
-    spark: SparkSession, path: str, row_tag: str, spec: Struct | CompiledSpec
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    spec: Struct | CompiledSpec,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming XML extraction: watch ``path`` for files, emit one row per
     ``row_tag`` element using the compiled extraction spec.
@@ -39,7 +43,9 @@ def stream_xml(
     Files are consumed via the text file source in wholetext mode (each file
     one record — the parallel unit, as in batch read_xml) and shredded with
     the same bounded-memory kernel; downstream ops (watermarks, windows,
-    joins) are ordinary Structured Streaming."""
+    joins) are ordinary Structured Streaming.  ``max_files_per_trigger``
+    bounds each micro-batch (and makes multi-batch replay deterministic in
+    tests — files are picked up in modification-time order)."""
     import io
     from collections.abc import Iterator
 
@@ -48,7 +54,10 @@ def stream_xml(
     compiled = _ensure_compiled(spec)
     schema = compiled.schema
     names = [f.name for f in schema.fields]
-    raw = spark.readStream.format("text").option("wholetext", "true").load(path)
+    r = spark.readStream.format("text").option("wholetext", "true")
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = r.load(path)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xmlstreamprocessor_spark.sources.xml_batch import iterparse_records
