@@ -303,3 +303,45 @@ def window_percent_rank_cume_dist(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "analytic_zscore_anomalies",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((CAST(e.value AS DOUBLE) - m.s / m.n)
+                 / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1)), 6) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs((CAST(e.value AS DOUBLE) - m.s / m.n)
+              / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1))) > 3
+    """,
+)
+def analytic_zscore_anomalies(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3).  The moments are EXACT decimal
+    sums (sum, sum-of-squares) converted to double only inside the final
+    formula, so the result is partition-order independent — the one weird
+    trick that makes distributed variance deterministic.  The per-type
+    moment table is tiny and broadcasts back onto the fact."""
+    e = t(spark, sf_dir, "events")
+    v = dec2("value")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    j = e.join(F.broadcast(m), "event_type")
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value").cast("double") - mean) / std
+    return (
+        j.filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )

@@ -283,3 +283,33 @@ def text_quality_filter(spark, sf_dir):
             & (n_periods >= 1)
         ).alias("keep"),
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_DIGITS_RE = r"[0-9]{6,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_DIGITS_RE}', '<NUM>', 'g') AS scrubbed,
+           length(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'))
+             <> length(text) AS had_email
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass (emails, long digit runs -> placeholder tokens) —
+    the redaction stage of a training-data pipeline.  Pure regexp_replace
+    projection: no shuffle, runs inside the scan stage at any scale.  The
+    patterns stay in the RE2-compatible subset so the oracle (RE2) and
+    Spark (java.util.regex) agree."""
+    d = t(spark, sf_dir, "documents")
+    scrub_email = F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(scrub_email, _DIGITS_RE, "<NUM>").alias("scrubbed"),
+        (F.length(scrub_email) != F.length("text")).alias("had_email"),
+    )
