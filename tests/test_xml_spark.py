@@ -139,3 +139,50 @@ def test_infer_spec_widens_conflicts(spark):
     spec = infer_xml_spec(docs)
     out = extract_xml_records(docs, spec)
     assert out[0]["v"] == "1" and out[1]["v"] == "abc"  # widened to string
+
+
+def test_registered_datasource_schema_path(spark, tmp_path):
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    for i in range(3):
+        (tmp_path / f"f{i}.xml").write_text(
+            f'<docs><rec id="{100 + i}"><n>{i}</n><name>d{i}</name></rec>'
+            f"<rec><n>{i + 10}</n><name>e{i}</name></rec></docs>"
+        )
+    df = (
+        spark.read.format("xspxml")
+        .schema("id long, n int, name string")
+        .option("rowTag", "rec")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    rows = {tuple(r) for r in df.collect()}
+    assert len(rows) == 6
+    # attribute fallback fills id where the element is absent
+    assert (100, 0, "d0") in rows and (None, 10, "e0") in rows
+    assert df.rdd.getNumPartitions() == 3  # one partition per file
+
+
+def test_registered_datasource_spec_path(spark, tmp_path):
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.datasource import (
+        register_xml_source,
+        spec_option,
+    )
+
+    register_xml_source(spark)
+    (tmp_path / "w.xml").write_text(
+        "<docs><t_a><v>1</v></t_a><t_b><v>2</v></t_b></docs>"
+    )
+    spec = X.struct("t_*", {"kind": X.tag(), "v": X.nint("v")})
+    df = (
+        spark.read.format("xspxml")
+        .schema("kind string, v int")
+        .option("rowTag", "t_*")
+        .option("path", str(tmp_path))
+        .option("specPickle", spec_option(spec))
+        .load()
+    )
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("t_a", 1), ("t_b", 2)]

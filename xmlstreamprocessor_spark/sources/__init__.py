@@ -1,7 +1,19 @@
 from xmlstreamprocessor_spark.sources.xml_batch import (
     extract_xml,
+    extract_xml_jvm,
     extract_xml_records,
     read_xml,
 )
+from xmlstreamprocessor_spark.sources.datasource import (
+    register_xml_source,
+    spec_option,
+)
 
-__all__ = ["extract_xml", "extract_xml_records", "read_xml"]
+__all__ = [
+    "extract_xml",
+    "extract_xml_jvm",
+    "extract_xml_records",
+    "read_xml",
+    "register_xml_source",
+    "spec_option",
+]
