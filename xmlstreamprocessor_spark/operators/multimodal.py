@@ -184,3 +184,42 @@ def multimodal_resize_to_box(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return p.select("doc_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+@query(
+    "multimodal_audio_framing",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, n_chars AS n_samples FROM documents WHERE n_chars >= 400
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, (n_samples - 400) // 160 + 1)) AS INTEGER)
+             AS frame_idx,
+           CAST(unnest(range(0, (n_samples - 400) // 160 + 1)) * 160 AS INTEGER)
+             AS start_sample,
+           CAST(unnest(range(0, (n_samples - 400) // 160 + 1)) * 160 + 400
+             AS INTEGER) AS end_sample
+    FROM a
+    """,
+)
+def multimodal_audio_framing(spark, sf_dir):
+    """Audio framing plan: 400-sample windows with a 160-sample hop (the
+    standard 25 ms / 10 ms STFT grid), full frames only.  n_chars stands in
+    for the sample count; the frame fan-out is a JVM explode over an exact
+    integer sequence — the per-frame decode/feature kernel would then be a
+    mapInPandas stage like multimodal_image_features."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 400)
+    n_frames = (F.col("n_chars") - 400) / F.lit(160)
+    n_frames = F.floor(n_frames).cast("long") + 1
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), (n_frames - 1))).alias("fi"),
+        )
+        .select(
+            "doc_id",
+            F.col("fi").cast("int").alias("frame_idx"),
+            (F.col("fi") * 160).cast("int").alias("start_sample"),
+            (F.col("fi") * 160 + 400).cast("int").alias("end_sample"),
+        )
+    )
