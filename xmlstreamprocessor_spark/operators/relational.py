@@ -1307,3 +1307,47 @@ def join_salted_skewed_fact_dim(spark, sf_dir):
         .join(dim_salted, ["event_type", "salt"])
         .select("event_id", "event_type", "type_label")
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: derived revenue view + scalar-max filter (the
+    classic view-reuse query).  Scale: the revenue aggregate is computed
+    once into a window max — no second scan of lineitem, unlike the naive
+    subquery formulation."""
+    from pyspark.sql import Window
+
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn(
+        "mx", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return s.join(top, s.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
