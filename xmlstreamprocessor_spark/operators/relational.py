@@ -1351,3 +1351,30 @@ def q15_top_supplier(spark, sf_dir):
     return s.join(top, s.s_suppkey == top.supplier_no).select(
         "s_suppkey", "s_name", "total_revenue"
     )
+
+
+@query(
+    "agg_argmax_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           (max(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)),
+                            k := o_orderkey))).k AS top_orderkey,
+           (max(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)),
+                            k := o_orderkey))).p AS top_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_argmax_order_per_customer(spark, sf_dir):
+    """Argmax as a single aggregate (max over a (value, key) struct with
+    lexicographic ordering) — each customer's priciest order WITHOUT a
+    window: one map-side-combinable shuffle instead of a partition sort.
+    Ties break on the orderkey deterministically because the key is part of
+    the ordered struct."""
+    o = t(spark, sf_dir, "orders")
+    top = F.max(
+        F.struct(dec2("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    )
+    return o.groupBy("o_custkey").agg(
+        top.getField("k").alias("top_orderkey"),
+        top.getField("p").alias("top_price"),
+    )
