@@ -186,3 +186,22 @@ def test_registered_datasource_spec_path(spark, tmp_path):
     )
     rows = sorted(map(tuple, df.collect()))
     assert rows == [("t_a", 1), ("t_b", 2)]
+
+
+def test_extract_xml_auto_dispatch(spark):
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml
+
+    docs = spark.createDataFrame([('<r a="1"><i>2</i><s>x</s></r>',)], ["doc"])
+    # scalar-only spec -> JVM path (no Python evaluator in the plan)
+    num_spec = X.struct("r", {"a": X.attr("a"), "i": X.nint("i")})
+    plan = extract_xml(docs, "doc", num_spec)._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan and "from_xml" in plan.lower() or "FromXml" in plan
+    # element-string field -> python kernel (mixed-content safety)
+    str_spec = X.struct("r", {"s": X.string("s")})
+    plan2 = extract_xml(docs, "doc", str_spec)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan2
+    # wildcard -> python kernel even though no strings... tag slot present
+    wild_spec = X.struct("*", {"kind": X.tag(), "i": X.nint("i")})
+    plan3 = extract_xml(docs, "doc", wild_spec)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan3

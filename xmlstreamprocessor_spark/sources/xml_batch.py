@@ -55,8 +55,37 @@ def extract_xml_records(xml_docs: Iterable[str], spec) -> list[dict]:
     return out
 
 
-def extract_xml(df: DataFrame, col: str, spec) -> DataFrame:
+def _jvm_safe(compiled: CompiledSpec) -> bool:
+    """True when the from_xml fast path is SEMANTICALLY identical for this
+    spec: expressible (no wildcard/tag/custom/expressions — extract_xml_jvm
+    checks that) AND no element-string slots, because string fields are the
+    one place the kernels can diverge (the reference folds mixed content —
+    child elements — back into the string, Parser.cs:44-49; from_xml does
+    not)."""
+    from xmlstreamprocessor_spark.plans.spec import Arr, Struct, _StringSlot
+
+    def ok(struct: Struct) -> bool:
+        for f in struct.fields.values():
+            if isinstance(f, _StringSlot):
+                return False
+            if isinstance(f, Struct) and not ok(f):
+                return False
+            if isinstance(f, Arr) and isinstance(f.inner, _StringSlot):
+                return False
+        return True
+
+    return ok(compiled.root)
+
+
+def extract_xml(df: DataFrame, col: str, spec, engine: str = "auto") -> DataFrame:
     """One XML document per input row -> one output row of extracted fields.
+
+    ``engine``:
+    * ``"auto"`` (default) — use the JVM ``from_xml`` fast path when the
+      spec is expressible there AND has no element-string fields (strings
+      are where the kernels can diverge on mixed content); otherwise the
+      Python kernel.
+    * ``"jvm"`` / ``"python"`` — force a path.
 
     The Python kernel's throughput scales with partitions, not bytes: a thin
     input (one small parquet file = one partition) would run the whole batch
@@ -65,6 +94,13 @@ def extract_xml(df: DataFrame, col: str, spec) -> DataFrame:
     strings buys full fan-out for the CPU-bound parse.  Inputs that are
     already wide (any real 100 TB scan) pass through untouched."""
     compiled = _ensure_compiled(spec)
+    if engine == "jvm":
+        return extract_xml_jvm(df, col, compiled)
+    if engine == "auto" and _jvm_safe(compiled):
+        try:
+            return extract_xml_jvm(df, col, compiled)
+        except ValueError:
+            pass  # not expressible on the fast path -> python kernel
     schema = compiled.schema
     names = [f.name for f in schema.fields]
 
