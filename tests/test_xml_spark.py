@@ -205,3 +205,31 @@ def test_extract_xml_auto_dispatch(spark):
     wild_spec = X.struct("*", {"kind": X.tag(), "i": X.nint("i")})
     plan3 = extract_xml(docs, "doc", wild_spec)._jdf.queryExecution().toString()
     assert "MapInPandas" in plan3
+
+
+def test_registered_datasource_streaming(spark, tmp_path):
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    for i in range(2):
+        (tmp_path / f"s{i}.xml").write_text(
+            f"<docs><rec><n>{i}</n></rec><rec><n>{i + 10}</n></rec></docs>"
+        )
+    df = (
+        spark.readStream.format("xspxml")
+        .schema("n int")
+        .option("rowTag", "rec")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_dsstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    vals = sorted(r["n"] for r in spark.sql("SELECT * FROM t_dsstream").collect())
+    assert vals == [0, 1, 10, 11]

@@ -27,7 +27,12 @@ import base64
 import pickle
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from xmlstreamprocessor_spark.plans.spec import CompiledSpec, Struct, compile_spec
@@ -60,6 +65,9 @@ class XmlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "XmlSourceReader":
         return XmlSourceReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "XmlSimpleStreamReader":
+        return XmlSimpleStreamReader(schema, self.options)
 
 
 class XmlSourceReader(DataSourceReader):
@@ -174,3 +182,49 @@ def _schema_spec(schema: StructType) -> CompiledSpec:
 def register_xml_source(spark) -> None:
     """Register the ``xspxml`` format on this session."""
     spark.dataSource.register(XmlDataSource)
+
+
+class XmlSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the ``xspxml`` source: the offset is the set of
+    files already ingested (path -> size), so each micro-batch reads exactly
+    the files that appeared since the last one — the same exactly-once
+    file-discovery contract as Spark's built-in file stream source, with the
+    extraction kernel applied in place."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._reader = XmlSourceReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _list(self) -> dict:
+        import os
+
+        out = {}
+        for p in self._reader.partitions():
+            try:
+                out[p.path] = os.path.getsize(p.path)
+            except OSError:
+                continue
+        return out
+
+    def read(self, start: dict):
+        seen = start.get("files", {})
+        now = self._list()
+        new_files = [p for p in sorted(now) if p not in seen]
+        # materialized list, not a generator: the engine deep-copies the
+        # (rows, offset) pair when prefetching
+        rows = [
+            r for path in new_files for r in self._reader.read(_FilePartition(path))
+        ]
+        return rows, {"files": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = start.get("files", {})
+        target = end.get("files", {})
+        for path in sorted(target):
+            if path not in seen:
+                yield from self._reader.read(_FilePartition(path))
+
+    def commit(self, end: dict) -> None:
+        pass
