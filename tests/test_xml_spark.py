@@ -102,6 +102,65 @@ def test_jvm_path_nested_struct(spark):
     assert [tuple(r) for r in jvm] == [tuple(r) for r in py]
 
 
+def test_jvm_path_array_of_structs(spark):
+    """Arrays of structs on the from_xml fast path match the Python kernel,
+    including the edge semantics: container present but empty -> [] (the
+    ArrayParser emits nothing, Parser.cs:272-277), container missing -> null
+    (default(T), Parser.cs:531-536), unknown children skipped."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import (
+        _jvm_safe,
+        extract_xml,
+        extract_xml_jvm,
+    )
+    from xmlstreamprocessor_spark.plans.spec import compile_spec
+
+    docs = spark.createDataFrame(
+        [
+            ('<r><items><it k="a"><n>1</n></it><it><n>2</n></it></items></r>',),
+            ("<r><items></items></r>",),  # empty container -> []
+            ("<r/>",),  # missing container -> null
+            ("<r><items><junk/></items></r>",),  # unknown child skipped -> []
+        ],
+        ["doc"],
+    )
+    spec = X.struct(
+        "r",
+        {"items": X.array("items", X.struct("it", {"k": X.attr("k"), "n": X.nint("n")}))},
+    )
+    assert _jvm_safe(compile_spec(spec))  # auto dispatch takes the fast path
+    jvm = [r["items"] for r in extract_xml_jvm(docs, "doc", spec).collect()]
+    py = [r["items"] for r in extract_xml(docs, "doc", spec, engine="python").collect()]
+    assert jvm[0] is not None and [tuple(e) for e in jvm[0]] == [("a", 1), (None, 2)]
+    assert jvm[1] == [] and jvm[3] == []
+    assert jvm[2] is None
+    assert [
+        None if a is None else [tuple(e) for e in a] for a in jvm
+    ] == [None if a is None else [tuple(e) for e in a] for a in py]
+
+
+def test_jvm_path_scalar_array_edge_semantics(spark):
+    """Scalar arrays: empty/unknown-children container -> [], missing -> null
+    — identical across both engines."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
+
+    docs = spark.createDataFrame(
+        [
+            ("<r><qs><q>1</q><q>2</q></qs></r>",),
+            ("<r><qs></qs></r>",),
+            ("<r/>",),
+        ],
+        ["doc"],
+    )
+    spec = X.struct("r", {"qs": X.array("qs", X.nint("q"))})
+    jvm = [r["qs"] for r in extract_xml_jvm(docs, "doc", spec).collect()]
+    py = [
+        r["qs"] for r in extract_xml(docs, "doc", spec, engine="python").collect()
+    ]
+    assert jvm == py == [[1, 2], [], None]
+
+
 def test_infer_spec_roundtrip(spark):
     import decimal
 

@@ -70,8 +70,11 @@ def _jvm_safe(compiled: CompiledSpec) -> bool:
                 return False
             if isinstance(f, Struct) and not ok(f):
                 return False
-            if isinstance(f, Arr) and isinstance(f.inner, _StringSlot):
-                return False
+            if isinstance(f, Arr):
+                if isinstance(f.inner, _StringSlot):
+                    return False
+                if isinstance(f.inner, Struct) and not ok(f.inner):
+                    return False
         return True
 
     return ok(compiled.root)
@@ -170,8 +173,11 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
     hop, so it whole-stage-codegens with the surrounding plan.
 
     Supported spec surface: ``X.struct`` of typed scalar elements,
-    attributes, nested structs (any depth), and arrays of scalars
-    (``X.array(container, scalar)``).
+    attributes, nested structs (any depth), arrays of scalars
+    (``X.array(container, scalar)``), and arrays of structs
+    (``X.array(container, X.struct(child, {...}))`` — repeated child
+    elements parse natively to ``array<struct>``; each element is
+    re-projected with ``F.transform``, still fully JVM-side).
     The reference-specific semantics the built-in source cannot express —
     wildcard tag patterns, ``Tag()`` capture, mixed-content string folding
     (Parser.cs:175-187, 402-405, 44-49), custom parsers, expression
@@ -233,7 +239,50 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
                         ),
                     )
                 )
-                outs.append((name, lambda x, cp=cp, ip=ip: x[cp][ip]))
+                # container present but no matching children -> [] (the
+                # ArrayParser emits nothing, Parser.cs:272-277); container
+                # missing -> null (default(T), Parser.cs:531-536)
+                outs.append(
+                    (
+                        name,
+                        lambda x, cp=cp, ip=ip, dt=f.dtype(): F.when(
+                            x[cp].isNotNull(),
+                            F.coalesce(x[cp][ip], F.lit([]).cast(dt)),
+                        ),
+                    )
+                )
+            elif isinstance(f, Arr) and isinstance(f.inner, Struct):
+                cp, ip = _plain(f), _plain(f.inner)
+                sub_fields, sub_outs = _compile(f.inner)
+                fields.append(
+                    T.StructField(
+                        cp,
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    ip, T.ArrayType(T.StructType(sub_fields), True)
+                                )
+                            ]
+                        ),
+                    )
+                )
+                outs.append(
+                    (
+                        name,
+                        lambda x, cp=cp, ip=ip, so=sub_outs, dt=f.dtype(): F.when(
+                            x[cp].isNotNull(),
+                            F.coalesce(
+                                F.transform(
+                                    x[cp][ip],
+                                    lambda e: F.struct(
+                                        *[fn(e).alias(n) for n, fn in so]
+                                    ),
+                                ),
+                                F.lit([]).cast(dt),
+                            ),
+                        ),
+                    )
+                )
             elif isinstance(f, Struct):
                 p = _plain(f)
                 sub_fields, sub_outs = _compile(f)
