@@ -266,6 +266,103 @@ def test_extract_xml_auto_dispatch(spark):
     assert "MapInPandas" in plan3
 
 
+def test_xspxml_writer_roundtrip(spark, tmp_path):
+    import datetime
+    from decimal import Decimal
+
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    out = str(tmp_path / "out")
+    schema = "id int, name string, flag boolean, ts timestamp, amt decimal(38,18)"
+    rows = [
+        (1, "a<b&c", True, datetime.datetime(2024, 1, 2, 3, 4, 5, 123456), Decimal("1.5")),
+        (2, None, False, None, None),
+        (3, "plain", None, datetime.datetime(2024, 6, 1), Decimal("-7")),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(2).write.format("xspxml").option("rowTag", "rec").mode(
+        "append"
+    ).save(out)
+    back = (
+        spark.read.format("xspxml")
+        .schema(schema)
+        .option("rowTag", "rec")
+        .load(out)
+    )
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_xspxml_writer_overwrite(spark, tmp_path):
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1,), (2,)], "n int").write.format("xspxml").mode(
+        "append"
+    ).save(out)
+    spark.createDataFrame([(9,)], "n int").write.format("xspxml").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("xspxml").schema("n int").option("rowTag", "row").load(out)
+    assert [r["n"] for r in back.collect()] == [9]
+
+
+def test_xspxml_writer_nested(spark, tmp_path):
+    """Structs nest as child tags; arrays wrap items in the container tag
+    (the shape the spec path's X.struct/X.array reads back)."""
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    out = tmp_path / "out"
+    df = spark.createDataFrame(
+        [((1, "x"), [10, 20])],
+        "s struct<a:int,b:string>, xs array<int>",
+    )
+    df.coalesce(1).write.format("xspxml").mode("append").save(str(out))
+    text = "".join(p.read_text() for p in out.glob("part-*.xml"))
+    assert "<s><a>1</a><b>x</b></s>" in text
+    assert "<xs><item>10</item><item>20</item></xs>" in text
+
+
+def test_xspxml_stream_writer(spark, tmp_path):
+    """xspxml reader -> xspxml sink: staged-rename commit means the output
+    dir holds only whole part files after the availableNow drain."""
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        (src / f"s{i}.xml").write_text(
+            f"<docs><rec><n>{i}</n></rec><rec><n>{i + 10}</n></rec></docs>"
+        )
+    out = tmp_path / "out"
+    q = (
+        spark.readStream.format("xspxml")
+        .schema("n int")
+        .option("rowTag", "rec")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("xspxml")
+        .option("rowTag", "rec")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not list(out.glob(".staging-*"))
+    back = (
+        spark.read.format("xspxml")
+        .schema("n int")
+        .option("rowTag", "rec")
+        .option("path", str(out))
+        .load()
+    )
+    assert sorted(r["n"] for r in back.collect()) == [0, 1, 10, 11]
+
+
 def test_registered_datasource_streaming(spark, tmp_path):
     from xmlstreamprocessor_spark.sources.datasource import register_xml_source
 

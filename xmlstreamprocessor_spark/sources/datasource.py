@@ -30,8 +30,11 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -68,6 +71,12 @@ class XmlDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "XmlSimpleStreamReader":
         return XmlSimpleStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "XmlBatchWriter":
+        return XmlBatchWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "XmlStreamWriter":
+        return XmlStreamWriter(schema, self.options)
 
 
 class XmlSourceReader(DataSourceReader):
@@ -228,3 +237,159 @@ class XmlSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Writers: the inverse of the reader — rows out as XML part files
+# ---------------------------------------------------------------------------
+
+
+def _xml_scalar(v) -> str:
+    """Serialize one scalar so the reader's converters round-trip it
+    (bool -> true/false for _conv_nbool; timestamp -> ISO-T
+    'yyyy-MM-ddTHH:mm:ss[.ffffff]', the only _conv_ndate format that
+    accepts fractional seconds; everything else via str())."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def _serialize_value(buf: list, tag: str, v) -> None:
+    from xml.sax.saxutils import escape
+
+    if v is None:
+        return  # omitted tag reads back as null — missing->default semantics
+    if isinstance(v, dict):  # struct field (Row.asDict'd)
+        buf.append(f"<{tag}>")
+        for k, sv in v.items():
+            _serialize_value(buf, k, sv)
+        buf.append(f"</{tag}>")
+    elif isinstance(v, (list, tuple)):  # array: container tag wraps items
+        buf.append(f"<{tag}>")
+        for item in v:
+            _serialize_value(buf, "item", item)
+        buf.append(f"</{tag}>")
+    else:
+        buf.append(f"<{tag}>{escape(_xml_scalar(v))}</{tag}>")
+
+
+def write_rows_xml(rows, names: list[str], path: str, row_tag: str, root_tag: str):
+    """Stream an iterator of Rows to one XML file with O(row) memory."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(f"<{root_tag}>\n")
+        for row in rows:
+            buf: list[str] = []
+            d = row.asDict(recursive=True)
+            for n in names:
+                _serialize_value(buf, n, d.get(n))
+            fh.write(f"<{row_tag}>{''.join(buf)}</{row_tag}>\n")
+        fh.write(f"</{root_tag}>\n")
+
+
+
+
+class _XmlCommit(WriterCommitMessage):
+    def __init__(self, staged: str, final: str):
+        self.staged = staged
+        self.final = final
+
+
+class _XmlWriterBase:
+    """Shared task-side write + driver-side staged-rename commit.
+
+    Each TASK stages its part file in its own ``<path>/.staging-<token>/``
+    dir and commit renames it into place, so readers never observe a
+    half-written job (the FileOutputCommitter-v1 contract). The staging
+    token is derived per task, never stored on the instance: the framework
+    pickles the DataSource and constructs a fresh writer in every worker
+    AND in the commit-runner process (python_streaming_sink_runner.py
+    calls ``data_source.streamWriter(...)`` itself), so instance state
+    does NOT flow from write() to commit() — only the commit messages do.
+    Commit therefore derives every staging dir from the message paths.
+    A failed task attempt leaves its staged dir behind; dot-dirs are
+    invisible to the reader's glob (include_hidden=False), and overwrite
+    commits sweep them.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("xspxml writer needs .option('path', ...) or save(path)")
+        self.row_tag = options.get("rowTag", "row")
+        self.root_tag = options.get("rootTag", "rows")
+        self.names = [f.name for f in schema.fields]
+
+    def _write_partition(self, iterator) -> _XmlCommit:
+        import os
+        import uuid
+
+        token = uuid.uuid4().hex[:16]
+        staging = os.path.join(self.path, f".staging-{token}")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{token}.xml")
+        write_rows_xml(iterator, self.names, staged, self.row_tag, self.root_tag)
+        return _XmlCommit(staged, os.path.join(self.path, f"part-{token}.xml"))
+
+    def _finalize(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None:
+                os.replace(m.staged, m.final)
+                shutil.rmtree(os.path.dirname(m.staged), True)
+
+    def _abort(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages or []:
+            if m is not None:
+                shutil.rmtree(os.path.dirname(m.staged), True)
+
+
+class XmlBatchWriter(_XmlWriterBase, DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        super().__init__(schema, options)
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _XmlCommit:
+        return self._write_partition(iterator)
+
+    def commit(self, messages) -> None:
+        import glob
+        import os
+        import shutil
+
+        if self.overwrite:
+            keep = {m.final for m in messages if m is not None}
+            for old in glob.glob(os.path.join(self.path, "part-*.xml")):
+                if old not in keep:
+                    os.remove(old)
+            staging_keep = {os.path.dirname(m.staged) for m in messages if m is not None}
+            for d in glob.glob(os.path.join(self.path, ".staging-*")):
+                if d not in staging_keep:
+                    shutil.rmtree(d, True)
+        self._finalize(messages)
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
+class XmlStreamWriter(_XmlWriterBase, DataSourceStreamWriter):
+    """Micro-batch sink: each batch's part files are staged then renamed in
+    commit(batchId), so a crashed batch leaves no visible partial output and
+    a replayed batch (same epoch after recovery) just re-stages."""
+
+    def write(self, iterator) -> _XmlCommit:
+        return self._write_partition(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._finalize(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort(messages)
