@@ -1378,3 +1378,191 @@ def agg_argmax_order_per_customer(spark, sf_dir):
         top.getField("k").alias("top_orderkey"),
         top.getField("p").alias("top_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes Q9/Q13/Q19/Q21 (adapted: no partsupp table, so Q9's supply
+# cost is modeled from p_retailprice; Q19's container terms and Q21's
+# commit/receipt dates are re-expressed over columns that exist — the
+# JOIN/AGG/predicate shape is what is preserved)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                  - CAST(p.p_retailprice AS DECIMAL(18,2))
+                    * CAST(l.l_quantity AS DECIMAL(18,2)) * 0.1)
+                AS DECIMAL(38,4)) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit per nation-year). No partsupp table exists,
+    so supply cost is modeled as 10% of p_retailprice — the five-way
+    join + two-level group-by shape is what matters. Scale: part/supplier/
+    nation broadcast; the LIKE filter on part prunes the fact early via
+    the broadcast-join's runtime filter; one shuffle for the group-by."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    profit = (
+        dec2("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        - dec2("p_retailprice") * dec2("l_quantity") * F.lit(0.1).cast("decimal(2,1)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == l.l_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("decimal(38,4)").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with an ON-clause filter (customers
+    with zero qualifying orders must survive with count 0), then a
+    distribution-of-counts re-aggregation. Scale: first agg shuffles on
+    custkey (same key as the join, so the exchange is reused); second
+    agg's key space is tiny."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates across
+    both join sides (container terms dropped — column absent). Scale: the
+    brand/size half of each disjunct prunes part BEFORE the broadcast join;
+    the quantity half evaluates post-join. Catalyst extracts the common
+    p_partkey equi-condition so this stays a hash join, not a BNLJ."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 35) & qty.between(20, 30))
+    )
+    disc_price = dec2("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(disc_price).alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2),
+    solo_late AS (
+      SELECT l_orderkey FROM late
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1)
+    SELECT s.s_name, count(*) AS numwait
+    FROM late
+    JOIN multi     ON multi.l_orderkey = late.l_orderkey
+    JOIN solo_late ON solo_late.l_orderkey = late.l_orderkey
+    JOIN supplier s ON s.s_suppkey = late.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS(other supplier on the order) /
+    NOT EXISTS(other LATE supplier) pair decorrelates into two aggregates
+    on orderkey joined back as semi joins (commitdate/receiptdate absent,
+    so 'late' = shipped >60 days after order date; finished orders only).
+    Scale: every derived table shuffles on the one shared key (orderkey),
+    so the co-partitioning is reused instead of re-exchanged; supplier
+    broadcasts at the end."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select(F.col("l_orderkey").alias("mk"))
+    )
+    solo_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nls"))
+        .filter(F.col("nls") == 1)
+        .select(F.col("l_orderkey").alias("sk"))
+    )
+    return (
+        late.join(multi, late.l_orderkey == F.col("mk"), "left_semi")
+        .join(solo_late, late.l_orderkey == F.col("sk"), "left_semi")
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
