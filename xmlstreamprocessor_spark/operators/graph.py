@@ -1,0 +1,213 @@
+"""Distributed connected components for dedup-group resolution.
+
+Pairwise near-dup detection (MinHash-LSH, SimHash, embedding-cosine — see
+``operators/dedup.py``) emits EDGES; a training-data pipeline needs GROUPS
+(one keeper per duplicate cluster, even when A~B~C but A!~C).  That closure
+is connected components over the dup-pair graph.
+
+The algorithm is the alternating large-star/small-star method of Kiveris
+et al., "Connected Components in MapReduce and Beyond" (SoCC'14) — the
+standard shuffle-based CC for data too big for any single machine:
+
+* large-star: every node attaches its LARGER neighbors to its minimum
+  neighbor (or itself);
+* small-star: every node attaches its smaller-or-equal neighbors to its
+  minimum neighbor.
+
+Both steps are one groupBy-shuffle each, strictly decrease the potential
+function, and converge in O(log^2 n) rounds (O(log n) in practice — near-dup
+graphs are unions of small cliques, which collapse in 2-3 rounds).  Compare
+label propagation, whose round count is the graph DIAMETER — unbounded on
+chain-shaped dup graphs.
+
+Scale notes:
+
+* Each round is expressed as DataFrame groupBy/join so Catalyst/AQE handle
+  partitioning; the edge list never leaves the executors and the driver
+  only sees a (count, checksum) pair per round for the convergence test.
+* Lineage is truncated every round with ``localCheckpoint`` — without it
+  the plan doubles per iteration and the driver OOMs planning round ~15.
+  On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+  ``.checkpoint()`` for fault tolerance across executor loss; local mode
+  has no such loss model, and the reference repo is single-process anyway.
+* Skew: a giant near-dup cluster makes one star's groupBy key hot.  The
+  star steps keep per-group state to ONE value (the min), so Spark's
+  map-side partial aggregation absorbs the skew; no salting needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from xmlstreamprocessor_spark.functions.text import duck_shingles
+from xmlstreamprocessor_spark.operators.registry import query, t
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, where m = min(N(u) + {u})."""
+    sym = _symmetrize(e)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges big->small, then (v, m) for v in N+(u)+{u}, m = min."""
+    oriented = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    attach_neighbors = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    attach_self = mins.select("src", F.col("m").alias("dst"))
+    return attach_neighbors.union(attach_self).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve (node, component) from an undirected edge list.
+
+    ``component`` is the minimum node id reachable from ``node``; only
+    nodes that appear in at least one edge are returned (callers union in
+    singletons if they need total coverage).  Node ids must be orderable
+    (long/int/string all work).
+
+    Convergence is detected by a (count, xxhash-xor) fingerprint of the
+    edge set — one tiny aggregate per round on the driver, never the edge
+    data itself.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint every edge is (node, root); the roots themselves only
+    # appear on the dst side, so union them back in as their own label
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .union(e.select(F.col("dst").alias("node"), F.col("dst").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() entries: dedup groups = CC over near-dup pairs
+# ---------------------------------------------------------------------------
+
+# the oracle closes the same >=0.5-Jaccard pair graph with a recursive CTE:
+# reach(node, lab) enumerates reachable labels, min(lab) is the component
+_DUCK_CC_DUP_GROUPS = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {duck_shingles('text')} AS s FROM documents
+    ), e AS (
+      SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      WHERE n_common * 1.0 / (na + nb - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT ed.a, r.lab FROM edges ed JOIN reach r ON r.node = ed.b
+    )
+    SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+"""
+
+
+@query("graph_components_dup_groups", oracle=_DUCK_CC_DUP_GROUPS)
+def graph_components_dup_groups(spark, sf_dir):
+    """Duplicate GROUPS from pairwise near-dup edges: connected components
+    over the >=0.5-Jaccard pair graph (component = min doc_id, i.e. the
+    keeper).  At 100 TB the edge list comes from the MinHash-LSH candidate
+    join rather than the exact shingle self-join used here — the CC step is
+    identical either way and is where pairwise dedup becomes group dedup."""
+    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir, 0.5)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "graph_dup_group_sizes",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {duck_shingles('text')} AS s FROM documents
+    ), e AS (
+      SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      WHERE n_common * 1.0 / (na + nb - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT ed.a, r.lab FROM edges ed JOIN reach r ON r.node = ed.b
+    ), comp AS (
+      SELECT node, min(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT component, count(*) AS group_size,
+           count(*) - 1 AS n_discarded
+    FROM comp GROUP BY component
+    """,
+)
+def graph_dup_group_sizes(spark, sf_dir):
+    """Dedup accounting per group: keeper id, group size, and how many
+    documents dedup would discard — the number a 100 TB pipeline reports
+    as its dedup rate."""
+    comp = graph_components_dup_groups(spark, sf_dir)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_discarded"),
+    )
