@@ -62,6 +62,45 @@ def test_jvm_path_matches_python_path(spark):
     assert py == jvm == [("7", 3, "hi"), ("8", 0, "")]
 
 
+def test_jvm_path_nested_arrays(spark):
+    """Arrays nested inside structs and inside array-of-struct elements
+    parse identically on the from_xml fast path and the Python kernel
+    (empty container -> [], missing container -> null, at every depth)."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "<r><items><it><v>1</v><tags><t>2</t><t>3</t></tags></it>"
+                "<it><v>4</v><tags></tags></it></items>"
+                "<m><xs><x>7</x><x>8</x></xs></m></r>",
+            ),
+            ("<r><items></items></r>",),  # empty outer array, missing struct
+        ],
+        ["doc"],
+    )
+    spec = X.struct(
+        "r",
+        {
+            "items": X.array(
+                "items",
+                X.struct(
+                    "it", {"v": X.nint("v"), "tags": X.array("tags", X.nint("t"))}
+                ),
+            ),
+            "m": X.struct("m", {"xs": X.array("xs", X.nint("x"))}),
+        },
+    )
+    jvm = extract_xml_jvm(docs, "doc", spec).collect()
+    py = extract_xml(docs, "doc", spec, engine="python").collect()
+    assert [r.asDict(recursive=True) for r in jvm] == [
+        r.asDict(recursive=True) for r in py
+    ]
+    assert jvm[0]["items"][0]["tags"] == [2, 3] and jvm[0]["items"][1]["tags"] == []
+    assert jvm[1]["items"] == [] and jvm[1]["m"] is None
+
+
 def test_jvm_path_rejects_wildcards(spark):
     import pytest
 
