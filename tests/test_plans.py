@@ -76,3 +76,33 @@ def test_agg_is_partial_then_final_with_no_python(spark):
     # interrupted by a Python evaluator
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q9_broadcasts_all_dims_single_agg_shuffle(spark):
+    plan = _plan(spark, "q9_product_profit")
+    # part (LIKE-filtered), supplier, nation broadcast; only orders joins
+    # by shuffle — and exactly one aggregate exchange feeds the group-by
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_name" in p and "StringContains" in p for p in pushed), pushed
+
+
+def test_q21_semi_joins_stay_semi(spark):
+    plan = _plan(spark, "q21_waiting_supplier")
+    # both EXISTS/NOT-EXISTS rewrites must execute as semi joins, never
+    # materialized inner joins + distinct
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the o_orderstatus filter reaches the orders scan
+    pushed = ";".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(o_orderstatus,F)" in pushed
+
+
+def test_q19_stays_hash_join_despite_disjunction(spark):
+    plan = _plan(spark, "q19_discounted_revenue")
+    # Catalyst must extract the common p_partkey equi-condition from the
+    # OR-of-ANDs; a BroadcastNestedLoopJoin here would be O(n*m) at scale
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -101,11 +101,15 @@ def connected_components(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the fingerprint aggregate below is the ONE job
+        # per round — it materializes the checkpoint as it runs (an eager
+        # checkpoint would double the job count, and round latency on a
+        # shrunken edge list is pure scheduling overhead)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
