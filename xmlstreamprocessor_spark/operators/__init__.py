@@ -9,6 +9,7 @@ from xmlstreamprocessor_spark.operators import analytic  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import temporal  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import dedup  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import graph  # noqa: F401,E402
+from xmlstreamprocessor_spark.operators import sampling  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import similarity  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import textops  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import multimodal  # noqa: F401,E402

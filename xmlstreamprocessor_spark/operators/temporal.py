@@ -217,3 +217,124 @@ def window_session_10m_events(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "temporal_rollup_multires",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS b,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      FROM events GROUP BY 1
+    ), hour AS (
+      SELECT date_trunc('hour', b) AS b, sum(n_events) AS n_events,
+             sum(total_value) AS total_value
+      FROM minute GROUP BY 1
+    ), day AS (
+      SELECT date_trunc('day', b) AS b, sum(n_events) AS n_events,
+             sum(total_value) AS total_value
+      FROM hour GROUP BY 1
+    )
+    SELECT 'minute' AS resolution, strftime(b, '%Y-%m-%d %H:%M:%S')
+             AS bucket_start, n_events, total_value FROM minute
+    UNION ALL
+    SELECT 'hour', strftime(b, '%Y-%m-%d %H:%M:%S'), n_events, total_value
+    FROM hour
+    UNION ALL
+    SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), n_events, total_value
+    FROM day
+    """,
+)
+def temporal_rollup_multires(spark, sf_dir):
+    """Hypertable-style continuous aggregate: minute/hour/day rollups where
+    each coarser level RE-AGGREGATES the finer level's partials (sum of
+    sums), never rescanning raw events.  At 100 TB that hierarchy is the
+    difference between one fact scan and three: the hour level reads ~60x
+    fewer rows than raw, the day level ~1440x — and because sum/count are
+    algebraic the result is bit-identical to aggregating raw each time
+    (the oracle proves it by building the same cascade)."""
+    e = t(spark, sf_dir, "events")
+    minute = e.groupBy(F.date_trunc("minute", "ts").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).alias("total_value"),
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "b").alias("b")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    )
+    day = hour.groupBy(F.date_trunc("day", "b").alias("b")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    )
+
+    def lvl(df, tag):
+        return df.select(
+            F.lit(tag).alias("resolution"),
+            fmt_ts("b").alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+
+    return lvl(minute, "minute").unionAll(lvl(hour, "hour")).unionAll(
+        lvl(day, "day")
+    )
+
+
+@query(
+    "temporal_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT s.event_type, s.h, hr.v
+      FROM spine s LEFT JOIN hourly hr
+        ON hr.event_type = s.event_type AND hr.h = s.h
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           (v IS NULL) AS gap_filled,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM j
+    """,
+)
+def temporal_gapfill_locf(spark, sf_dir):
+    """Gap-fill + last-observation-carried-forward: a dense hourly spine
+    per event_type (sequence+explode — generated on executors, never a
+    driver loop), left-joined to the sparse aggregate, then LOCF as a
+    running last(ignorenulls) window.  Scale: the spine is O(key_count x
+    hours) rows of two columns; the window sorts within key only — the
+    same single-shuffle profile as any per-key sessionization."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(dec2("value")).alias("v")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        fmt_ts("h").alias("hour_start"),
+        F.col("v").isNull().alias("gap_filled"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+    )
