@@ -305,6 +305,74 @@ def test_extract_xml_auto_dispatch(spark):
     assert "MapInPandas" in plan3
 
 
+def test_extract_xml_permissive_modes(spark):
+    """PERMISSIVE keeps bad documents as null rows with the raw doc in
+    _corrupt_record; DROPMALFORMED drops them; FAILFAST (default) raises —
+    both malformed XML and failing typed casts (ExtractionError) count."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import PythonException
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml
+
+    docs = spark.createDataFrame(
+        [
+            ("<r><i>1</i><s>ok</s></r>",),
+            ("<r><i>2</i><s>truncated",),  # malformed XML
+            ("<r><i></i><s>badcast</s></r>",),  # X.int_ on empty -> error
+        ],
+        ["doc"],
+    )
+    spec = X.struct("r", {"i": X.nint("i"), "s": X.string("s")})
+    bad_spec = X.struct("r", {"i": X.int_("i"), "s": X.string("s")})
+
+    perm = extract_xml(docs, "doc", spec, mode="PERMISSIVE").collect()
+    ok = [r for r in perm if r["_corrupt_record"] is None]
+    bad = [r for r in perm if r["_corrupt_record"] is not None]
+    assert {(r["i"], r["s"]) for r in ok} == {(1, "ok"), (None, "badcast")}
+    assert len(bad) == 1 and "truncated" in bad[0]["_corrupt_record"]
+    assert bad[0]["i"] is None and bad[0]["s"] is None
+
+    # the failing typed cast becomes corrupt too under the strict spec
+    perm2 = extract_xml(docs, "doc", bad_spec, mode="PERMISSIVE").collect()
+    assert sum(r["_corrupt_record"] is not None for r in perm2) == 2
+
+    dropped = extract_xml(docs, "doc", spec, mode="DROPMALFORMED").collect()
+    assert {(r["i"], r["s"]) for r in dropped} == {(1, "ok"), (None, "badcast")}
+    assert "_corrupt_record" not in dropped[0].asDict()
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        extract_xml(docs, "doc", spec, engine="python").collect()
+    with pytest.raises(ValueError, match="unknown mode"):
+        extract_xml(docs, "doc", spec, mode="LENIENT")
+
+
+def test_read_xml_permissive_salvages_prefix(spark, tmp_path):
+    """A file that breaks mid-stream keeps the records before the break
+    plus one triage row naming the file."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import read_xml
+
+    (tmp_path / "good.xml").write_text(
+        "<docs><rec><n>1</n></rec><rec><n>2</n></rec></docs>"
+    )
+    (tmp_path / "bad.xml").write_text(
+        "<docs><rec><n>3</n></rec><rec><n>4</n></rec><rec><n>5</"
+    )
+    spec = X.struct("rec", {"n": X.nint("n")})
+    out = read_xml(spark, str(tmp_path), "rec", spec, mode="PERMISSIVE").collect()
+    ok = sorted(r["n"] for r in out if r["_corrupt_file"] is None)
+    bad = [r for r in out if r["_corrupt_file"] is not None]
+    assert ok == [1, 2, 3, 4]  # prefix of bad.xml salvaged
+    assert len(bad) == 1 and bad[0]["_corrupt_file"].endswith("bad.xml")
+
+    dropped = read_xml(
+        spark, str(tmp_path), "rec", spec, mode="DROPMALFORMED"
+    ).collect()
+    assert sorted(r["n"] for r in dropped) == [1, 2, 3, 4]
+
+
 def test_xspxml_writer_roundtrip(spark, tmp_path):
     import datetime
     from decimal import Decimal

@@ -80,7 +80,14 @@ def _jvm_safe(compiled: CompiledSpec) -> bool:
     return ok(compiled.root)
 
 
-def extract_xml(df: DataFrame, col: str, spec, engine: str = "auto") -> DataFrame:
+def extract_xml(
+    df: DataFrame,
+    col: str,
+    spec,
+    engine: str = "auto",
+    mode: str = "FAILFAST",
+    corrupt_column: str = "_corrupt_record",
+) -> DataFrame:
     """One XML document per input row -> one output row of extracted fields.
 
     ``engine``:
@@ -90,22 +97,48 @@ def extract_xml(df: DataFrame, col: str, spec, engine: str = "auto") -> DataFram
       Python kernel.
     * ``"jvm"`` / ``"python"`` — force a path.
 
+    ``mode`` (the standard Spark reader triple):
+    * ``"FAILFAST"`` (default) — any malformed document or failing typed
+      cast aborts the job, matching the reference's throw-on-bad-input
+      semantics (Parser.cs:119-208).
+    * ``"PERMISSIVE"`` — a bad document yields a row of nulls with the raw
+      document preserved in ``corrupt_column``.  At 100 TB this is the mode
+      that keeps one rotten record in a billion from killing a
+      1000-executor job; the corrupt rows stay queryable for triage.
+    * ``"DROPMALFORMED"`` — bad documents are silently dropped.
+    Non-FAILFAST modes always run the Python kernel: the per-document
+    try/except IS the feature, and the reference's typed-cast errors
+    (ExtractionError) must be caught per record, which from_xml cannot do.
+
     The Python kernel's throughput scales with partitions, not bytes: a thin
     input (one small parquet file = one partition) would run the whole batch
     on one core, so inputs narrower than the cluster's default parallelism
     are repartitioned first — one extra round-robin shuffle of the raw
     strings buys full fan-out for the CPU-bound parse.  Inputs that are
     already wide (any real 100 TB scan) pass through untouched."""
+    if mode not in ("FAILFAST", "PERMISSIVE", "DROPMALFORMED"):
+        raise ValueError(f"unknown mode {mode!r}")
     compiled = _ensure_compiled(spec)
-    if engine == "jvm":
-        return extract_xml_jvm(df, col, compiled)
-    if engine == "auto" and _jvm_safe(compiled):
-        try:
+    if mode == "FAILFAST":
+        if engine == "jvm":
             return extract_xml_jvm(df, col, compiled)
-        except ValueError:
-            pass  # not expressible on the fast path -> python kernel
+        if engine == "auto" and _jvm_safe(compiled):
+            try:
+                return extract_xml_jvm(df, col, compiled)
+            except ValueError:
+                pass  # not expressible on the fast path -> python kernel
     schema = compiled.schema
     names = [f.name for f in schema.fields]
+    out_schema = schema
+    if mode == "PERMISSIVE":
+        from pyspark.sql import types as T
+
+        # corrupt rows are null in EVERY data field, so non-nullable spec
+        # fields (e.g. X.int_ with its 0-default) must widen to nullable
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            + [T.StructField(corrupt_column, T.StringType(), True)]
+        )
 
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -113,12 +146,27 @@ def extract_xml(df: DataFrame, col: str, spec, engine: str = "auto") -> DataFram
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [compiled.extract_string(x) for x in pdf[col]]
-            yield pd.DataFrame(
-                {n: [r.get(n) if r is not None else None for r in rows] for n in names}
-            )
+            rows: list[dict | None] = []
+            corrupt: list[str | None] = []
+            for x in pdf[col]:
+                try:
+                    rows.append(compiled.extract_string(x))
+                    corrupt.append(None)
+                except Exception:
+                    if mode == "FAILFAST":
+                        raise
+                    if mode == "PERMISSIVE":
+                        rows.append(None)
+                        corrupt.append(x)
+                    # DROPMALFORMED: emit nothing
+            data = {
+                n: [r.get(n) if r is not None else None for r in rows] for n in names
+            }
+            if mode == "PERMISSIVE":
+                data[corrupt_column] = corrupt
+            yield pd.DataFrame(data)
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def iterparse_records(source, row_tag: str, compiled: CompiledSpec) -> Iterator[dict]:
@@ -138,15 +186,39 @@ def iterparse_records(source, row_tag: str, compiled: CompiledSpec) -> Iterator[
 
 
 def read_xml(
-    spark: SparkSession, path: str, row_tag: str, spec, min_partitions: int | None = None
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    spec,
+    min_partitions: int | None = None,
+    mode: str = "FAILFAST",
+    corrupt_column: str = "_corrupt_file",
 ) -> DataFrame:
     """Read XML files under ``path``, emitting one row per ``row_tag``
     element.  Parallelism is per-file; for a directory of N files Spark
     schedules N splits (use more, smaller files at scale — same guidance as
-    any non-splittable format)."""
+    any non-splittable format).
+
+    ``mode``: ``FAILFAST`` (default — a malformed file aborts the job, the
+    reference's semantics), ``PERMISSIVE`` (records parsed before the
+    failure point are kept — iterparse streams, so the prefix is already
+    valid — plus one null row whose ``corrupt_column`` holds the failing
+    file's path for triage), or ``DROPMALFORMED`` (salvage the prefix,
+    note nothing)."""
+    if mode not in ("FAILFAST", "PERMISSIVE", "DROPMALFORMED"):
+        raise ValueError(f"unknown mode {mode!r}")
     compiled = _ensure_compiled(spec)
     schema = compiled.schema
     names = [f.name for f in schema.fields]
+    out_schema = schema
+    if mode == "PERMISSIVE":
+        from pyspark.sql import types as T
+
+        # the triage row is null in every data field -> widen to nullable
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            + [T.StructField(corrupt_column, T.StringType(), True)]
+        )
     files_df = spark.read.format("binaryFile").load(path).select("path", "content")
     if min_partitions:
         files_df = files_df.repartition(min_partitions)
@@ -156,11 +228,26 @@ def read_xml(
 
         for pdf in batches:
             rows: list[dict] = []
-            for content in pdf["content"]:
-                rows.extend(iterparse_records(io.BytesIO(content), row_tag, compiled))
-            yield pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+            corrupt: list[str | None] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for rec in iterparse_records(
+                        io.BytesIO(content), row_tag, compiled
+                    ):
+                        rows.append(rec)
+                        corrupt.append(None)
+                except Exception:
+                    if mode == "FAILFAST":
+                        raise
+                    if mode == "PERMISSIVE":
+                        rows.append({})
+                        corrupt.append(fpath)
+            data = {n: [r.get(n) for r in rows] for n in names}
+            if mode == "PERMISSIVE":
+                data[corrupt_column] = corrupt
+            yield pd.DataFrame(data)
 
-    return files_df.mapInPandas(run, schema=schema)
+    return files_df.mapInPandas(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
