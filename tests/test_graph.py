@@ -47,3 +47,35 @@ def test_cc_string_ids(spark):
         for r in connected_components(df, src="a", dst="b").collect()
     }
     assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+
+
+def test_cc_scales_to_pseudorandom_graph(spark):
+    """100k-edge pseudo-random functional graph, generated executor-side
+    (never on the driver): CC must converge within the default round cap
+    and produce labels consistent across EVERY edge (both endpoints in the
+    same component) — the invariant that survives any graph shape."""
+    from pyspark.sql import functions as F
+
+    n_nodes = 200_000
+    edges = spark.range(100_000).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761) % n_nodes).alias("dst"),
+    )
+    comp = connected_components(edges).cache()
+    # every edge endpoint pair maps to the same component
+    inconsistent = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(comp.withColumnRenamed("node", "src").withColumnRenamed("component", "ca"), "src")
+        .join(comp.withColumnRenamed("node", "dst").withColumnRenamed("component", "cb"), "dst")
+        .filter(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    assert inconsistent == 0
+    # every component label is the minimum of its members
+    bad_label = (
+        comp.groupBy("component")
+        .agg(F.min("node").alias("mn"))
+        .filter(F.col("component") != F.col("mn"))
+        .count()
+    )
+    assert bad_label == 0

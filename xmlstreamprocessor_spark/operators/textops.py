@@ -313,3 +313,62 @@ def text_pii_scrub(spark, sf_dir):
         F.regexp_replace(scrub_email, _DIGITS_RE, "<NUM>").alias("scrubbed"),
         (F.length(scrub_email) != F.length("text")).alias("had_email"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS tfidf
+      FROM tf JOIN df ON df.term = tf.term, n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document.  Classic two-aggregate composition:
+    term frequency shuffles on (doc, term); document frequency is a
+    count-distinct on term whose result is small (vocabulary-sized), so it
+    BROADCASTS back onto the tf relation instead of re-shuffling the token
+    stream; the per-doc top-3 is a rank window over doc-partitioned data —
+    the same key as tf, so no extra exchange.  Exactness: tf and df are
+    exact integers; the single float op chain (divide -> ln -> multiply ->
+    round 6) runs in the same IEEE order in DuckDB."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # one scalar on the driver; embeds as a literal
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
