@@ -432,6 +432,62 @@ def test_xspxml_writer_nested(spark, tmp_path):
     assert "<xs><item>10</item><item>20</item></xs>" in text
 
 
+def test_xspxml_writer_partition_by(spark, tmp_path):
+    """Hive-style layout: partition columns live in key=value dirs, not in
+    the XML; the reader folds them back in with their declared types, and
+    null partition values round-trip via the hive default marker."""
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    out = tmp_path / "out"
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "c"), (4, None, "d")],
+        "id int, lang string, txt string",
+    )
+    df.repartition(2).write.format("xspxml").option("partitionBy", "lang").mode(
+        "append"
+    ).save(str(out))
+    # layout: lang=en/, lang=de/, lang=__HIVE_DEFAULT_PARTITION__/
+    dirs = {p.name for p in out.iterdir() if p.is_dir()}
+    assert dirs == {"lang=en", "lang=de", "lang=__HIVE_DEFAULT_PARTITION__"}
+    # partition column is not serialized into the XML itself
+    some = next((out / "lang=en").glob("part-*.xml")).read_text()
+    assert "<lang>" not in some and "<id>" in some
+    back = (
+        spark.read.format("xspxml")
+        .schema("id int, lang string, txt string")
+        .option("rowTag", "row")
+        .load(str(out))
+    )
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "en", "a"), (2, "en", "b"), (3, "de", "c"), (4, None, "d"),
+    }
+    # overwrite sweeps old files inside partition dirs too
+    spark.createDataFrame([(9, "en", "z")], "id int, lang string, txt string") \
+        .write.format("xspxml").option("partitionBy", "lang").mode("overwrite") \
+        .save(str(out))
+    back2 = (
+        spark.read.format("xspxml")
+        .schema("id int, lang string, txt string")
+        .option("rowTag", "row")
+        .load(str(out))
+    )
+    assert [tuple(r) for r in back2.collect()] == [(9, "en", "z")]
+
+
+def test_xspxml_writer_partition_by_rejects_unknown(spark, tmp_path):
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    with pytest.raises(AnalysisException, match="not in schema"):
+        spark.createDataFrame([(1,)], "n int").write.format("xspxml").option(
+            "partitionBy", "nope"
+        ).mode("append").save(str(tmp_path / "o"))
+
+
 def test_xspxml_stream_writer(spark, tmp_path):
     """xspxml reader -> xspxml sink: staged-rename commit means the output
     dir holds only whole part files after the availableNow drain."""

@@ -103,6 +103,31 @@ class XmlSourceReader(DataSourceReader):
             files = sorted(glob.glob(self.path)) or [self.path]
         return [_FilePartition(p) for p in files]
 
+    def _partition_values(self, fpath: str) -> dict:
+        """Hive-style ``key=value`` dir segments between the base path and
+        the file, decoded and coerced to the declared field type — the
+        writer's ``partitionBy`` inverse (partition columns live in the
+        PATH, not the XML)."""
+        import os
+
+        vals: dict = {}
+        rel = os.path.relpath(os.path.dirname(fpath), self.path)
+        if rel in (".", ""):
+            return vals
+        fields = {f.name: f.dataType for f in self.schema.fields}
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            if k not in fields:
+                continue
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                vals[k] = None
+                continue
+            v = v.replace("%3D", "=").replace("%2F", "/").replace("%25", "%")
+            vals[k] = _coercer(fields[k])(v)
+        return vals
+
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         from xmlstreamprocessor_spark.sources.xml_batch import iterparse_records
 
@@ -118,10 +143,13 @@ class XmlSourceReader(DataSourceReader):
         names = [f.name for f in compiled.schema.fields]
         out_names = [f.name for f in self.schema.fields]
         assert names == out_names, (names, out_names)
+        pvals = self._partition_values(partition.path)
         with open(partition.path, "rb") as fh:
             for rec in iterparse_records(fh, self.row_tag, compiled):
                 yield tuple(
-                    coerce[n](rec.get(n)) if n in coerce else rec.get(n)
+                    pvals[n]
+                    if n in pvals
+                    else (coerce[n](rec.get(n)) if n in coerce else rec.get(n))
                     for n in names
                 )
 
@@ -292,17 +320,30 @@ def write_rows_xml(rows, names: list[str], path: str, row_tag: str, root_tag: st
 
 
 
+def _part_seg(name: str, v) -> str:
+    """One ``key=value`` path segment (hive layout); null and separator
+    characters use the same spellings Spark's file sinks use."""
+    if v is None:
+        sv = "__HIVE_DEFAULT_PARTITION__"
+    else:
+        sv = _xml_scalar(v).replace("%", "%25").replace("/", "%2F").replace("=", "%3D")
+    return f"{name}={sv}"
+
+
 class _XmlCommit(WriterCommitMessage):
-    def __init__(self, staged: str, final: str):
-        self.staged = staged
-        self.final = final
+    """staging_dir plus (staged, final) path pairs — one pair per
+    (task, partition-combo) file."""
+
+    def __init__(self, staging_dir: str, pairs: list):
+        self.staging_dir = staging_dir
+        self.pairs = pairs
 
 
 class _XmlWriterBase:
     """Shared task-side write + driver-side staged-rename commit.
 
-    Each TASK stages its part file in its own ``<path>/.staging-<token>/``
-    dir and commit renames it into place, so readers never observe a
+    Each TASK stages its part files in its own ``<path>/.staging-<token>/``
+    dir and commit renames them into place, so readers never observe a
     half-written job (the FileOutputCommitter-v1 contract). The staging
     token is derived per task, never stored on the instance: the framework
     pickles the DataSource and constructs a fresh writer in every worker
@@ -313,6 +354,13 @@ class _XmlWriterBase:
     A failed task attempt leaves its staged dir behind; dot-dirs are
     invisible to the reader's glob (include_hidden=False), and overwrite
     commits sweep them.
+
+    ``option("partitionBy", "a,b")`` lays files out hive-style
+    (``<path>/a=v1/b=v2/part-*.xml``); partition columns are carried by
+    the PATH, not the XML (the reader folds them back in), matching
+    Spark's file sinks.  Scale: one open file per distinct partition
+    combo per task — repartition by the partition columns first so each
+    task sees few combos, exactly as with the parquet writer.
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -321,7 +369,13 @@ class _XmlWriterBase:
             raise ValueError("xspxml writer needs .option('path', ...) or save(path)")
         self.row_tag = options.get("rowTag", "row")
         self.root_tag = options.get("rootTag", "rows")
-        self.names = [f.name for f in schema.fields]
+        names = [f.name for f in schema.fields]
+        pby = options.get("partitionBy") or options.get("partitionby")
+        self.part_cols = [c.strip() for c in pby.split(",")] if pby else []
+        missing = [c for c in self.part_cols if c not in names]
+        if missing:
+            raise ValueError(f"partitionBy columns not in schema: {missing}")
+        self.names = [n for n in names if n not in self.part_cols]
 
     def _write_partition(self, iterator) -> _XmlCommit:
         import os
@@ -330,9 +384,40 @@ class _XmlWriterBase:
         token = uuid.uuid4().hex[:16]
         staging = os.path.join(self.path, f".staging-{token}")
         os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, f"part-{token}.xml")
-        write_rows_xml(iterator, self.names, staged, self.row_tag, self.root_tag)
-        return _XmlCommit(staged, os.path.join(self.path, f"part-{token}.xml"))
+        if not self.part_cols:
+            staged = os.path.join(staging, f"part-{token}.xml")
+            write_rows_xml(iterator, self.names, staged, self.row_tag, self.root_tag)
+            return _XmlCommit(
+                staging, [(staged, os.path.join(self.path, f"part-{token}.xml"))]
+            )
+
+        handles: dict[str, object] = {}  # rel dir -> open file
+        pairs: list = []
+        try:
+            for row in iterator:
+                d = row.asDict(recursive=True)
+                rel = os.path.join(
+                    *[_part_seg(c, d.get(c)) for c in self.part_cols]
+                )
+                fh = handles.get(rel)
+                if fh is None:
+                    os.makedirs(os.path.join(staging, rel), exist_ok=True)
+                    staged = os.path.join(staging, rel, f"part-{token}.xml")
+                    fh = open(staged, "w", encoding="utf-8")
+                    fh.write(f"<{self.root_tag}>\n")
+                    handles[rel] = fh
+                    pairs.append(
+                        (staged, os.path.join(self.path, rel, f"part-{token}.xml"))
+                    )
+                buf: list[str] = []
+                for n in self.names:
+                    _serialize_value(buf, n, d.get(n))
+                fh.write(f"<{self.row_tag}>{''.join(buf)}</{self.row_tag}>\n")
+        finally:
+            for fh in handles.values():
+                fh.write(f"</{self.root_tag}>\n")
+                fh.close()
+        return _XmlCommit(staging, pairs)
 
     def _finalize(self, messages) -> None:
         import os
@@ -340,16 +425,17 @@ class _XmlWriterBase:
 
         for m in messages:
             if m is not None:
-                os.replace(m.staged, m.final)
-                shutil.rmtree(os.path.dirname(m.staged), True)
+                for staged, final in m.pairs:
+                    os.makedirs(os.path.dirname(final), exist_ok=True)
+                    os.replace(staged, final)
+                shutil.rmtree(m.staging_dir, True)
 
     def _abort(self, messages) -> None:
-        import os
         import shutil
 
         for m in messages or []:
             if m is not None:
-                shutil.rmtree(os.path.dirname(m.staged), True)
+                shutil.rmtree(m.staging_dir, True)
 
 
 class XmlBatchWriter(_XmlWriterBase, DataSourceWriter):
@@ -366,11 +452,13 @@ class XmlBatchWriter(_XmlWriterBase, DataSourceWriter):
         import shutil
 
         if self.overwrite:
-            keep = {m.final for m in messages if m is not None}
-            for old in glob.glob(os.path.join(self.path, "part-*.xml")):
+            keep = {f for m in messages if m is not None for _, f in m.pairs}
+            for old in glob.glob(
+                os.path.join(self.path, "**", "part-*.xml"), recursive=True
+            ):
                 if old not in keep:
                     os.remove(old)
-            staging_keep = {os.path.dirname(m.staged) for m in messages if m is not None}
+            staging_keep = {m.staging_dir for m in messages if m is not None}
             for d in glob.glob(os.path.join(self.path, ".staging-*")):
                 if d not in staging_keep:
                     shutil.rmtree(d, True)
