@@ -320,3 +320,31 @@ def test_stream_xml_late_data_dropped_by_watermark(spark, tmp_path):
     # v=100 row appears nowhere
     assert nine == [(2, 3)]
     assert all(r["sv"] < 100 for r in rows)
+
+
+def test_stream_chained_rollup_equals_batch(spark):
+    """Minute->hour chained windowed agg (two stateful operators in one
+    query) emits hour rows identical to the batch hourly aggregate; append
+    mode emits only watermark-closed hours."""
+    from xmlstreamprocessor_spark.streaming.windows import rollup_counts
+
+    ev = stream_events(spark, SF)
+    _drain(rollup_counts(ev), "t_rollup", mode="append")
+    got = spark.sql("SELECT * FROM t_rollup")
+    batch = catalog.load(spark, SF, "events")
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    exp_rows = {tuple(r) for r in expected.collect()}
+    assert got_rows.issubset(exp_rows)
+    assert len(got_rows) >= 0.8 * len(exp_rows)

@@ -64,3 +64,35 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def rollup_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Chained minute->hour windowed aggregation in ONE streaming query
+    (Spark's multiple-stateful-operator support): the hour level re-windows
+    the minute level's WINDOW COLUMN — ``F.window(F.col("w1"), "1 hour")``
+    — so it aggregates minute partials, never raw events, exactly like the
+    batch cascade in ``temporal_rollup_multires``.  At scale the second
+    operator's input is ~60x smaller than the stream; state for both
+    levels is bounded by the same watermark."""
+    minute = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w1"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).alias("total_value"),
+        )
+    )
+    return (
+        minute.groupBy(F.window(F.col("w1"), "1 hour").alias("w2"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+        .select(
+            F.date_format("w2.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            "total_value",
+        )
+    )
