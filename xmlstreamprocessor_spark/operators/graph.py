@@ -215,3 +215,22 @@ def graph_dup_group_sizes(spark, sf_dir):
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) - F.lit(1)).alias("n_discarded"),
     )
+
+
+@query(
+    "graph_components_minhash_groups",
+    oracle=_DUCK_CC_DUP_GROUPS.replace(">= 0.5", ">= 0.8"),
+)
+def graph_components_minhash_groups(spark, sf_dir):
+    """The full production dedup path at 100 TB scale: MinHash-LSH band
+    join generates candidates (a key-partition shuffle, never all-pairs),
+    exact Jaccard verifies them at 0.8, connected components closes the
+    verified pairs into groups.  The oracle is the recursive-CTE closure
+    of the EXACT >=0.8 pair graph — so this also proves end-to-end that
+    LSH recall at this threshold loses no qualifying pair on this data."""
+    from xmlstreamprocessor_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
