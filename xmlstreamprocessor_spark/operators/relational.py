@@ -1566,3 +1566,100 @@ def q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7%')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape with lineitem standing in for partsupp (the
+    supplier-part relationships it records are the same).  The NOT IN
+    becomes a LEFT ANTI join against the name-filtered supplier set —
+    safe here because s_suppkey is non-null; a general NOT IN needs the
+    null-aware variant Catalyst plans for the SQL form.  Scale: part's
+    three-predicate filter prunes before its broadcast; count(DISTINCT) on
+    (brand,type,size) shuffles the deduped (group, suppkey) pairs once."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35)
+    )
+    excluded = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 40)
+      AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey = 1)
+    ORDER BY s.s_name, s.s_suppkey
+    """,
+)
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (partsupp availability -> shipped-quantity volume):
+    the qualifying set comes from a per-(supplier, part) aggregate with a
+    HAVING threshold, consumed as a semi join, intersected with a
+    nation-filtered supplier set.  Scale: the aggregate shuffles on the
+    compound key once and emits only qualifying suppkeys (tiny, so the
+    semi join broadcasts); part's LIKE filter prunes its broadcast early."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    big = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec2("l_quantity")).alias("q"))
+        .filter(F.col("q") > F.lit(40).cast("decimal(18,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(big), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
+    )
