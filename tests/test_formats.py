@@ -78,3 +78,45 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_write_zordered_tightens_file_ranges(spark, tmp_path):
+    """Z-ordered files must each cover a tight range of BOTH clustering
+    columns (that's what lets parquet min/max footers prune files for
+    predicates on either column); a hash-repartitioned layout covers
+    nearly the full domain in every file."""
+    import glob
+
+    import duckdb
+
+    from xmlstreamprocessor_spark.sources.formats import write_zordered
+
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "z")
+    df.repartition(8).write.parquet(plain)
+    write_zordered(df, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+
+    con = duckdb.connect()
+    lo_c, hi_c, lo_p, hi_p = con.execute(
+        f"SELECT min(o_custkey), max(o_custkey), min(o_totalprice),"
+        f" max(o_totalprice) FROM '{plain}/*.parquet'"
+    ).fetchone()
+
+    def avg_span(path, col, lo, hi):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            mn, mx = con.execute(
+                f"SELECT min({col}), max({col}) FROM '{f}'"
+            ).fetchone()
+            if mn is not None:
+                spans.append((mx - mn) / (hi - lo))
+        return sum(spans) / len(spans)
+
+    for col, lo, hi in (("o_custkey", lo_c, hi_c), ("o_totalprice", lo_p, hi_p)):
+        z_span = avg_span(zpath, col, lo, hi)
+        plain_span = avg_span(plain, col, lo, hi)
+        assert plain_span > 0.9, (col, plain_span)  # hash layout: no pruning
+        assert z_span < 0.6, (col, z_span)  # z layout: tight on BOTH dims

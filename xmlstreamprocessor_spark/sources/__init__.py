@@ -8,6 +8,11 @@ from xmlstreamprocessor_spark.sources.datasource import (
     register_xml_source,
     spec_option,
 )
+from xmlstreamprocessor_spark.sources.formats import (
+    write_bucketed,
+    write_partitioned,
+    write_zordered,
+)
 
 __all__ = [
     "extract_xml",
@@ -16,4 +21,7 @@ __all__ = [
     "read_xml",
     "register_xml_source",
     "spec_option",
+    "write_bucketed",
+    "write_partitioned",
+    "write_zordered",
 ]
