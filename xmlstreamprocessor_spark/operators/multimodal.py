@@ -223,3 +223,49 @@ def multimodal_audio_framing(spark, sf_dir):
             (F.col("fi") * 160 + 400).cast("int").alias("end_sample"),
         )
     )
+
+@query(
+    "multimodal_image_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS width,
+             64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(floor(width * least(224.0 / width, 224.0 / height))
+                AS INTEGER) AS out_w,
+           CAST(floor(height * least(224.0 / width, 224.0 / height))
+                AS INTEGER) AS out_h
+    FROM dims
+    """,
+)
+def multimodal_image_resize_plan(spark, sf_dir):
+    """Resize-to-fit geometry (224x224 box, aspect preserved) computed
+    ENTIRELY JVM-side from the decoded dimensions — at 100 TB the planner
+    half of a resize stage runs in whole-stage codegen and only the pixel
+    resample itself (a stubbed Pandas-UDF kernel here, PIL/opencv in a
+    real deployment — same batch shape as multimodal_image_features)
+    touches Python.  Source dims are the deterministic fake decode's:
+    64 + the first two md5 bytes of the payload, which is what makes the
+    geometry oracle-checkable."""
+    p = _payload_df(spark, sf_dir)
+    b = lambda i: F.conv(  # noqa: E731 — md5 hex byte i as int
+        F.substring(F.md5("payload"), 2 * i + 1, 2), 16, 10
+    ).cast("int")
+    dims = p.select(
+        "doc_id",
+        (F.lit(64) + b(0)).alias("width"),
+        (F.lit(64) + b(1)).alias("height"),
+    )
+    scale = F.least(
+        F.lit(224.0) / F.col("width"), F.lit(224.0) / F.col("height")
+    )
+    return dims.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_h"),
+    )
