@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "graph_dup_group_sizes",
+    "q16_supplier_part_counts",
+    "temporal_rollup_multires",
+    "text_tfidf_top_terms",
+    "sample_train_val_split",
 ]
 
 

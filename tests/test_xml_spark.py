@@ -552,3 +552,42 @@ def test_registered_datasource_streaming(spark, tmp_path):
     q.awaitTermination(120)
     vals = sorted(r["n"] for r in spark.sql("SELECT * FROM t_dsstream").collect())
     assert vals == [0, 1, 10, 11]
+
+
+def test_xspxml_stream_writer_partition_by(spark, tmp_path):
+    """partitionBy flows through the streaming sink's commit protocol:
+    each micro-batch's files land under key=value dirs atomically."""
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "s.xml").write_text(
+        "<docs><rec><n>1</n><k>a</k></rec><rec><n>2</n><k>b</k></rec>"
+        "<rec><n>3</n><k>a</k></rec></docs>"
+    )
+    out = tmp_path / "out"
+    q = (
+        spark.readStream.format("xspxml")
+        .schema("n int, k string")
+        .option("rowTag", "rec")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("xspxml")
+        .option("rowTag", "rec")
+        .option("path", str(out))
+        .option("partitionBy", "k")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not list(out.glob(".staging-*"))
+    assert {p.name for p in out.iterdir() if p.is_dir()} == {"k=a", "k=b"}
+    back = (
+        spark.read.format("xspxml")
+        .schema("n int, k string")
+        .option("rowTag", "rec")
+        .load(str(out))
+    )
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "a")}
