@@ -591,3 +591,27 @@ def test_xspxml_stream_writer_partition_by(spark, tmp_path):
         .load(str(out))
     )
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "a")}
+
+
+def test_jvm_path_timestamp_format_parity(spark):
+    """Every format in the Python kernel's _DATE_FORMATS parses to the
+    same value on the from_xml fast path (the try_to_timestamp chain);
+    auto-dispatch still refuses timestamp specs because INVALID text
+    nulls on the JVM path where the kernel raises."""
+    import xmlstreamprocessor_spark.plans.spec as sp
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.plans.spec import compile_spec
+    from xmlstreamprocessor_spark.sources.xml_batch import _jvm_safe, extract_xml_jvm
+
+    fmts = [
+        "2024-01-02 03:04:05", "2024-01-02T03:04:05", "2024-01-02",
+        "01/02/2024", "2024-01-02T03:04:05.123456", "01/02/2024 03:04:05",
+    ]
+    docs = spark.createDataFrame([(f"<r><d>{x}</d></r>",) for x in fmts], ["doc"])
+    spec = X.struct("r", {"d": X.ndate("d")})
+    jvm = [r["d"] for r in extract_xml_jvm(docs, "doc", spec).collect()]
+    assert jvm == [sp._conv_ndate(x) for x in fmts]
+    assert not _jvm_safe(compile_spec(spec))
+    # invalid text: JVM nulls (declarative plans cannot raise per-row)
+    bad = spark.createDataFrame([("<r><d>bogus</d></r>",)], ["doc"])
+    assert extract_xml_jvm(bad, "doc", spec).collect()[0]["d"] is None

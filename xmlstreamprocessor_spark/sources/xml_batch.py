@@ -61,17 +61,28 @@ def _jvm_safe(compiled: CompiledSpec) -> bool:
     checks that) AND no element-string slots, because string fields are the
     one place the kernels can diverge (the reference folds mixed content —
     child elements — back into the string, Parser.cs:44-49; from_xml does
-    not)."""
+    not), AND no timestamp slots — valid formats now parse identically on
+    both paths (the try_to_timestamp chain mirrors _DATE_FORMATS), but
+    INVALID date text nulls on the JVM path where the kernel raises
+    (DateTimeParser throws, Parser.cs:56-67), so auto-dispatch stays
+    conservative; call extract_xml_jvm explicitly to accept null-on-bad."""
+    from pyspark.sql import types as T
+
     from xmlstreamprocessor_spark.plans.spec import Arr, Struct, _StringSlot
+
+    def bad_slot(f) -> bool:
+        if isinstance(f, _StringSlot):
+            return True
+        return hasattr(f, "dtype") and isinstance(f.dtype(), T.TimestampType)
 
     def ok(struct: Struct) -> bool:
         for f in struct.fields.values():
-            if isinstance(f, _StringSlot):
+            if bad_slot(f):
                 return False
             if isinstance(f, Struct) and not ok(f):
                 return False
             if isinstance(f, Arr):
-                if isinstance(f.inner, _StringSlot):
+                if bad_slot(f.inner):
                     return False
                 if isinstance(f.inner, Struct) and not ok(f.inner):
                     return False
@@ -289,6 +300,22 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
     if not isinstance(spec, Struct):
         raise ValueError("JVM path needs an X.struct spec")
 
+    # Spark-pattern spellings of plans.spec._DATE_FORMATS, same priority
+    _TS_PATTERNS = (
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd HH:mm:ss",
+        "yyyy-MM-dd",
+        "MM/dd/yyyy HH:mm:ss",
+        "MM/dd/yyyy",
+    )
+
+    def _ts_chain(c):
+        trimmed = F.trim(c)
+        return F.coalesce(
+            *[F.try_to_timestamp(trimmed, F.lit(fmt)) for fmt in _TS_PATTERNS]
+        )
+
     def _plain(slot) -> str:
         if slot.pattern is None or "*" in slot.pattern:
             raise ValueError(
@@ -308,6 +335,13 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
                 outs.append((name, lambda x, p=p: x[f"_{p}"]))
             elif isinstance(f, (_ScalarSlot, _StringSlot)):
                 p = _plain(f)
+                if isinstance(f.dtype(), T.TimestampType):
+                    # parse as string, then the same format-priority chain
+                    # as the Python kernel's _DATE_FORMATS — from_xml's
+                    # single timestampFormat would null every other format
+                    fields.append(T.StructField(p, T.StringType()))
+                    outs.append((name, lambda x, p=p: _ts_chain(x[p])))
+                    continue
                 fields.append(T.StructField(p, f.dtype()))
                 dflt = f.default()
                 if dflt is not None:
