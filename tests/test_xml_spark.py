@@ -615,3 +615,36 @@ def test_jvm_path_timestamp_format_parity(spark):
     # invalid text: JVM nulls (declarative plans cannot raise per-row)
     bad = spark.createDataFrame([("<r><d>bogus</d></r>",)], ["doc"])
     assert extract_xml_jvm(bad, "doc", spec).collect()[0]["d"] is None
+
+
+def test_jvm_path_int_bool_error_parity(spark):
+    """The fast path replicates the kernel's scalar error contract exactly:
+    missing tag -> default/null, empty -> null (nullable) or raise (int_),
+    unparseable -> raise — via try_cast + raise_error, so behavior does not
+    depend on the session's ANSI setting."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import PythonException
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml_jvm
+
+    def run(mk, doc):
+        d = spark.createDataFrame([(doc,)], ["doc"])
+        return extract_xml_jvm(d, "doc", X.struct("r", {"v": mk("v")})).collect()[0]["v"]
+
+    assert run(X.nint, "<r><v> 007 </v></r>") == 7
+    assert run(X.nint, "<r><v></v></r>") is None
+    assert run(X.nint, "<r/>") is None
+    assert run(X.int_, "<r/>") == 0  # missing -> default(T)
+    assert run(X.nbool, "<r><v>TRUE</v></r>") is True
+    assert run(X.nbool, "<r><v>0</v></r>") is False
+    assert run(X.nbool, "<r/>") is None
+    for mk, doc in (
+        (X.nint, "<r><v>7.0</v></r>"),
+        (X.nint, "<r><v>abc</v></r>"),
+        (X.int_, "<r><v></v></r>"),  # empty text for non-null int raises
+        (X.nbool, "<r><v>yes</v></r>"),
+    ):
+        with pytest.raises((Py4JJavaError, PythonException, Exception)):
+            run(mk, doc)

@@ -316,6 +316,36 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
             *[F.try_to_timestamp(trimmed, F.lit(fmt)) for fmt in _TS_PATTERNS]
         )
 
+    def _int_chain(c, dflt, dt):
+        s = F.trim(c)
+        val = s.try_cast(dt)
+        parsed = F.when(val.isNotNull(), val).otherwise(
+            F.raise_error(
+                F.format_string("bad int text '%s'", c)
+            ).cast(dt)
+        )
+        if dflt is not None:  # int_ : missing -> default, empty -> raise
+            return (
+                F.when(c.isNull(), F.lit(dflt).cast(dt))
+                .when(
+                    s == "",
+                    F.raise_error(F.lit("empty text for non-null int")).cast(dt),
+                )
+                .otherwise(parsed)
+            )
+        return F.when(c.isNull() | (s == ""), F.lit(None).cast(dt)).otherwise(parsed)
+
+    def _bool_chain(c):
+        t = F.lower(F.trim(c))
+        return (
+            F.when(c.isNull() | (t == ""), F.lit(None).cast("boolean"))
+            .when(t.isin("true", "1"), F.lit(True))
+            .when(t.isin("false", "0"), F.lit(False))
+            .otherwise(
+                F.raise_error(F.format_string("bad bool text '%s'", c)).cast("boolean")
+            )
+        )
+
     def _plain(slot) -> str:
         if slot.pattern is None or "*" in slot.pattern:
             raise ValueError(
@@ -335,15 +365,31 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
                 outs.append((name, lambda x, p=p: x[f"_{p}"]))
             elif isinstance(f, (_ScalarSlot, _StringSlot)):
                 p = _plain(f)
-                if isinstance(f.dtype(), T.TimestampType):
+                dt, dflt = f.dtype(), f.default()
+                if isinstance(dt, T.TimestampType):
                     # parse as string, then the same format-priority chain
                     # as the Python kernel's _DATE_FORMATS — from_xml's
                     # single timestampFormat would null every other format
                     fields.append(T.StructField(p, T.StringType()))
                     outs.append((name, lambda x, p=p: _ts_chain(x[p])))
                     continue
-                fields.append(T.StructField(p, f.dtype()))
-                dflt = f.default()
+                if isinstance(dt, (T.IntegerType, T.LongType)):
+                    # replicate the kernel's error contract (IntParser /
+                    # Convert.ToInt32, Parser.cs:26-32): missing tag ->
+                    # default (or null), empty text -> raise for non-null
+                    # int, unparseable text -> raise.  try_cast + explicit
+                    # raise_error keeps this independent of the session's
+                    # ANSI setting and inside whole-stage codegen.
+                    fields.append(T.StructField(p, T.StringType()))
+                    outs.append(
+                        (name, lambda x, p=p, d=dflt, dt=dt: _int_chain(x[p], d, dt))
+                    )
+                    continue
+                if isinstance(dt, T.BooleanType):
+                    fields.append(T.StructField(p, T.StringType()))
+                    outs.append((name, lambda x, p=p: _bool_chain(x[p])))
+                    continue
+                fields.append(T.StructField(p, dt))
                 if dflt is not None:
                     outs.append(
                         (name, lambda x, p=p, d=dflt: F.coalesce(x[p], F.lit(d)))
