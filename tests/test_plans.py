@@ -106,3 +106,12 @@ def test_q19_stays_hash_join_despite_disjunction(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_window_prunes_before_exchange(spark):
+    plan = _plan(spark, "text_tfidf_top_terms")
+    # df must broadcast (vocabulary-sized), and the rank window must use
+    # WindowGroupLimit so the top-3 prune happens partition-locally
+    # before the window exchange
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

@@ -343,13 +343,15 @@ def text_pii_scrub(spark, sf_dir):
 )
 def text_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document.  Classic two-aggregate composition:
-    term frequency shuffles on (doc, term); document frequency is a
-    count-distinct on term whose result is small (vocabulary-sized), so it
-    BROADCASTS back onto the tf relation instead of re-shuffling the token
-    stream; the per-doc top-3 is a rank window over doc-partitioned data —
-    the same key as tf, so no extra exchange.  Exactness: tf and df are
-    exact integers; the single float op chain (divide -> ln -> multiply ->
-    round 6) runs in the same IEEE order in DuckDB."""
+    term frequency shuffles on (doc, term) with map-side partial combine
+    (duplicate tokens collapse before the wire); document frequency is
+    vocabulary-sized, so it BROADCASTS back onto tf instead of
+    re-shuffling the token stream; and the per-doc rank window's exchange
+    moves almost nothing because WindowGroupLimit prunes each partition
+    to its local top-3 BEFORE the shuffle (verified in the plan: the
+    rank-limit runs on both sides of the exchange).  Exactness: tf and df
+    are exact integers; the single float op chain (divide -> ln ->
+    multiply -> round 6) runs in the same IEEE order in DuckDB."""
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
