@@ -1663,3 +1663,157 @@ def q20_excess_shippers(spark, sf_dir):
         .select("s_name", "s_suppkey")
         .orderBy("s_name", "s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 shapes over a derived partsupp view.  The synthetic schema
+# has no partsupp table, so both queries derive one deterministically from
+# lineitem: for each observed (partkey, suppkey) pair, ps_supplycost is the
+# cheapest extended price at which that supplier shipped the part and
+# ps_availqty the total quantity shipped.  The derivation is expressed
+# identically in the oracle SQL, so correctness is still hash-checked.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))      AS ps_availqty
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    """The shared partsupp-like view (one row per supplier-part pair)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        l.l_partkey.alias("ps_partkey"), l.l_suppkey.alias("ps_suppkey")
+    ).agg(
+        F.min(dec2("l_extendedprice")).alias("ps_supplycost"),
+        F.sum(dec2("l_quantity")).alias("ps_availqty"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=_PS_CTE
+    + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           ps.ps_supplycost
+    FROM ps
+    JOIN part p     ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_type LIKE 'MEDIUM%' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier) on the derived partsupp view.
+    The correlated min-cost subquery becomes a window min over ps_partkey —
+    one extra shuffle on partkey instead of a self-join re-scan.  Scale:
+    supplier x nation x region collapses to a broadcast dim before touching
+    the big aggregate; part's size/type filter prunes its broadcast; the
+    window runs on rows already reduced to one per (part, supplier)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    eur = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_type").like("MEDIUM%")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(F.broadcast(eur), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=_PS_CTE
+    + """
+    , val AS (
+        SELECT ps.ps_partkey,
+               sum(ps.ps_supplycost * ps.ps_availqty) AS value
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_9'
+        GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, CAST(value AS DECIMAL(30,4)) AS part_value
+    FROM val
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(sum(value) AS DOUBLE) * 0.0001 FROM val)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock) on the derived partsupp view:
+    per-part inventory value for one nation's suppliers, kept when above a
+    fraction of the national total.  The threshold is an exact decimal grand
+    total cast to double once (associative, so partition order can't flip
+    borderline rows).  Scale: the nation filter prunes suppliers before the
+    broadcast; the tiny one-row total crosses as a scalar via crossJoin
+    (broadcast NL), not a shuffle."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
+    )
+    total = val.agg(
+        (F.sum("value").cast("double") * F.lit(0.0001)).alias("threshold")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("threshold"))
+        .select(
+            "ps_partkey", F.col("value").cast("decimal(30,4)").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), F.asc("ps_partkey"))
+    )
