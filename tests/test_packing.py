@@ -1,0 +1,92 @@
+"""Invariants for the sequence-packing / corpus-mixing operators beyond the
+oracle value match: packing-plan geometry and the distributed-prefix-sum
+scale posture (the big side must never funnel through a global
+single-partition window)."""
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.operators.packing import _CAP, _SHARD
+from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF)
+
+
+def test_packing_covers_corpus_in_order(spark):
+    rows = _run(spark, "pack_sequences_plan").collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # chunks tile the doc_id axis: contiguous, ordered, non-overlapping
+    assert rows[0]["first_doc"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["chunk_id"] > prev["chunk_id"]
+        assert cur["first_doc"] == prev["last_doc"] + 1
+    # every chunk but the last must start before the cap boundary it owns:
+    # its docs' tokens reach (or cross) the cap, so totals per chunk stay
+    # within [cap - largest_doc, cap + largest_doc]; weak bound: > 0
+    assert all(r["total_tokens"] > 0 for r in rows)
+    # a chunk never holds more tokens than cap + one straddling document
+    max_doc_tokens = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.regexp_count(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+            ).alias("n")
+        )
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert all(r["total_tokens"] <= _CAP + max_doc_tokens for r in rows)
+
+
+def test_packing_prefix_sum_is_sharded(spark):
+    """The cumulative window over documents must be partitioned by shard;
+    only the ~n_shards-row shard-offset table may use a global window."""
+    df = _run(spark, "pack_sequences_plan")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(shard#" in plan or "partitionBy" in plan or (
+        "Window" in plan and "shard" in plan
+    )
+    # count Window nodes with empty partitioning: exactly one is allowed
+    # (the tiny shard-offset prefix), and it must sit above the groupBy on
+    # `shard`, i.e. operate on aggregated (one-row-per-shard) input.
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    empty_part_windows = re.findall(r"Window \[[^\]]*\], \[", executed)
+    # executedPlan Window format: Window [exprs], [partition], [order] —
+    # an empty partition clause renders as ", [], [" in the plan string
+    n_global = executed.count("], [], [")
+    assert n_global <= 1, executed
+
+
+def test_mix_rates_are_monotone_in_weight(spark):
+    rows = {r["lang"]: r for r in _run(spark, "mix_weighted_proportions").collect()}
+    assert rows["en"]["keep_ratio"] == 1.0  # rate 1000/1000 keeps all
+    # zh/es sampled at 250/1000 must not out-keep de/fr at 500/1000 by more
+    # than hash noise on tiny strata; at minimum en >= every other lang
+    assert all(rows["en"]["keep_ratio"] >= r["keep_ratio"] for r in rows.values())
+    # mixed corpus is a subset of the documents table
+    mixed = _run(spark, "mix_weighted_corpus")
+    n_before = sum(r["n_before"] for r in rows.values())
+    assert 0 < mixed.count() < n_before
+
+
+def test_quantize_codes_bounded(spark):
+    out = _run(spark, "embedding_int8_quantize")
+    rows = out.collect()
+    assert all(-127 <= r["code_min"] <= r["code_max"] <= 127 for r in rows)
+    dim = rows[0]["n_dims"]
+    assert all(r["n_dims"] == dim for r in rows)
+    # reconstruction error per element is < amax (floor residual bound)
+    assert all(
+        r["recon_err_units"] < r["amax_micro"] * dim for r in rows if r["amax_micro"]
+    )
+
+
+def test_shard_constant_consistency():
+    assert _SHARD > 0 and _CAP > 0

@@ -1,0 +1,189 @@
+"""Sequence packing and corpus mixing for LLM training pipelines.
+
+Pretraining consumes documents as fixed-length token windows: the corpus is
+(logically) concatenated in a canonical order and split every ``cap``
+tokens.  The *packing plan* assigns each document to the window containing
+its first token — a pure function of the running token-offset prefix sum,
+so it is deterministic and re-runnable (same plan on any cluster size or
+task retry).
+
+Scale posture: a naive global cumulative sum is a single-task window at
+100 TB.  The implementation uses the classic two-level distributed prefix
+sum instead — an intra-shard cumulative window (parallel across shards) +
+a tiny shard-offset table that is cumulated on one ~n_shards-row dataset
+and broadcast back.  No stage touches more than one shard's rows at a
+time, and the only all-to-all movement is the hash aggregation of the
+final per-chunk rollup.
+
+Corpus mixing uses the same md5-hash-predicate determinism as
+``operators/sampling.py``: per-language sampling rates become pure scan
+predicates — zero shuffles, identical row picks on every rerun and engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from xmlstreamprocessor_spark.operators.registry import query, t
+
+# token-count proxy shared with textops.text_token_count_bpe (same regex)
+_TOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_DUCK_TOKENS = (
+    f"CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    f" AS BIGINT)"
+)
+
+_CAP = 2048  # tokens per packed window
+_SHARD = 100  # docs per prefix-sum shard
+
+
+@query(
+    "pack_sequences_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS n_tokens FROM documents
+    ), offs AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS start_off
+      FROM toks
+    )
+    SELECT CAST(floor(COALESCE(start_off, 0) / {_CAP}) AS BIGINT) AS chunk_id,
+           count(*)                 AS n_docs,
+           sum(n_tokens)            AS total_tokens,
+           min(doc_id)              AS first_doc,
+           max(doc_id)              AS last_doc
+    FROM offs
+    GROUP BY 1
+    ORDER BY chunk_id
+    """,
+)
+def pack_sequences_plan(spark, sf_dir):
+    """Concatenate-and-split packing plan: documents in doc_id order are
+    laid end to end and cut every {cap} tokens; each doc belongs to the
+    window holding its first token.  The token offset is a two-level
+    distributed prefix sum (see module docstring), not a global window."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_TOK_RE)).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / _SHARD).cast("bigint").alias("shard"),
+    )
+    # level 1: cumulative sum inside each shard (parallel across shards)
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn("local_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    # level 2: shard totals -> exclusive prefix over the tiny shard table
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_offs = (
+        d.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn(
+            "shard_off", F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0))
+        )
+        .select("shard", "shard_off")
+    )
+    return (
+        local.join(F.broadcast(shard_offs), "shard")
+        .withColumn(
+            "chunk_id",
+            ((F.col("shard_off") + F.col("local_off")) / _CAP).cast("bigint"),
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+# per-language keep rates out of 1000 (an "en-heavy rebalance" mix spec)
+_MIX_RATES = {"en": 1000, "de": 500, "fr": 500, "es": 250, "zh": 250}
+_DEFAULT_RATE = 100
+
+_DUCK_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+_DUCK_MIX_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000"
+)
+
+
+@query(
+    "mix_weighted_corpus",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DUCK_MIX_BUCKET} < ({_DUCK_RATE})
+    ORDER BY doc_id
+    """,
+)
+def mix_weighted_corpus(spark, sf_dir):
+    """Language-rebalanced training mix: each language is down-sampled at
+    its own deterministic hash rate (en keeps all, zh keeps 25%, unknown
+    languages 10%).  Scale: the rate lookup is a broadcast-free CASE inside
+    the scan predicate — the mix is a pure projection with zero shuffles,
+    and a re-executed task re-picks identical rows."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        d.filter(bucket < rate).select("doc_id", "lang", "source").orderBy("doc_id")
+    )
+
+
+@query(
+    "mix_weighted_proportions",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT doc_id, lang FROM documents
+      WHERE {_DUCK_MIX_BUCKET} < ({_DUCK_RATE})
+    ), base AS (
+      SELECT lang, count(*) AS n_before FROM documents GROUP BY lang
+    )
+    SELECT b.lang, b.n_before, count(m.doc_id) AS n_after,
+           round(CAST(count(m.doc_id) AS DOUBLE) / b.n_before, 6) AS keep_ratio
+    FROM base b LEFT JOIN mixed m ON m.lang = b.lang
+    GROUP BY b.lang, b.n_before
+    ORDER BY b.lang
+    """,
+)
+def mix_weighted_proportions(spark, sf_dir):
+    """Before/after language histogram of the weighted mix — the report a
+    data engineer checks before launching a run.  Both sides are map-side
+    partial aggregates on a handful of language keys."""
+    d = t(spark, sf_dir, "documents")
+    mixed = mix_weighted_corpus(spark, sf_dir)
+    base = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_raw"))
+    return (
+        base.join(after, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce(F.col("n_after_raw"), F.lit(0)).alias("n_after"),
+            F.round(
+                F.coalesce(F.col("n_after_raw"), F.lit(0)).cast("double")
+                / F.col("n_before"),
+                6,
+            ).alias("keep_ratio"),
+        )
+        .orderBy("lang")
+    )

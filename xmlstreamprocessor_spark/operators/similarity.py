@@ -260,3 +260,68 @@ def similarity_rplsh_bucket_stats(spark, sf_dir):
         "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, key)"
     )
     return bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n_in_bucket"))
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle=f"""
+    WITH ei_t AS (
+      SELECT vec_id, {_DUCK_EI} AS ei FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, ei,
+             list_max(list_transform(ei, x -> abs(x))) AS amax_micro
+      FROM ei_t
+    ), codes AS (
+      SELECT vec_id, amax_micro, ei,
+             list_transform(ei, x -> CASE WHEN amax_micro = 0 THEN 0
+               ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax_micro)
+                         AS BIGINT) END) AS q
+      FROM scaled
+    )
+    SELECT vec_id, CAST(amax_micro AS BIGINT) AS amax_micro,
+           CAST(len(q) AS INTEGER)      AS n_dims,
+           list_sum(q)                  AS code_sum,
+           list_min(q)                  AS code_min,
+           list_max(q)                  AS code_max,
+           list_sum(list_transform(range(1, {_RP_DIM + 1}),
+             j -> abs(ei[j] * 127 - q[j] * amax_micro))) AS recon_err_units
+    FROM codes
+    """,
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Symmetric int8 quantization plan for the embedding column: per-vector
+    absmax scale, codes = floor(x * 127 / absmax).  All arithmetic runs in
+    the micro-fixed-point integer domain (floor(x*1e6)), so codes and the
+    reconstruction error (sum |127*x - q*absmax|, in micro-units x 127) are
+    bit-identical across engines and partitionings.  Scale: a pure
+    projection — no shuffle, no UDF; the codes array would be written as the
+    compact int8 sidecar while this query reports its audit stats."""
+    e = t(spark, sf_dir, "embeddings")
+    ei = e.select("vec_id", F.expr(_SPARK_EI).alias("ei"))
+    amax = F.array_max(F.transform(F.col("ei"), lambda x: F.abs(x)))
+    scaled = ei.withColumn("amax_micro", amax)
+    q = F.transform(
+        F.col("ei"),
+        lambda x: F.when(F.col("amax_micro") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(x.cast("double") * F.lit(127.0) / F.col("amax_micro"))
+        ),
+    )
+    codes = scaled.withColumn("q", q)
+    zero = F.lit(0).cast("bigint")
+    return codes.select(
+        "vec_id",
+        F.col("amax_micro").cast("bigint").alias("amax_micro"),
+        F.size("q").cast("int").alias("n_dims"),
+        F.aggregate("q", zero, lambda a, x: a + x).alias("code_sum"),
+        F.array_min("q").alias("code_min"),
+        F.array_max("q").alias("code_max"),
+        F.aggregate(
+            F.zip_with(
+                F.col("ei"),
+                F.col("q"),
+                lambda x, c: F.abs(x * F.lit(127) - c * F.col("amax_micro")),
+            ),
+            zero,
+            lambda a, x: a + x,
+        ).alias("recon_err_units"),
+    )
