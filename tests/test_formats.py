@@ -120,3 +120,15 @@ def test_write_zordered_tightens_file_ranges(spark, tmp_path):
         plain_span = avg_span(plain, col, lo, hi)
         assert plain_span > 0.9, (col, plain_span)  # hash layout: no pruning
         assert z_span < 0.6, (col, z_span)  # z layout: tight on BOTH dims
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    df = catalog.load(spark, SF, "orders")
+    formats.write_orc(df, str(tmp_path / "o_orc"))
+    back = formats.read_orc(spark, str(tmp_path / "o_orc"))
+    assert back.count() == df.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # predicate and projection must reach the ORC scan
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
+    assert pruned.count() == df.filter(F.col("o_orderstatus") == "F").count()
