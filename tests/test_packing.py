@@ -90,3 +90,16 @@ def test_quantize_codes_bounded(spark):
 
 def test_shard_constant_consistency():
     assert _SHARD > 0 and _CAP > 0
+
+
+def test_pipeline_composes_all_stages(spark):
+    """The composed pipeline must (a) never exceed the standalone packing
+    plan's chunk count, (b) pack only deduped+mixed docs, (c) stay free of
+    cartesian products."""
+    pipe = _run(spark, "pipeline_dedup_mix_pack")
+    rows = pipe.collect()
+    full = _run(spark, "pack_sequences_plan").collect()
+    assert 0 < len(rows) <= len(full)
+    assert sum(r["n_docs"] for r in rows) <= sum(r["n_docs"] for r in full)
+    plan = pipe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

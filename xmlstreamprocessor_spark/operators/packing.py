@@ -187,3 +187,110 @@ def mix_weighted_proportions(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_dedup_mix_pack",
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ), mixed AS (
+      SELECT d.doc_id, d.lang, {_DUCK_TOKENS} AS n_tokens
+      FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+      WHERE {_DUCK_MIX_BUCKET.replace("doc_id", "d.doc_id")}
+            < ({_DUCK_RATE.replace("lang", "d.lang")})
+    ), offs AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS start_off
+      FROM mixed
+    )
+    SELECT CAST(floor(COALESCE(start_off, 0) / {_CAP}) AS BIGINT) AS chunk_id,
+           count(*)                        AS n_docs,
+           sum(n_tokens)                   AS total_tokens,
+           count(DISTINCT lang)            AS n_langs,
+           min(doc_id)                     AS first_doc,
+           max(doc_id)                     AS last_doc
+    FROM offs
+    GROUP BY 1
+    ORDER BY chunk_id
+    """,
+)
+def pipeline_dedup_mix_pack(spark, sf_dir):
+    """The full training-data pipeline as ONE declarative plan:
+    exact-dedup (normalized-text fingerprint, keep min doc_id) -> weighted
+    language mix (hash-rate predicate) -> sequence packing (two-level
+    distributed prefix sum) -> per-chunk manifest.  Because every stage is
+    a DataFrame transformation, the mix predicate and token projection fuse
+    into the main scan's stage; the corpus is scanned twice (once to build
+    the fingerprint keeper set, once for the kept rows) and only doc_id
+    survives the first scan.  Scale: two data shuffles total (fingerprint
+    groupBy + the keeper semi join) before the tiny shard-offset and chunk
+    rollups; nothing quadratic, nothing on the driver."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keep = (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    mixed = (
+        d.join(keep, "doc_id", "left_semi")
+        .filter(bucket < rate)
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_count(F.col("text"), F.lit(_TOK_RE))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (F.col("doc_id") / _SHARD).cast("bigint").alias("shard"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = mixed.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_offs = (
+        mixed.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn(
+            "shard_off", F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0))
+        )
+        .select("shard", "shard_off")
+    )
+    return (
+        local.join(F.broadcast(shard_offs), "shard")
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("shard_off") + F.col("local_off")) / _CAP).cast("bigint"),
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("chunk_id")
+    )
