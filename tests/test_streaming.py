@@ -348,3 +348,31 @@ def test_stream_chained_rollup_equals_batch(spark):
     exp_rows = {tuple(r) for r in expected.collect()}
     assert got_rows.issubset(exp_rows)
     assert len(got_rows) >= 0.8 * len(exp_rows)
+
+
+def test_stream_packer_equals_batch_twin(spark):
+    """Greedy streaming packer == batch twin running the same kernel from
+    empty state (single availableNow batch => identical arrival order)."""
+    from xmlstreamprocessor_spark.streaming import (
+        pack_batch_greedy,
+        pack_stream_stateful,
+        stream_documents,
+    )
+
+    tok = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    cols = lambda df: df.select(  # noqa: E731
+        (F.col("doc_id") / 100).cast("bigint").alias("shard"),
+        "doc_id",
+        tok.cast("bigint").alias("n_tokens"),
+    )
+    _drain(pack_stream_stateful(cols(stream_documents(spark, SF)), cap=512), "t_pack")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_pack").collect()}
+    batch = catalog.load(spark, SF, "documents")
+    exp = {tuple(r) for r in pack_batch_greedy(cols(batch), cap=512).collect()}
+    assert got == exp and len(got) > 0
+    # packing invariants: chunks never exceed cap unless a single doc does
+    by_chunk = {}
+    for shard, doc_id, n, seq, off in exp:
+        by_chunk.setdefault((shard, seq), []).append(n)
+    for docs in by_chunk.values():
+        assert sum(docs) <= 512 or len(docs) == 1

@@ -1,4 +1,8 @@
-from xmlstreamprocessor_spark.streaming.sources import stream_events, stream_xml
+from xmlstreamprocessor_spark.streaming.sources import (
+    stream_documents,
+    stream_events,
+    stream_xml,
+)
 from xmlstreamprocessor_spark.streaming.windows import (
     session_counts,
     sliding_counts,
@@ -9,12 +13,17 @@ from xmlstreamprocessor_spark.streaming.stateful import (
     sessionize_event_time,
     sessionize_stateful,
 )
+from xmlstreamprocessor_spark.streaming.packer import (
+    pack_batch_greedy,
+    pack_stream_stateful,
+)
 from xmlstreamprocessor_spark.streaming.joins import (
     enrich_stream_static,
     join_purchases_to_views,
 )
 
 __all__ = [
+    "stream_documents",
     "stream_events",
     "stream_xml",
     "tumbling_counts",
@@ -25,4 +34,6 @@ __all__ = [
     "sessionize_event_time",
     "enrich_stream_static",
     "join_purchases_to_views",
+    "pack_stream_stateful",
+    "pack_batch_greedy",
 ]

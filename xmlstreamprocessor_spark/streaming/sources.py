@@ -104,3 +104,12 @@ def stream_kafka_xml(
     from xmlstreamprocessor_spark.sources.xml_batch import extract_xml
 
     return extract_xml(raw, "doc", spec)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet replayed as a file-source stream (input to the
+    streaming dedup/mix/pack operators)."""
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/documents*")
