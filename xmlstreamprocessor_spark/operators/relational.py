@@ -1817,3 +1817,31 @@ def q11_important_stock(spark, sf_dir):
         )
         .orderBy(F.desc("part_value"), F.asc("ps_partkey"))
     )
+
+
+@query(
+    "json_variant_shred_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def json_variant_shred_props(spark, sf_dir):
+    """Semi-structured shredding via Spark 4's VARIANT type: parse_json once,
+    then typed variant_get extraction — the open-schema path for payload
+    columns whose keys evolve (vs get_json_object re-parsing the string per
+    access).  At scale variant's binary encoding also shreds into parquet,
+    so repeated reads skip the parse entirely."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.when(F.try_parse_json("props").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_valid"),
+    ).orderBy("event_id")
