@@ -294,3 +294,52 @@ def pipeline_dedup_mix_pack(spark, sf_dir):
         )
         .orderBy("chunk_id")
     )
+
+
+@query(
+    "pack_greedy_shardlocal",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM (SELECT CAST(floor(doc_id / {_SHARD}) AS BIGINT) AS shard, doc_id,
+                   {_DUCK_TOKENS} AS n_tokens
+            FROM documents)
+    ), walk AS (
+      SELECT shard, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS chunk_seq,
+             CAST(0 AS BIGINT) AS offset_in_chunk,
+             n_tokens AS used
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.used > 0 AND w.used + d.n_tokens > {_CAP}
+                  THEN w.chunk_seq + 1 ELSE w.chunk_seq END,
+             CASE WHEN w.used > 0 AND w.used + d.n_tokens > {_CAP}
+                  THEN CAST(0 AS BIGINT) ELSE w.used END,
+             CASE WHEN w.used > 0 AND w.used + d.n_tokens > {_CAP}
+                  THEN d.n_tokens ELSE w.used + d.n_tokens END
+      FROM docs d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, chunk_seq, offset_in_chunk
+    FROM walk ORDER BY shard, doc_id
+    """,
+)
+def pack_greedy_shardlocal(spark, sf_dir):
+    """Capacity-respecting greedy packer (the strict-bin variant of
+    ``pack_sequences_plan``): per shard, a document that would overflow the
+    open chunk seals it and starts the next, so no chunk exceeds the cap
+    unless a single document does.  The recurrence is inherently
+    sequential, so it runs as an Arrow-batched grouped-map kernel — one
+    pass per shard, O(1) state, parallel across shards (the oracle proves
+    the same recurrence via a recursive CTE).  This is also exactly the
+    kernel the streaming packer carries across micro-batches
+    (``streaming/packer.py``)."""
+    from xmlstreamprocessor_spark.streaming.packer import pack_batch_greedy
+
+    d = t(spark, sf_dir, "documents").select(
+        F.floor(F.col("doc_id") / _SHARD).cast("bigint").alias("shard"),
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_TOK_RE)).cast("bigint").alias("n_tokens"),
+    )
+    return pack_batch_greedy(d, cap=_CAP).orderBy("shard", "doc_id")
