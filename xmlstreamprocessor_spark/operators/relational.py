@@ -1845,3 +1845,42 @@ def json_variant_shred_props(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("is_valid"),
     ).orderBy("event_id")
+
+
+@query(
+    "profile_orders_table",
+    oracle="""
+    SELECT count(*)                                   AS n_rows,
+           count(DISTINCT o_orderkey)                 AS orderkey_distinct,
+           count(*) - count(o_orderkey)               AS orderkey_nulls,
+           count(DISTINCT o_orderstatus)              AS status_distinct,
+           min(o_orderstatus)                         AS status_min,
+           max(o_orderstatus)                         AS status_max,
+           min(CAST(o_totalprice AS DECIMAL(18,2)))   AS price_min,
+           max(CAST(o_totalprice AS DECIMAL(18,2)))   AS price_max,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))   AS price_sum,
+           strftime(min(o_orderdate), '%Y-%m-%d')     AS date_min,
+           strftime(max(o_orderdate), '%Y-%m-%d')     AS date_max
+    FROM orders
+    """,
+)
+def profile_orders_table(spark, sf_dir):
+    """Single-pass column profile (the stats a pipeline records before
+    ingesting a new drop): row count, per-column null/distinct counts,
+    typed min/max/sum.  Scale: one scan, one partial+final aggregate; the
+    two exact count(DISTINCT) columns expand to one extra shuffle each —
+    swap in approx_count_distinct when cardinality only steers planning."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("orderkey_distinct"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("orderkey_nulls"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.min(dec2("o_totalprice")).alias("price_min"),
+        F.max(dec2("o_totalprice")).alias("price_max"),
+        F.sum(dec2("o_totalprice")).alias("price_sum"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_max"),
+    )

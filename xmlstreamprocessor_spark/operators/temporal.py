@@ -338,3 +338,70 @@ def temporal_gapfill_locf(spark, sf_dir):
         F.col("v").isNull().alias("gap_filled"),
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+@query(
+    "temporal_ewma_per_user",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 50
+    ), walk AS (
+      SELECT user_id, event_id, rn, value, value AS ewma
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, e.value,
+             CAST(0.2 AS DOUBLE) * e.value + CAST(0.8 AS DOUBLE) * w.ewma
+      FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, round(ewma, 6) AS ewma
+    FROM walk ORDER BY user_id, rn
+    """,
+)
+def temporal_ewma_per_user(spark, sf_dir):
+    """Exponentially weighted moving average of event values per user
+    (alpha=0.2) — the classic sequential recurrence no window frame can
+    express (each output depends on ALL preceding values with decaying
+    weights).  Runs as an Arrow grouped-map kernel: one ordered pass per
+    user, O(1) state, parallel across users — the oracle proves the same
+    recurrence with a recursive CTE.  Scale: the only shuffle is the
+    groupBy(user_id); a hot user is bounded by per-user history length,
+    not corpus size."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        out = []
+        for x in pdf["value"]:
+            x = float(x)
+            s = x if s is None else 0.2 * x + 0.8 * s
+            out.append(round(s, 6))
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
+        )
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_ewma, schema=out_schema)
+        .orderBy("user_id", "event_id")
+    )
