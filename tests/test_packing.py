@@ -103,3 +103,33 @@ def test_pipeline_composes_all_stages(spark):
     assert sum(r["n_docs"] for r in rows) <= sum(r["n_docs"] for r in full)
     plan = pipe._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_greedy_kernel_batch_split_invariance():
+    """The docstring claim behind streaming==batch equivalence: running the
+    greedy kernel over any split of the doc sequence with state carried
+    between pieces equals one pass over the whole sequence."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from xmlstreamprocessor_spark.streaming.packer import _greedy_assign
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tokens=st.lists(st.integers(min_value=0, max_value=700), max_size=40),
+        split=st.integers(min_value=0, max_value=40),
+        cap=st.integers(min_value=1, max_value=600),
+    )
+    def _property(tokens, split, cap):
+        docs = pd.DataFrame(
+            {"doc_id": range(len(tokens)), "n_tokens": tokens}
+        )
+        whole, seq_w, used_w = _greedy_assign(0, docs, cap, 0, 0)
+        split = min(split, len(tokens))
+        first, seq1, used1 = _greedy_assign(0, docs.iloc[:split], cap, 0, 0)
+        second, seq2, used2 = _greedy_assign(0, docs.iloc[split:], cap, seq1, used1)
+        recombined = pd.concat([first, second], ignore_index=True)
+        pd.testing.assert_frame_equal(whole.reset_index(drop=True), recombined)
+        assert (seq_w, used_w) == (seq2, used2)
+
+    _property()

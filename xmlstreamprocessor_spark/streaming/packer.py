@@ -61,7 +61,7 @@ def _greedy_assign(
         used += n
     out = pd.DataFrame(
         rows, columns=["shard", "doc_id", "n_tokens", "chunk_seq", "offset_in_chunk"]
-    )
+    ).astype("int64")
     return out, chunk_seq, used
 
 
