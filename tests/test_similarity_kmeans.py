@@ -1,0 +1,47 @@
+"""Invariants for the iterative Lloyd k-means (not oracle-paired: float
+means drift across engines; these pin the properties that matter)."""
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.functions.vectors import as_double_array, cosine6
+from xmlstreamprocessor_spark.operators.similarity import kmeans_lloyd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vectors(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), as_double_array("embedding").alias("vec"))
+    )
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    v = _vectors(spark)
+    n = v.count()
+    assign, cents = kmeans_lloyd(v, k=4, n_iter=3)
+    rows = assign.collect()
+    assert len(rows) == n  # every vector in exactly one cell
+    cells = {r["cell"] for r in rows}
+    assert cells <= set(range(4)) and len(cells) >= 2
+    assert cents.count() == len(cells)
+
+
+def test_kmeans_iteration_improves_mean_similarity(spark):
+    v = _vectors(spark)
+    a1, _ = kmeans_lloyd(v, k=4, n_iter=1)
+    a3, _ = kmeans_lloyd(v, k=4, n_iter=3)
+    m1 = a1.agg(F.avg("sim")).collect()[0][0]
+    m3 = a3.agg(F.avg("sim")).collect()[0][0]
+    # Lloyd's steps never decrease within-cluster cohesion (up to the
+    # 6-decimal rounding used in the similarity)
+    assert m3 >= m1 - 1e-6
+
+
+def test_kmeans_assignment_is_deterministic(spark):
+    v = _vectors(spark)
+    a, _ = kmeans_lloyd(v, k=4, n_iter=2)
+    b, _ = kmeans_lloyd(v, k=4, n_iter=2)
+    assert sorted(map(tuple, a.select("id", "cell").collect())) == sorted(
+        map(tuple, b.select("id", "cell").collect())
+    )

@@ -325,3 +325,100 @@ def embedding_int8_quantize(spark, sf_dir):
             lambda a, x: a + x,
         ).alias("recon_err_units"),
     )
+
+
+_N_CELLS = 8  # vec_id < 8 serve as the fixed coarse-quantizer centroids
+
+
+@query(
+    "similarity_ivf_assign_cells",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS ce FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ), scored AS (
+      SELECT v.vec_id, c.cell,
+             {duck_cosine6('v.embedding', 'c.ce')} AS sim
+      FROM embeddings v CROSS JOIN cents c
+    )
+    SELECT vec_id, cell, sim
+    FROM (SELECT vec_id, cell, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell) AS rk
+          FROM scored)
+    WHERE rk = 1
+    ORDER BY vec_id
+    """,
+)
+def similarity_ivf_assign_cells(spark, sf_dir):
+    """The IVF coarse-quantizer training primitive: assign every vector to
+    its most-similar centroid (here the first {n} vectors, i.e. one Lloyd
+    assignment step with deterministic seeding; ``kmeans_lloyd`` below
+    iterates this).  Scale: the centroid table broadcasts (k x dim floats),
+    so assignment is a map-only pass over the corpus — no shuffle until
+    the per-cell aggregate; ranking uses a size-k ORDER BY inside each row
+    group, and ties break on cell id for engine-independent output."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _N_CELLS).select(
+            F.col("vec_id").alias("cell"), as_double_array("embedding").alias("ce")
+        )
+    )
+    v = e.select("vec_id", as_double_array("embedding").alias("ve"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        v.crossJoin(cents)
+        .select("vec_id", "cell", cosine6(F.col("ve"), F.col("ce")).alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell", "sim")
+        .orderBy("vec_id")
+    )
+
+
+def kmeans_lloyd(vectors, k: int = 8, n_iter: int = 5):
+    """Distributed Lloyd's k-means over an (id, vec array<double>) frame:
+    deterministic seeding (lowest-id vectors), then alternate broadcast
+    assignment (map-only) and per-cell mean reduction (one shuffle per
+    iteration) — same iterate-and-truncate pattern as
+    ``operators/graph.connected_components``.  Returns (assignment df,
+    centroid df).  Not oracle-paired: float means drift across engines;
+    invariants are pinned in tests/test_similarity_kmeans.py."""
+    from pyspark.sql import functions as FF
+
+    cents = (
+        vectors.orderBy("id")
+        .limit(k)
+        .select(
+            (FF.row_number().over(Window.orderBy("id")) - 1).alias("cell"),
+            FF.col("vec").alias("ce"),
+        )
+    )
+    dim = len(vectors.select("vec").first()[0])
+    assign = None
+    for _ in range(n_iter):
+        w = Window.partitionBy("id").orderBy(FF.desc("sim"), FF.asc("cell"))
+        assign = (
+            vectors.crossJoin(FF.broadcast(cents))
+            .select(
+                "id",
+                "vec",
+                "cell",
+                cosine6(FF.col("vec"), FF.col("ce")).alias("sim"),
+            )
+            .withColumn("rk", FF.row_number().over(w))
+            .filter(FF.col("rk") == 1)
+            .drop("rk")
+            .localCheckpoint(eager=False)
+        )
+        sums = assign.groupBy("cell").agg(
+            FF.array(
+                *[FF.sum(FF.col("vec")[i]).alias(f"s{i}") for i in range(dim)]
+            ).alias("vsum"),
+            FF.count(FF.lit(1)).alias("n"),
+        )
+        cents = sums.select(
+            "cell",
+            FF.transform(FF.col("vsum"), lambda s: s / FF.col("n")).alias("ce"),
+        )
+    return assign, cents
