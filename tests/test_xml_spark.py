@@ -648,3 +648,32 @@ def test_jvm_path_int_bool_error_parity(spark):
     ):
         with pytest.raises((Py4JJavaError, PythonException, Exception)):
             run(mk, doc)
+
+
+def test_namespaced_documents_match_reference_localname_semantics(spark):
+    """Parser.cs matches by reader.LocalName (133, 166): namespaces and
+    prefixes are invisible.  Both extraction paths must agree — the JVM
+    path via its prefix-strip preprocessing, the kernel via _localname —
+    and colons inside text/attribute values must survive untouched."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
+
+    doc = (
+        '<o xmlns="http://ex/ns" xmlns:p="http://ex/p" id="7">'
+        "<a>5</a><p:b>hi 10:30</p:b><p:c><d>x:y</d></p:c></o>"
+    )
+    spec = X.struct(
+        "o",
+        {
+            "id": X.attr("id"),
+            "a": X.nint("a"),
+            "b": X.string("b"),
+            "c": X.struct("c", {"d": X.string("d")}),
+        },
+    )
+    df = spark.createDataFrame([(doc,)], "xml string")
+    expected = [("7", 5, "hi 10:30", ("x:y",))]
+    got_kernel = [tuple(r) for r in extract_xml(df, "xml", spec).collect()]
+    got_jvm = [tuple(r) for r in extract_xml_jvm(df, "xml", spec).collect()]
+    assert got_kernel == got_jvm
+    assert [(r[0], r[1], r[2], tuple(r[3])) for r in got_kernel] == expected

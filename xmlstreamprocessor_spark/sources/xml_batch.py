@@ -266,7 +266,9 @@ def read_xml(
 # ---------------------------------------------------------------------------
 
 
-def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
+def extract_xml_jvm(
+    df: DataFrame, col: str, spec, strip_namespaces: bool = True
+) -> DataFrame:
     """Extract with Spark's built-in ``from_xml`` — fully JVM-side, no Python
     hop, so it whole-stage-codegens with the surrounding plan.
 
@@ -282,7 +284,15 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
     projections — raise ``ValueError``; use ``extract_xml`` (the Python
     kernel) for those.  Missing-tag defaults (``X.int_`` -> 0) are applied
     with ``coalesce`` after parsing, matching ParserData.Get semantics
-    (Parser.cs:531-536)."""
+    (Parser.cs:531-536).
+
+    ``strip_namespaces`` (default True) matches the reference's
+    namespace-ignorant LocalName matching (Parser.cs:133, 166): element
+    prefixes (``<p:b>``) are removed JVM-side before parsing, since
+    ``from_xml`` otherwise keys the field on the prefixed name and the
+    column silently nulls.  Prefixed *attributes* are left as-is (rare;
+    the python kernel handles those).  Pass False to skip the extra
+    regexp when documents are known prefix-free."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -475,8 +485,13 @@ def extract_xml_jvm(df: DataFrame, col: str, spec) -> DataFrame:
         return fields, outs
 
     fields, outs = _compile(spec)
+    src = F.col(col)
+    if strip_namespaces:
+        # `<p:b>` / `</p:b>` -> `<b>` / `</b>`; anchored at the tag opener
+        # so colons in text or attribute values are untouched
+        src = F.regexp_replace(src, r"(</?)[A-Za-z_][\w.-]*:", r"$1")
     parsed = F.from_xml(
-        F.col(col),
+        src,
         T.StructType(fields),
         {"timestampFormat": "yyyy-MM-dd HH:mm:ss", "attributePrefix": "_"},
     )
