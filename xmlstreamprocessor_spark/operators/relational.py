@@ -1884,3 +1884,67 @@ def profile_orders_table(spark, sf_dir):
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_min"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_max"),
     )
+
+
+@query(
+    "setop_except_all_statuses",
+    oracle="""
+    SELECT o_orderstatus FROM (
+      SELECT o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+      EXCEPT ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderkey % 5 = 0
+    ) t ORDER BY o_orderstatus
+    """,
+)
+def setop_except_all_statuses(spark, sf_dir):
+    """Multiset EXCEPT ALL (bag difference keeps surplus duplicates —
+    semantically a per-key count subtraction, which is how Spark plans it:
+    one hash aggregate per side, no row-by-row anti join)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderstatus")
+    b = o.filter(F.col("o_orderkey") % 5 == 0).select("o_orderstatus")
+    return a.exceptAll(b).orderBy("o_orderstatus")
+
+
+@query(
+    "setop_intersect_all_statuses",
+    oracle="""
+    SELECT o_orderstatus FROM (
+      SELECT o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+      INTERSECT ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderkey % 5 = 0
+    ) t ORDER BY o_orderstatus
+    """,
+)
+def setop_intersect_all_statuses(spark, sf_dir):
+    """Multiset INTERSECT ALL (bag intersection = per-key min of the two
+    sides' multiplicities)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderstatus")
+    b = o.filter(F.col("o_orderkey") % 5 == 0).select("o_orderstatus")
+    return a.intersectAll(b).orderBy("o_orderstatus")
+
+
+@query(
+    "agg_string_concat_nations",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def agg_string_concat_nations(spark, sf_dir):
+    """Ordered string aggregation: collect_list is partition-order-dependent,
+    so the engine-independent spelling is collect -> array_sort ->
+    array_join (the ORDER BY inside the oracle's string_agg).  Scale: the
+    sort is per-group over the collected values, never a global sort."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .orderBy("n_regionkey")
+    )
