@@ -345,3 +345,74 @@ def analytic_zscore_anomalies(spark, sf_dir):
         j.filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "window_running_distinct_statuses",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(DISTINCT o_orderstatus) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS statuses_seen
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_distinct_statuses(spark, sf_dir):
+    """Running count-distinct per customer.  Spark windows don't support
+    COUNT(DISTINCT ...) OVER directly; the engine-equivalent spelling is
+    size(collect_set() OVER frame) — per-partition state is the distinct
+    set (bounded: 3 statuses), so the frame never rescans."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.size(F.collect_set("o_orderstatus").over(w)).alias("statuses_seen"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 6)                 AS qty_stddev,
+           round(var_samp(l_quantity), 6)                    AS qty_var,
+           round(avg(l_quantity), 6)                         AS qty_mean
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """Second-moment statistics (corr / covariance / stddev / variance) —
+    the profiling aggregates behind feature normalization.  All built-in
+    single-pass partial+final aggregates; rounding absorbs the (stable)
+    last-bit differences between engines' update formulas."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
