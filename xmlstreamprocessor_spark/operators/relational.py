@@ -1948,3 +1948,34 @@ def agg_string_concat_nations(spark, sf_dir):
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "agg_histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*)                                      AS n,
+           min(CAST(o_totalprice AS DECIMAL(18,2)))      AS lo,
+           max(CAST(o_totalprice AS DECIMAL(18,2)))      AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram (50k buckets over order totals) — the
+    profiling/skew-detection primitive.  Fixed bounds keep it one pass;
+    a data-dependent min/max would need a second scan or a driver
+    round-trip.  Bucketing is floor division, exact in both engines."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(dec2("o_totalprice")).alias("lo"),
+            F.max(dec2("o_totalprice")).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
