@@ -1979,3 +1979,41 @@ def agg_histogram_totalprice(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))      AS qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price,
+             sum(CAST(l_discount AS DECIMAL(18,2)))      AS discount,
+             sum(CAST(l_tax AS DECIMAL(18,2)))           AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS measure, qty AS total FROM sums
+    UNION ALL SELECT l_returnflag, 'price', price FROM sums
+    UNION ALL SELECT l_returnflag, 'discount', discount FROM sums
+    UNION ALL SELECT l_returnflag, 'tax', tax FROM sums
+    ORDER BY l_returnflag, measure
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Wide-to-long reshape with the native unpivot operator (the inverse
+    of pivot_status_totals_by_priority).  Scale: unpivot is a zero-shuffle
+    projection (each input row fans out to k rows in place); the only
+    shuffle is the upstream aggregate."""
+    l = t(spark, sf_dir, "lineitem")
+    sums = l.groupBy("l_returnflag").agg(
+        F.sum(dec2("l_quantity")).alias("qty"),
+        F.sum(dec2("l_extendedprice")).alias("price"),
+        F.sum(dec2("l_discount")).alias("discount"),
+        F.sum(dec2("l_tax")).alias("tax"),
+    )
+    return sums.unpivot(
+        ["l_returnflag"],
+        ["qty", "price", "discount", "tax"],
+        "measure",
+        "total",
+    ).orderBy("l_returnflag", "measure")

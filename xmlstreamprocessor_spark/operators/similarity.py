@@ -422,3 +422,95 @@ def kmeans_lloyd(vectors, k: int = 8, n_iter: int = 5):
             FF.transform(FF.col("vsum"), lambda s: s / FF.col("n")).alias("ce"),
         )
     return assign, cents
+
+
+_N_PROBES = 2
+
+
+@query(
+    "similarity_topk_ivf_multiprobe",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS ce FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ), cell_assign AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {duck_cosine6('v.embedding', 'c.ce')} DESC,
+                                         cell) AS rk
+      FROM embeddings v CROSS JOIN cents c
+    ), corpus_cells AS (
+      SELECT vec_id, cell FROM cell_assign WHERE rk = 1
+    ), probe_cells AS (
+      SELECT vec_id, cell FROM cell_assign
+      WHERE rk <= {_N_PROBES} AND vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT p.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             {duck_cosine6('q.embedding', 'c2.embedding')} AS cos_sim
+      FROM probe_cells p
+      JOIN corpus_cells cc ON cc.cell = p.cell AND cc.vec_id <> p.vec_id
+      JOIN embeddings q  ON q.vec_id = p.vec_id
+      JOIN embeddings c2 ON c2.vec_id = cc.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def similarity_topk_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF: each query searches its {p} most-similar coarse
+    cells instead of one — the standard recall knob (nprobe) of IVF
+    indexes, trading a bounded widening of the candidate join for recall
+    approaching brute force.  Scale: cell assignment is a broadcast
+    map-only pass; the candidate join stays an equi-join on the cell key,
+    now with <= nprobe rows per query on the probe side."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _N_CELLS).select(
+            F.col("vec_id").alias("cell"), as_double_array("embedding").alias("ce")
+        )
+    )
+    v = e.select("vec_id", as_double_array("embedding").alias("ve"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assign = (
+        v.crossJoin(cents)
+        .select("vec_id", "cell", cosine6(F.col("ve"), F.col("ce")).alias("sim"))
+        .withColumn("rk", F.row_number().over(wc))
+    )
+    corpus_cells = assign.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("cvec"), F.col("cell").alias("ccell")
+    )
+    probe_cells = (
+        assign.filter((F.col("rk") <= _N_PROBES) & (F.col("vec_id") < _N_QUERIES))
+        .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("pcell"))
+    )
+    qv = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qe")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("nid"), as_double_array("embedding").alias("ne")
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(
+            corpus_cells,
+            (F.col("pcell") == F.col("ccell")) & (F.col("cvec") != F.col("query_id")),
+        )
+        .select("query_id", F.col("cvec").alias("neighbor_id"))
+        .join(F.broadcast(qv), F.col("query_id") == F.col("qid"))
+        .join(cv, F.col("neighbor_id") == F.col("nid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine6(F.col("qe"), F.col("ne")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
