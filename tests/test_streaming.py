@@ -376,3 +376,39 @@ def test_stream_packer_equals_batch_twin(spark):
         by_chunk.setdefault((shard, seq), []).append(n)
     for docs in by_chunk.values():
         assert sum(docs) <= 512 or len(docs) == 1
+
+
+def test_stream_pipeline_equals_batch_pipeline(spark):
+    """Full streaming pipeline (stream-static dedup join -> mix predicate ->
+    stateful packer) == batch twin, byte for byte: every stage is
+    deterministic and the packer kernel is state-carry associative."""
+    from xmlstreamprocessor_spark.streaming import (
+        keeper_set,
+        mix_predicate,
+        pack_batch_greedy,
+        pipeline_stream_dedup_mix_pack,
+        stream_documents,
+    )
+
+    batch = catalog.load(spark, SF, "documents")
+    keepers = keeper_set(batch)
+    _drain(
+        pipeline_stream_dedup_mix_pack(
+            stream_documents(spark, SF), keepers, cap=512
+        ),
+        "t_pipe",
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_pipe").collect()}
+    mixed = (
+        batch.join(F.broadcast(keepers), "doc_id", "left_semi")
+        .filter(mix_predicate())
+        .select(
+            (F.col("doc_id") / 100).cast("bigint").alias("shard"),
+            "doc_id",
+            F.regexp_count(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+    exp = {tuple(r) for r in pack_batch_greedy(mixed, cap=512).collect()}
+    assert got == exp and len(got) > 0

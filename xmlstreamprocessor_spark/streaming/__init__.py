@@ -13,6 +13,11 @@ from xmlstreamprocessor_spark.streaming.stateful import (
     sessionize_event_time,
     sessionize_stateful,
 )
+from xmlstreamprocessor_spark.streaming.pipeline import (
+    keeper_set,
+    mix_predicate,
+    pipeline_stream_dedup_mix_pack,
+)
 from xmlstreamprocessor_spark.streaming.packer import (
     pack_batch_greedy,
     pack_stream_stateful,
@@ -36,4 +41,7 @@ __all__ = [
     "join_purchases_to_views",
     "pack_stream_stateful",
     "pack_batch_greedy",
+    "keeper_set",
+    "mix_predicate",
+    "pipeline_stream_dedup_mix_pack",
 ]
