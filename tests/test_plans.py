@@ -115,3 +115,34 @@ def test_tfidf_window_prunes_before_exchange(spark):
     # before the window exchange
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_q2_broadcasts_dims_and_windows_on_partkey(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    # supplier x nation x region collapses to broadcasts; the correlated
+    # min-cost subquery is a window over ps_partkey, not a self-join rescan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan and "ps_partkey" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_broadcast_scalar_not_shuffle(spark):
+    plan = _plan(spark, "q11_important_stock")
+    # the one-row grand total crosses as a broadcast nested loop (scalar),
+    # never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_mix_is_scan_stage_predicate(spark):
+    plan = _plan(spark, "mix_weighted_corpus")
+    # the md5-rate mix must evaluate inside the scan stage: no Exchange
+    # before the filter, no shuffle at all except the output ordering
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_multiprobe_candidates_stay_equijoin(spark):
+    plan = _plan(spark, "similarity_topk_ivf_multiprobe")
+    assert "CartesianProduct" not in plan
+    # the probe->corpus candidate join is an equi-join on the cell key
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
