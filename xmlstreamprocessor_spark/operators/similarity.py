@@ -18,7 +18,9 @@ from pyspark.sql import Window, functions as F
 from xmlstreamprocessor_spark.functions.vectors import (
     as_double_array,
     cosine6,
+    dot,
     duck_cosine6,
+    norm,
 )
 from xmlstreamprocessor_spark.operators.registry import query, t
 
@@ -49,15 +51,23 @@ def similarity_topk_bruteforce(spark, sf_dir):
     is fully deterministic and engine-independent."""
     e = t(spark, sf_dir, "embeddings")
     q = F.broadcast(
-        e.filter(F.col("vec_id") < _N_QUERIES).select(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
             F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qe")
         )
+        .withColumn("nq", norm(F.col("qe")))
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("ce")
-    )
+    ).withColumn("nc", norm(F.col("ce")))
+    # norms hoisted to the join inputs (n, not n*q, sqrt evaluations); the
+    # per-pair expression tree is then identical to the oracle's
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", cosine6(F.col("qe"), F.col("ce")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -92,23 +102,29 @@ def similarity_topk_ivf(spark, sf_dir):
     O(N*Q/cells) with a key-partitioned shuffle."""
     e = t(spark, sf_dir, "embeddings")
     q = F.broadcast(
-        e.filter(F.col("vec_id") < _N_QUERIES).select(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("qlabel"),
             as_double_array("embedding").alias("qe"),
         )
+        .withColumn("nq", norm(F.col("qe")))
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         as_double_array("embedding").alias("ce"),
-    )
+    ).withColumn("nc", norm(F.col("ce")))
     scored = q.join(
         c,
         (F.col("qlabel") == F.col("clabel"))
         & (F.col("query_id") != F.col("neighbor_id")),
     ).select(
-        "query_id", "neighbor_id", cosine6(F.col("qe"), F.col("ce")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
