@@ -416,3 +416,106 @@ def agg_stats_moments(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2))
+               + CAST(25.50 AS DECIMAL(18,2)) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), cdc AS (
+      SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM cdc
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+           CAST(b.o_totalprice AS DECIMAL(18,2))
+    FROM orders b LEFT JOIN cdc u ON u.o_orderkey = b.o_orderkey
+    WHERE u.o_orderkey IS NULL
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE/upsert semantics on plain parquet tables (no table-format
+    dependency): CDC rows win on key match, unmatched base rows survive,
+    new keys insert — expressed as (cdc UNION ALL base-anti-join-cdc).
+    Scale: one shuffle on the merge key; with a bucketed base table the
+    anti join co-locates and the rewrite touches only matched buckets
+    (see sources/formats.write_bucketed)."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", dec2("o_totalprice").alias("o_totalprice")
+    )
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice") + F.lit(25.50).cast("decimal(18,2)"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    cdc = updates.unionByName(inserts)
+    survived = base.join(cdc.select("o_orderkey"), "o_orderkey", "left_anti")
+    return cdc.unionByName(survived).orderBy("o_orderkey")
+
+
+@query(
+    "scd2_customer_priority_history",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             min(o_orderpriority) AS priority
+      FROM orders GROUP BY o_custkey, year(o_orderdate)
+    ), changes AS (
+      SELECT o_custkey, yr, priority,
+             lag(priority) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev
+      FROM yearly
+    ), versions AS (
+      SELECT o_custkey, yr AS valid_from, priority
+      FROM changes WHERE prev IS NULL OR prev <> priority
+    )
+    SELECT o_custkey, valid_from,
+           COALESCE(lead(valid_from) OVER (PARTITION BY o_custkey
+                                           ORDER BY valid_from) - 1,
+                    9999) AS valid_to,
+           priority
+    FROM versions
+    ORDER BY o_custkey, valid_from
+    """,
+)
+def scd2_customer_priority_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build: collapse a yearly attribute
+    feed into [valid_from, valid_to] version rows (new row only when the
+    value changes; open version capped at 9999).  Two windows over the
+    same (custkey, yr) partitioning — Catalyst reuses one sort+shuffle for
+    both, so the whole history build is a single exchange."""
+    o = t(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.min("o_orderpriority").alias("priority"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    versions = (
+        yearly.withColumn("prev", F.lag("priority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("priority")))
+        .select("o_custkey", F.col("yr").alias("valid_from"), "priority")
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("valid_from")
+    return (
+        versions.withColumn(
+            "valid_to",
+            F.coalesce(F.lead("valid_from").over(wv) - 1, F.lit(9999)),
+        )
+        .select("o_custkey", "valid_from", "valid_to", "priority")
+        .orderBy("o_custkey", "valid_from")
+    )
