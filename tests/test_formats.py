@@ -132,3 +132,17 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     # predicate and projection must reach the ORC scan
     assert "PushedFilters" in plan and "o_orderstatus" in plan
     assert pruned.count() == df.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_compact_small_files(spark, tmp_path):
+    df = catalog.load(spark, SF, "orders")
+    frag = str(tmp_path / "frag")
+    df.repartition(40).write.parquet(frag)  # fragment: 40 tiny files
+    import glob
+
+    assert len(glob.glob(f"{frag}/*.parquet")) == 40
+    before = sorted(map(tuple, spark.read.parquet(frag).collect()))
+    n = formats.compact_small_files(spark, frag, target_mb=128)
+    files = glob.glob(f"{frag}/*.parquet")
+    assert len(files) == n and n < 40
+    assert sorted(map(tuple, spark.read.parquet(frag).collect())) == before

@@ -182,3 +182,37 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a fragmented dataset into ~``target_mb`` files (the
+    small-files compaction every long-running ingest eventually needs:
+    streaming sinks and fine-grained partitions accrete kilobyte files
+    that crush scan planning and the NameNode/listing path).
+
+    Sizing is computed from the dataset's actual on-disk bytes, then the
+    rewrite is a single ``coalesce`` (no shuffle — merging is the point;
+    use repartition only when also re-clustering).  Writes to a temp
+    sibling then swaps, so a failed rewrite never destroys the input.
+    Returns the new file count."""
+    import math
+    import os
+    import shutil
+
+    size = 0
+    for dirpath, _, files in os.walk(path):
+        size += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    backup = path.rstrip("/") + "__compact_old"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n_files
