@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from xmlstreamprocessor_spark.functions.text import duck_shingles
 from xmlstreamprocessor_spark.operators.registry import query, t
 
 # stopword marker sets for the language-ID heuristic (deterministic; the
@@ -373,4 +374,53 @@ def text_tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
+    )
+
+
+_EVAL_DOCS = 20  # doc_id < 20 stand in for the benchmark/eval set
+_DECON_N = 4  # 4-gram window (the standard is 8-13; the synthetic corpus is too
+# short-sentence for 8-grams to ever collide, so the check uses 4)
+
+
+@query(
+    "text_decontaminate_overlap",
+    oracle=f"""
+    WITH train_sh AS (
+      SELECT doc_id, unnest({duck_shingles('lower(text)', _DECON_N)}) AS sh
+      FROM documents WHERE doc_id >= {_EVAL_DOCS}
+    ), eval_sh AS (
+      SELECT DISTINCT unnest({duck_shingles('lower(text)', _DECON_N)}) AS sh
+      FROM documents WHERE doc_id < {_EVAL_DOCS}
+    )
+    SELECT t.doc_id, count(DISTINCT t.sh) AS n_shared_ngrams
+    FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination: training documents sharing any n-gram
+    with the eval set (doc_id < 20; production uses 8-13-grams), with the
+    shared-ngram count as the
+    contamination score — the filter run before every pretraining launch
+    so eval answers don't leak into the corpus.  Scale: the eval side's
+    distinct shingles are tiny (benchmarks are small by definition) and
+    broadcast; the train side streams one explode -> broadcast-semi-ish
+    join, no all-pairs comparison anywhere."""
+    from xmlstreamprocessor_spark.functions.text import shingles
+
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") >= _EVAL_DOCS).select(
+        "doc_id", F.explode(shingles(F.lower(F.col("text")), _DECON_N)).alias("sh")
+    )
+    eval_sh = (
+        d.filter(F.col("doc_id") < _EVAL_DOCS)
+        .select(F.explode(shingles(F.lower(F.col("text")), _DECON_N)).alias("sh"))
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
     )
