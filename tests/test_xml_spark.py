@@ -677,3 +677,56 @@ def test_namespaced_documents_match_reference_localname_semantics(spark):
     got_jvm = [tuple(r) for r in extract_xml_jvm(df, "xml", spec).collect()]
     assert got_kernel == got_jvm
     assert [(r[0], r[1], r[2], tuple(r[3])) for r in got_kernel] == expected
+
+
+def test_xspxml_partition_pruning_optin_and_safe_default(spark, tmp_path):
+    """pushFilters partition pruning: (a) the DEFAULT reader never prunes,
+    so a reused DataFrame answering a filtered scan then an unfiltered one
+    stays correct despite Spark's partition-list reuse; (b) with
+    .option("partitionPruning","true") the file list shrinks to the
+    matching hive directories and results stay correct."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.sources.datasource import (
+        XmlSourceReader,
+        register_xml_source,
+    )
+
+    register_xml_source(spark)
+    path = str(tmp_path / "pp")
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], i) for i in range(40)], "id bigint, k string, v bigint"
+    )
+    (
+        df.coalesce(1).write.format("xspxml").option("rowTag", "r")
+        .option("partitionBy", "k").mode("overwrite").save(path)
+    )
+
+    def load(prune):
+        r = (
+            spark.read.format("xspxml")
+            .schema("id bigint, k string, v bigint")
+            .option("rowTag", "r")
+        )
+        if prune:
+            r = r.option("partitionPruning", "true")
+        return r.load(path)
+
+    # (a) shared-DataFrame safety with the default reader
+    same = load(False)
+    assert same.filter(F.col("k") == "A").count() == 20
+    assert same.count() == 40
+    # (b) opt-in pruning: correct rows, and the reader-level file list
+    # actually shrinks to the k=A directory
+    assert load(True).filter(F.col("k") == "A").count() == 20
+    from pyspark.sql.datasource import EqualTo
+
+    rdr = XmlSourceReader(
+        load(True).schema,
+        {"rowTag": "r", "path": path, "partitionPruning": "true"},
+    )
+    list(rdr.pushFilters([EqualTo(("k",), "A")]))
+    files = [p.path for p in rdr.partitions()]
+    assert files and all("k=A" in f for f in files)
+    # consume-once: a second partitions() call sees no stale filters
+    assert any("k=B" in p.path for p in rdr.partitions())

@@ -88,8 +88,53 @@ class XmlSourceReader(DataSourceReader):
             raise ValueError("xspxml needs .option('path', ...) or load(path)")
         spec_b64 = options.get("specPickle")
         self.spec_bytes = base64.b64decode(spec_b64) if spec_b64 else None
+        self._eq_filters: dict = {}
+        # opt-in: Spark reuses the first-planned partition list for later
+        # UNFILTERED scans of the same DataFrame (observed on 4.1), so
+        # transparent pruning could silently drop rows there.  Enable when
+        # every query does its own load() — the normal pipeline shape.
+        self.partition_pruning = (
+            str(options.get("partitionPruning", "false")).lower() == "true"
+        )
+
+    def pushFilters(self, filters):
+        """Partition pruning for the hive-style layout the writer emits:
+        EqualTo/In filters on partition columns shrink the FILE LIST before
+        any task launches (the XML payload is never opened for pruned
+        directories).  Everything is reported back as unhandled so Spark
+        still applies the predicates — pruning is an optimization, not a
+        correctness contract (data columns can't be pruned here: values
+        only exist after the parse).  Requires .option("partitionPruning",
+        "true"); see __init__ for why it is opt-in."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        self._eq_filters = {}
+        for f in filters:
+            if self.partition_pruning and isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self._eq_filters.setdefault(f.attribute[0], set()).add(f.value)
+            elif self.partition_pruning and isinstance(f, In) and len(f.attribute) == 1:
+                self._eq_filters.setdefault(f.attribute[0], set()).update(f.value)
+            yield f  # let Spark re-apply every filter post-scan
 
     def partitions(self):  # one task per file — the read_xml parallel unit
+        # consume-once: the reader instance is cached with the relation and
+        # serves every scan of the DataFrame, but pushFilters only runs for
+        # scans that HAVE filters — a later unfiltered scan calls
+        # partitions() directly, and stale pruning would drop its rows.
+        # Since every pushed filter is also re-applied by Spark (we yield
+        # them all back), clearing after use can only widen the file list,
+        # never corrupt results.
+        eq_filters, self._eq_filters = self._eq_filters, {}
+
+        def pruned(fpath: str) -> bool:
+            if not eq_filters:
+                return False
+            vals = self._partition_values(fpath)
+            return any(
+                k in vals and vals[k] not in allowed
+                for k, allowed in eq_filters.items()
+            )
+
         import glob
         import os
 
@@ -101,7 +146,7 @@ class XmlSourceReader(DataSourceReader):
             )
         else:
             files = sorted(glob.glob(self.path)) or [self.path]
-        return [_FilePartition(p) for p in files]
+        return [_FilePartition(p) for p in files if not pruned(p)]
 
     def _partition_values(self, fpath: str) -> dict:
         """Hive-style ``key=value`` dir segments between the base path and
@@ -217,6 +262,9 @@ def _schema_spec(schema: StructType) -> CompiledSpec:
 
 
 def register_xml_source(spark) -> None:
+    # the reader implements pushFilters(); Spark refuses to instantiate it
+    # unless python-source pushdown is on (runtime-settable SQL conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     """Register the ``xspxml`` format on this session."""
     spark.dataSource.register(XmlDataSource)
 
