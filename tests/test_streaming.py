@@ -412,3 +412,44 @@ def test_stream_pipeline_equals_batch_pipeline(spark):
     )
     exp = {tuple(r) for r in pack_batch_greedy(mixed, cap=512).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_xspxml_stream_resume_reads_only_new_files(spark, tmp_path):
+    """Exactly-once file discovery across RESTARTS: a second streaming
+    query on the same checkpoint must ingest only files that appeared
+    after the first drain (offset = ingested-file set, replayed from the
+    checkpoint log on restart)."""
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_doc(name, ids):
+        rows = "".join(f"<r><id>{i}</id></r>" for i in ids)
+        (src / name).write_text(f"<root>{rows}</root>")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("xspxml")
+            .schema("id bigint")
+            .option("rowTag", "r")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    write_doc("a.xml", [1, 2, 3])
+    assert drain() == [1, 2, 3]
+    write_doc("b.xml", [4, 5])
+    # restart on the same checkpoint: b.xml appended exactly once, a.xml
+    # NOT re-ingested (no duplicates of 1/2/3)
+    assert drain() == [1, 2, 3, 4, 5]
