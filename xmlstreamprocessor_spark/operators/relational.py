@@ -2017,3 +2017,104 @@ def unpivot_lineitem_measures(spark, sf_dir):
         "measure",
         "total",
     ).orderBy("l_returnflag", "measure")
+
+
+@query(
+    "subquery_exists_urgent_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    ORDER BY c.c_custkey
+    """,
+)
+def subquery_exists_urgent_customers(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS — planned as left-semi and left-anti
+    joins (the decorrelation Catalyst applies to the SQL form, written
+    directly here).  Scale: both probe sides reduce to distinct custkeys
+    before joining, and AQE picks broadcast when they collapse small."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("f_custkey")
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(finished, c.c_custkey == finished.f_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 500
+    ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def lateral_top2_orders_per_customer(spark, sf_dir):
+    """LATERAL correlated subquery (top-2 orders per customer), executed
+    through Spark SQL's LATERAL support so Catalyst decorrelates it into
+    the window top-k plan — proof the SQL surface matches the DataFrame
+    one.  Scale: decorrelation means one shuffle on custkey, not one
+    subquery execution per customer row."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("xsp_lat_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("xsp_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM xsp_lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM xsp_lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 500
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@query(
+    "scalar_map_functions",
+    oracle="""
+    SELECT n_nationkey,
+           map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}['name'][1]
+             AS name_val,
+           CAST(cardinality(map {'name': n_name,
+                                 'region': CAST(n_regionkey AS VARCHAR)})
+                AS INTEGER) AS n_keys,
+           array_to_string(map_keys(map {'name': n_name,
+                                         'region': CAST(n_regionkey AS VARCHAR)}),
+                           ',') AS key_list
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def scalar_map_functions(spark, sf_dir):
+    """Map-type scalar functions (construction, lookup, cardinality, key
+    enumeration) — outputs are scalars so the cross-engine compare stays
+    type-stable.  All JVM expressions inside codegen."""
+    n = t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_val"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+    ).orderBy("n_nationkey")
