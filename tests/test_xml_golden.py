@@ -214,3 +214,48 @@ def test_custom_escape_hatch():
     spec = X.struct("r", {"n": X.custom("blob", lambda e: len(list(e)), T.IntegerType())})
     [rec] = extract_xml_records([xml], spec)
     assert rec["n"] == 2
+
+
+def test_edge_cases_pi_charrefs_whitespace(spark):
+    """Edge cases beyond the reference's golden set: processing
+    instructions are skipped like any unknown content, numeric character
+    references outside the BMP decode to the astral codepoint, and
+    leading/trailing whitespace inside a text node is preserved verbatim
+    by the string parser (Parser.cs:34-56 reads the raw text)."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources import extract_xml
+
+    doc = (
+        '<o><?do-something args?><a>  padded  </a>'
+        "<b>&#119070;clef</b><c>line1\nline2</c></o>"
+    )
+    spec = X.struct(
+        "o", {"a": X.string("a"), "b": X.string("b"), "c": X.string("c")}
+    )
+    df = spark.createDataFrame([(doc,)], "xml string")
+    row = extract_xml(df, "xml", spec).collect()[0]
+    assert row["a"] == "  padded  "
+    assert row["b"] == "\U0001d11eclef"
+    assert row["c"] == "line1\nline2"
+
+
+def test_inferred_spec_matches_declared_on_same_documents(spark):
+    """infer_xml_spec over sample docs must produce a spec whose
+    extraction agrees with a hand-declared spec on those same documents
+    (inference is a starting point with identical runtime semantics)."""
+    from xmlstreamprocessor_spark.plans import X, infer_xml_spec
+    from xmlstreamprocessor_spark.sources import extract_xml
+
+    docs = [
+        "<r><id>1</id><name>ann</name><score>2.50</score></r>",
+        "<r><id>2</id><name>bob</name><score>3.75</score></r>",
+    ]
+    inferred = infer_xml_spec(docs)
+    declared = X.struct(
+        "r",
+        {"id": X.nint("id"), "name": X.string("name"), "score": X.ndecimal("score")},
+    )
+    df = spark.createDataFrame([(d,) for d in docs], "xml string")
+    got_inf = [tuple(r) for r in extract_xml(df, "xml", inferred).collect()]
+    got_dec = [tuple(r) for r in extract_xml(df, "xml", declared).collect()]
+    assert got_inf == got_dec and len(got_inf) == 2
