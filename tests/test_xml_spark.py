@@ -730,3 +730,36 @@ def test_xspxml_partition_pruning_optin_and_safe_default(spark, tmp_path):
     assert files and all("k=A" in f for f in files)
     # consume-once: a second partitions() call sees no stale filters
     assert any("k=B" in p.path for p in rdr.partitions())
+
+
+def test_xspxml_reader_malformed_modes(spark, tmp_path):
+    """DataSource-level error policy (same triple as extract_xml):
+    FAILFAST raises, DROPMALFORMED salvages the records completed before
+    the malformed bytes (iterparse prefix), PERMISSIVE adds one triage row
+    carrying the file path in a declared `_corrupt_file` column."""
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "good.xml").write_text("<root><r><id>1</id></r><r><id>2</id></r></root>")
+    (d / "bad.xml").write_text("<root><r><id>3</id></r><r><id>broken")
+
+    def load(mode):
+        return (
+            spark.read.format("xspxml")
+            .schema("id bigint, _corrupt_file string")
+            .option("rowTag", "r")
+            .option("mode", mode)
+            .load(str(d))
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        load("FAILFAST").collect()
+    dropped = sorted([(r["id"], r["_corrupt_file"]) for r in load("DROPMALFORMED").collect()], key=str)
+    assert dropped == [(1, None), (2, None), (3, None)]
+    perm = sorted([(r["id"], r["_corrupt_file"]) for r in load("PERMISSIVE").collect()], key=str)
+    assert perm[:3] == [(1, None), (2, None), (3, None)]
+    assert perm[3][0] is None and perm[3][1].endswith("bad.xml")

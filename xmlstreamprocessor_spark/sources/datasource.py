@@ -96,6 +96,9 @@ class XmlSourceReader(DataSourceReader):
         self.partition_pruning = (
             str(options.get("partitionPruning", "false")).lower() == "true"
         )
+        self.mode = str(options.get("mode", "FAILFAST")).upper()
+        if self.mode not in ("FAILFAST", "PERMISSIVE", "DROPMALFORMED"):
+            raise ValueError(f"unknown mode {self.mode!r}")
 
     def pushFilters(self, filters):
         """Partition pruning for the hive-style layout the writer emits:
@@ -189,7 +192,8 @@ class XmlSourceReader(DataSourceReader):
         out_names = [f.name for f in self.schema.fields]
         assert names == out_names, (names, out_names)
         pvals = self._partition_values(partition.path)
-        with open(partition.path, "rb") as fh:
+
+        def rows(fh):
             for rec in iterparse_records(fh, self.row_tag, compiled):
                 yield tuple(
                     pvals[n]
@@ -197,6 +201,30 @@ class XmlSourceReader(DataSourceReader):
                     else (coerce[n](rec.get(n)) if n in coerce else rec.get(n))
                     for n in names
                 )
+
+        with open(partition.path, "rb") as fh:
+            if self.mode == "FAILFAST":
+                yield from rows(fh)
+                return
+            # non-FAILFAST: iterparse streams, so every record completed
+            # BEFORE the malformed byte range is already out (prefix
+            # salvage, same policy as sources/xml_batch PERMISSIVE);
+            # PERMISSIVE additionally emits one triage row — nulls except
+            # a `_corrupt_file` field (if the schema declares one) holding
+            # the file path.
+            it = rows(fh)
+            while True:
+                try:
+                    yield next(it)
+                except StopIteration:
+                    return
+                except Exception:  # noqa: BLE001 — malformed XML / bad cast
+                    if self.mode == "PERMISSIVE":
+                        yield tuple(
+                            partition.path if n == "_corrupt_file" else None
+                            for n in names
+                        )
+                    return
 
 
 def _coercer(dt):
