@@ -405,3 +405,109 @@ def temporal_ewma_per_user(spark, sf_dir):
         .applyInPandas(_ewma, schema=out_schema)
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "temporal_gapfill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT s.event_type, s.h, hr.v
+      FROM spine s LEFT JOIN hourly hr
+        ON hr.event_type = s.event_type AND hr.h = s.h
+    ), ctx AS (
+      SELECT event_type, h, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wp AS pt,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wf AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           (v IS NULL) AS gap_filled,
+           round(CASE
+             WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE CAST(pv AS DOUBLE)
+                  + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                    * (date_diff('second', pt, h) * 1.0
+                       / date_diff('second', pt, nt))
+           END, 6) AS value_interp
+    FROM ctx
+    """,
+)
+def temporal_gapfill_interpolate(spark, sf_dir):
+    """Gap-fill with LINEAR INTERPOLATION between the surrounding
+    observations (LOCF's smooth sibling): two mirrored ignore-nulls
+    windows carry the previous/next known (time, value), the fill is the
+    standard lerp.  Catalyst shares one sort+shuffle for both window
+    frames (same partitioning/ordering).  Endpoints clamp to the nearest
+    known value."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(dec2("value")).alias("v")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = j.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_t, ignorenulls=True).over(wf).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("pt")) * F.lit(1.0)
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt"))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv").cast("double")
+            + (F.col("nv").cast("double") - F.col("pv").cast("double")) * frac
+        )
+    )
+    return ctx.select(
+        "event_type",
+        fmt_ts("h").alias("hour_start"),
+        F.col("v").isNull().alias("gap_filled"),
+        F.round(interp, 6).alias("value_interp"),
+    )
