@@ -424,3 +424,41 @@ def text_decontaminate_overlap(spark, sf_dir):
         .agg(F.countDistinct("sh").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+from xmlstreamprocessor_spark.operators.registry import REGISTRY as _REG  # noqa: E402
+
+_LANGID_SQL = _REG["text_langid_documents"][1]
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH preds AS ({_LANGID_SQL})
+    SELECT labeled_lang, pred_lang, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE) /
+                 sum(count(*)) OVER (PARTITION BY labeled_lang), 6) AS frac
+    FROM preds
+    GROUP BY labeled_lang, pred_lang
+    ORDER BY labeled_lang, pred_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Quality evaluation of the language-ID heuristic against the labeled
+    lang column: the confusion matrix with per-true-label fractions — the
+    report that decides whether a classifier is good enough to gate a
+    corpus.  Composes the langid query + one aggregate + one tiny window;
+    the eval is itself a distributed query, no collect."""
+    preds = text_langid_documents(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counts = preds.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return (
+        counts.withColumn(
+            "frac", F.round(F.col("n").cast("double") / F.sum("n").over(w), 6)
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
