@@ -519,3 +519,40 @@ def scd2_customer_priority_history(spark, sf_dir):
         .select("o_custkey", "valid_from", "valid_to", "priority")
         .orderBy("o_custkey", "valid_from")
     )
+
+
+@query(
+    "window_trailing_7day_revenue",
+    oracle="""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS trailing_7d
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, order_date, o_orderkey
+    """,
+)
+def window_trailing_7day_revenue(spark, sf_dir):
+    """Time-interval RANGE frame: per customer, revenue in the trailing
+    7 days of each order (including same-timestamp peers — RANGE, not
+    ROWS).  Both engines order by epoch seconds so the frame bound is the
+    same integer arithmetic.  Scale: one shuffle on custkey; the frame is
+    evaluated with a sliding aggregate inside the sorted partition, not a
+    rescan per row."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).alias("trailing_7d"),
+    ).orderBy("o_custkey", "order_date", "o_orderkey")
