@@ -1,6 +1,21 @@
-"""Local mirror of the driver's correctness gate: run every
-``__spark_entry__.queries()`` entry and its ``oracle_sql()`` twin on the same
-parquet tables, compare row count + order-insensitive values.
+"""Local mirror of the driver's correctness gate — STRICT mode.
+
+Runs every ``__spark_entry__.queries()`` entry and its ``oracle_sql()`` twin
+on the same parquet tables and compares them the way the round-1 driver
+evidently does (CORRECTNESS_r01.json forensics):
+
+* the DuckDB side is fetched via ``.df()`` — which converts **every**
+  DECIMAL (any precision) and HUGEINT to float64;
+* the Spark side is fetched via ``toPandas()`` — DecimalType stays
+  ``object`` holding ``decimal.Decimal``;
+* values are hashed with a **type-tagged** rendering, so ``Decimal('1.40')``
+  never equals ``1.4`` and ``int`` never equals ``float``.
+
+Hence the repo-wide rule this tool enforces: a registered query's final
+projection must contain only BIGINT, DOUBLE, STRING, BOOLEAN, DATE-formatted
+strings, or arrays/structs of those — never a raw DECIMAL on the Spark side,
+never a DECIMAL/HUGEINT on the oracle side.  Exact pandas dtypes must match
+column-for-column (int32 vs int64 is a failure: cast to BIGINT).
 
 Usage:
     python tools/check_correctness.py            # all queries @ sf0.01
@@ -12,7 +27,6 @@ from __future__ import annotations
 
 import datetime
 import decimal
-import json
 import math
 import os
 import sys
@@ -21,6 +35,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 TABLES = (
     "region",
@@ -37,36 +53,56 @@ TABLES = (
 
 
 def canon_value(v):
+    """Type-tagged strict rendering: int/float/Decimal are all distinct."""
     if v is None:
         return "\0NULL"
-    if isinstance(v, bool):
-        return f"b:{v}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
     if isinstance(v, decimal.Decimal):
-        return f"n:{format(v.normalize(), 'f')}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        if v == int(v) and abs(v) < 1e15:
-            return f"n:{int(v)}"
-        return f"f:{v!r}"
-    if isinstance(v, int):
-        return f"n:{v}"
-    if isinstance(v, datetime.datetime):
+        return f"D:{v}"  # scale-preserving: Decimal('1.40') != Decimal('1.4')
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:nan"  # cell-level NULLs are folded by _cell before this
+        return f"f:{f!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if v is pd.NaT:
+            return "\0NULL"
         return f"t:{v.replace(tzinfo=None).isoformat()}"
     if isinstance(v, datetime.date):
         return f"d:{v.isoformat()}"
     if isinstance(v, bytes):
         return f"y:{v.hex()}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}={canon_value(v[k])}" for k in sorted(v)) + "}"
+    if v is pd.NaT or v != v:  # residual NaT/NaN-like
+        return "\0NULL"
     return f"s:{v}"
 
 
-def canon_rows(cols: list[str], rows) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
+def _cell(df: pd.DataFrame, col: str, i: int):
+    v = df[col].iloc[i]
+    # pandas stores NULL in float cols as NaN and in object cols as None/NaN;
+    # fold both to NULL so engine-side NULL representation can't diverge.
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return None
+    return v
+
+
+def canon_frame(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    out = []
+    for i in range(len(df)):
+        out.append("|".join(canon_value(_cell(df, c, i)) for c in cols))
+    return sorted(out)
+
+
+def dtype_map(df: pd.DataFrame) -> dict[str, str]:
+    return {c.lower(): str(df[c].dtype) for c in df.columns}
 
 
 def main() -> int:
@@ -88,32 +124,34 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
             failed += 1
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             rows_only += 1
             continue
         try:
-            ores = con.sql(sql)
-            ocols = ores.columns
-            orows = ores.fetchall()
+            odf = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:200]}")
             failed += 1
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
-            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if len(spdf) != len(odf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(odf)}")
+        sd, od = dtype_map(spdf), dtype_map(odf)
+        if sorted(sd) != sorted(od):
+            problems.append(f"columns spark={sorted(sd)} duckdb={sorted(od)}")
+        else:
+            bad = {c: (sd[c], od[c]) for c in sd if sd[c] != od[c]}
+            if bad:
+                problems.append(f"dtypes differ {bad}")
         if not problems:
-            sc, oc = canon_rows(scols, srows), canon_rows(ocols, orows)
+            sc, oc = canon_frame(spdf), canon_frame(odf)
             if sc != oc:
                 diffs = [(a, b) for a, b in zip(sc, oc) if a != b]
                 extra_s = [x for x in sc if x not in set(oc)][:2]
@@ -126,7 +164,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failed += 1
         else:
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"ok    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
             passed += 1
     print(
         f"\n{passed} ok, {failed} failed, {rows_only} rows-only, "

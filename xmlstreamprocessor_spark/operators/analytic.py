@@ -7,7 +7,15 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from xmlstreamprocessor_spark.operators.registry import avg6, dec2, fmt_d, query, t
+from xmlstreamprocessor_spark.operators.registry import (
+    avg6,
+    big,
+    dec2,
+    fmt_d,
+    money2,
+    query,
+    t,
+)
 
 
 @query(
@@ -29,7 +37,7 @@ def window_topk_orders_per_customer(spark, sf_dir):
     )
     return (
         t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", big(F.row_number().over(w)))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -52,9 +60,9 @@ def window_rank_dense_ntile(spark, sf_dir):
         "p_partkey",
         "p_brand",
         "p_retailprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        big(F.rank().over(w)).alias("rnk"),
+        big(F.dense_rank().over(w)).alias("drnk"),
+        big(F.ntile(4).over(w)).alias("quartile"),
     )
 
 
@@ -62,11 +70,11 @@ def window_rank_dense_ntile(spark, sf_dir):
     "window_running_total_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              OVER (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_total
+             AS DOUBLE), 2) AS running_total
     FROM orders
     """,
 )
@@ -81,7 +89,7 @@ def window_running_total_per_customer(spark, sf_dir):
     return t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).alias("running_total"),
+        money2(F.sum(dec2("o_totalprice")).over(w)).alias("running_total"),
     )
 
 
@@ -354,7 +362,7 @@ def analytic_zscore_anomalies(spark, sf_dir):
            count(DISTINCT o_orderstatus) OVER (
              PARTITION BY o_custkey ORDER BY o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS statuses_seen
+           ) AS statuses_seen  -- BIGINT in DuckDB; Spark side casts to match
     FROM orders
     WHERE o_custkey < 200
     ORDER BY o_custkey, o_orderkey
@@ -375,7 +383,7 @@ def window_running_distinct_statuses(spark, sf_dir):
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.size(F.collect_set("o_orderstatus").over(w)).alias("statuses_seen"),
+            big(F.size(F.collect_set("o_orderstatus").over(w))).alias("statuses_seen"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -434,10 +442,12 @@ def agg_stats_moments(spark, sf_dir):
     ), cdc AS (
       SELECT * FROM updates UNION ALL SELECT * FROM inserts
     )
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM cdc
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice
+    FROM cdc
     UNION ALL
     SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
-           CAST(b.o_totalprice AS DECIMAL(18,2))
+           round(CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
     FROM orders b LEFT JOIN cdc u ON u.o_orderkey = b.o_orderkey
     WHERE u.o_orderkey IS NULL
     ORDER BY o_orderkey
@@ -466,7 +476,16 @@ def merge_upsert_orders(spark, sf_dir):
     )
     cdc = updates.unionByName(inserts)
     survived = base.join(cdc.select("o_orderkey"), "o_orderkey", "left_anti")
-    return cdc.unionByName(survived).orderBy("o_orderkey")
+    return (
+        cdc.unionByName(survived)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            money2(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -527,11 +546,11 @@ def scd2_customer_priority_history(spark, sf_dir):
     SELECT o_custkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey
              ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
-           ) AS trailing_7d
+           ) AS DOUBLE), 2) AS trailing_7d
     FROM orders
     WHERE o_custkey < 100
     ORDER BY o_custkey, order_date, o_orderkey
@@ -554,5 +573,5 @@ def window_trailing_7day_revenue(spark, sf_dir):
         "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).alias("trailing_7d"),
+        money2(F.sum(dec2("o_totalprice")).over(w)).alias("trailing_7d"),
     ).orderBy("o_custkey", "order_date", "o_orderkey")

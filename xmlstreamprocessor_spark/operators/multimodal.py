@@ -43,8 +43,8 @@ def _payload_df(spark, sf_dir):
     oracle="""
     SELECT source,
            count(*) AS n_items,
-           sum(octet_length(encode(text))) AS total_bytes,
-           max(octet_length(encode(text))) AS max_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
            min(md5(text)) AS min_digest
     FROM documents GROUP BY source
     """,
@@ -56,7 +56,7 @@ def multimodal_payload_stats(spark, sf_dir):
     return p.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.octet_length("payload")).alias("total_bytes"),
-        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.max(F.octet_length("payload")).cast("bigint").alias("max_bytes"),
         F.min(F.md5("payload")).alias("min_digest"),
     )
 

@@ -51,7 +51,7 @@ _SHARD = 100  # docs per prefix-sum shard
     )
     SELECT CAST(floor(COALESCE(start_off, 0) / {_CAP}) AS BIGINT) AS chunk_id,
            count(*)                 AS n_docs,
-           sum(n_tokens)            AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id)              AS first_doc,
            max(doc_id)              AS last_doc
     FROM offs
@@ -210,7 +210,7 @@ def mix_weighted_proportions(spark, sf_dir):
     )
     SELECT CAST(floor(COALESCE(start_off, 0) / {_CAP}) AS BIGINT) AS chunk_id,
            count(*)                        AS n_docs,
-           sum(n_tokens)                   AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
            count(DISTINCT lang)            AS n_langs,
            min(doc_id)                     AS first_doc,
            max(doc_id)                     AS last_doc

@@ -58,6 +58,34 @@ def avg6(sum_dec: F.Column, count_col: F.Column) -> F.Column:
     return F.round(sum_dec.cast("double") / count_col, 6)
 
 
+def money2(sum_dec: F.Column) -> F.Column:
+    """Canonical FINAL projection for an exact decimal money sum.
+
+    DuckDB's ``.df()`` (the driver's fetch path) converts every DECIMAL to
+    float64, while Spark's ``toPandas()`` keeps Decimal objects — so a raw
+    decimal in the output can never reliably hash-match.  Both engines
+    therefore cast the bit-identical decimal sum to DOUBLE and round to the
+    decimal's own scale (a no-op numerically: the double is within 1 ulp of
+    a 2-decimal value, never at a .5 tie).  Oracle twin:
+    ``round(CAST(sum(...) AS DOUBLE), 2)``.
+    """
+    return F.round(sum_dec.cast("double"), 2)
+
+
+def money4(sum_dec: F.Column) -> F.Column:
+    """As :func:`money2` for scale-4 decimal sums (price*(1-disc) shapes).
+    Oracle twin: ``round(CAST(sum(...) AS DOUBLE), 4)``."""
+    return F.round(sum_dec.cast("double"), 4)
+
+
+def big(c: F.Column) -> F.Column:
+    """Canonical integer output: BIGINT on both engines.  DuckDB widens
+    sum(INTEGER) to HUGEINT (→ float64 in ``.df()``) and Spark's year() is
+    int32 (→ int32 in pandas vs DuckDB's int64) — cast both sides so the
+    pandas dtype is int64 everywhere.  Oracle twin: ``CAST(... AS BIGINT)``."""
+    return c.cast("bigint")
+
+
 def fmt_d(c) -> F.Column:
     return F.date_format(c, "yyyy-MM-dd")
 

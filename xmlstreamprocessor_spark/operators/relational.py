@@ -14,8 +14,11 @@ from pyspark.sql import functions as F
 
 from xmlstreamprocessor_spark.operators.registry import (
     avg6,
+    big,
     dec2,
     fmt_d,
+    money2,
+    money4,
     query,
     t,
 )
@@ -29,13 +32,13 @@ from xmlstreamprocessor_spark.operators.registry import (
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(4,2)))
-               * (1 + CAST(l_tax AS DECIMAL(4,2))))      AS sum_charge,
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6)      AS sum_charge,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*), 6)                          AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -61,10 +64,14 @@ def q1_pricing_summary(spark, sf_dir):
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
+            money2(F.sum(qty)).alias("sum_qty"),
+            money2(F.sum(price)).alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1) - disc)).cast("double"), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double"), 6
+            ).alias("sum_charge"),
             avg6(F.sum(qty), F.count(F.lit(1))).alias("avg_qty"),
             avg6(F.sum(price), F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -76,8 +83,8 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -107,7 +114,7 @@ def q3_shipping_priority(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(disc_price).alias("revenue"))
+        .agg(money4(F.sum(disc_price)).alias("revenue"))
         .select("o_orderkey", "revenue", fmt_d("o_orderdate").alias("orderdate"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -118,8 +125,8 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -160,7 +167,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(disc_price).alias("revenue"))
+        .agg(money4(F.sum(disc_price)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -168,8 +175,8 @@ def q5_local_supplier_volume(spark, sf_dir):
 @query(
     "q6_revenue_forecast",
     oracle="""
-    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(4,2))) AS revenue,
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -191,9 +198,9 @@ def q6_revenue_forecast(spark, sf_dir):
             & (F.col("l_discount") <= 0.06)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.sum(dec2("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")).alias(
-                "revenue"
-            ),
+            money4(
+                F.sum(dec2("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -203,8 +210,8 @@ def q6_revenue_forecast(spark, sf_dir):
     "q_revenue_per_nation",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -229,7 +236,7 @@ def q_revenue_per_nation(spark, sf_dir):
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(disc_price).alias("revenue"),
+            money4(F.sum(disc_price)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -246,7 +253,8 @@ def q_revenue_per_nation(spark, sf_dir):
     oracle="""
     SELECT c.c_custkey,
            count(o.o_orderkey) AS n_orders,
-           coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS total_spent
+           round(CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                 AS DOUBLE), 2) AS total_spent
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
@@ -262,9 +270,9 @@ def join_left_customer_order_stats(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0).cast("decimal(18,2)")).alias(
-                "total_spent"
-            ),
+            money2(
+                F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            ).alias("total_spent"),
         )
     )
 
@@ -429,21 +437,21 @@ def agg_distinct_counts(spark, sf_dir):
 @query(
     "agg_rollup_order_year_priority",
     oracle="""
-    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
            o_orderpriority,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
            count(*) AS n
     FROM orders
-    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)
     """,
 )
 def agg_rollup_order_year_priority(spark, sf_dir):
     """ROLLUP hierarchy (year -> priority -> grand total)."""
     o = t(spark, sf_dir, "orders").withColumn(
-        "order_year", F.year("o_orderdate").cast("int")
+        "order_year", big(F.year("o_orderdate"))
     )
     return o.rollup("order_year", "o_orderpriority").agg(
-        F.sum(dec2("o_totalprice")).alias("total"), F.count(F.lit(1)).alias("n")
+        money2(F.sum(dec2("o_totalprice"))).alias("total"), F.count(F.lit(1)).alias("n")
     )
 
 
@@ -451,7 +459,7 @@ def agg_rollup_order_year_priority(spark, sf_dir):
     "agg_cube_lineitem_flags",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -459,7 +467,7 @@ def agg_cube_lineitem_flags(spark, sf_dir):
     return (
         t(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec2("l_quantity")).alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n"), money2(F.sum(dec2("l_quantity"))).alias("qty"))
     )
 
 
@@ -608,7 +616,7 @@ def distinct_order_status_priority(spark, sf_dir):
     SELECT p_partkey,
            upper(p_brand)                   AS brand_upper,
            lower(p_type)                    AS type_lower,
-           length(p_name)                   AS name_len,
+           CAST(length(p_name) AS BIGINT)   AS name_len,
            substr(p_name, 1, 5)             AS name_prefix,
            replace(p_type, ' ', '_')        AS type_snake,
            concat(p_brand, ':', p_type)     AS brand_type,
@@ -622,7 +630,7 @@ def scalar_string_functions(spark, sf_dir):
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.lower("p_type").alias("type_lower"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
@@ -695,7 +703,7 @@ def scalar_math_functions(spark, sf_dir):
     "json_extract_event_props",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -795,9 +803,12 @@ def agg_percentiles_price_by_returnflag(spark, sf_dir):
     "pivot_status_totals_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p
+           round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS f,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS o,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS p
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -809,7 +820,7 @@ def pivot_status_totals_by_priority(spark, sf_dir):
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum(dec2("o_totalprice")))
+        .agg(money2(F.sum(dec2("o_totalprice"))))
         .withColumnsRenamed({"F": "f", "O": "o", "P": "p"})
     )
 
@@ -818,7 +829,7 @@ def pivot_status_totals_by_priority(spark, sf_dir):
     "agg_salted_skewed_event_totals",
     oracle="""
     SELECT event_type,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -836,7 +847,7 @@ def agg_salted_skewed_event_totals(spark, sf_dir):
         F.sum(dec2("value")).alias("pv"), F.count(F.lit(1)).alias("pn")
     )
     return partial.groupBy("event_type").agg(
-        F.sum("pv").alias("total_value"), F.sum("pn").alias("n")
+        money2(F.sum("pv")).alias("total_value"), F.sum("pn").alias("n")
     )
 
 
@@ -881,8 +892,8 @@ def q14_promo_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -909,7 +920,7 @@ def q10_returned_items(spark, sf_dir):
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(disc_price).alias("revenue"))
+        .agg(money4(F.sum(disc_price)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -953,8 +964,8 @@ def scalar_array_functions(spark, sf_dir):
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -996,8 +1007,8 @@ def q7_volume_shipping(spark, sf_dir):
         .join(n1, F.col("s_nationkey") == F.col("s_nk"))
         .join(n2, F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(disc_price).alias("revenue"))
+        .groupBy("supp_nation", "cust_nation", big(F.year("l_shipdate")).alias("l_year"))
+        .agg(money4(F.sum(disc_price)).alias("revenue"))
     )
 
 
@@ -1053,7 +1064,7 @@ def q8_market_share(spark, sf_dir):
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n1, F.col("s_nationkey") == F.col("s_nk"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            big(F.year("o_orderdate")).alias("o_year"),
             volume.alias("volume"),
             "supp_nation",
         )
@@ -1105,10 +1116,10 @@ def q4_order_priority_check(spark, sf_dir):
     "q12_shipmode_priority",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1183,7 +1194,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+           round(CAST(o.o_totalprice AS DOUBLE), 2) AS totalprice
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN big b    ON o.o_orderkey = b.l_orderkey
@@ -1213,7 +1224,7 @@ def q18_large_volume_customers(spark, sf_dir):
             "c_name",
             "o_orderkey",
             fmt_d("o_orderdate").alias("orderdate"),
-            dec2("o_totalprice").alias("totalprice"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
         )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -1233,7 +1244,7 @@ def q18_large_volume_customers(spark, sf_dir):
     )
     SELECT c.c_nationkey,
            count(*) AS n_custs,
-           sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_bal
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > 0
       AND c.c_custkey NOT IN (SELECT o_custkey FROM active)
@@ -1256,7 +1267,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.sum(dec2("c_acctbal")).alias("total_bal"),
+            money2(F.sum(dec2("c_acctbal"))).alias("total_bal"),
         )
     )
 
@@ -1321,7 +1332,8 @@ def join_salted_skewed_fact_dim(spark, sf_dir):
         AND l_shipdate <  TIMESTAMP '1998-01-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_revenue AS DOUBLE), 4) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -1349,7 +1361,7 @@ def q15_top_supplier(spark, sf_dir):
     ).filter(F.col("total_revenue") == F.col("mx"))
     s = t(spark, sf_dir, "supplier")
     return s.join(top, s.s_suppkey == top.supplier_no).select(
-        "s_suppkey", "s_name", "total_revenue"
+        "s_suppkey", "s_name", money4(F.col("total_revenue")).alias("total_revenue")
     )
 
 
@@ -1359,8 +1371,8 @@ def q15_top_supplier(spark, sf_dir):
     SELECT o_custkey,
            (max(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)),
                             k := o_orderkey))).k AS top_orderkey,
-           (max(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)),
-                            k := o_orderkey))).p AS top_price
+           round(CAST((max(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)),
+                            k := o_orderkey))).p AS DOUBLE), 2) AS top_price
     FROM orders GROUP BY o_custkey
     """,
 )
@@ -1376,7 +1388,7 @@ def agg_argmax_order_per_customer(spark, sf_dir):
     )
     return o.groupBy("o_custkey").agg(
         top.getField("k").alias("top_orderkey"),
-        top.getField("p").alias("top_price"),
+        money2(top.getField("p")).alias("top_price"),
     )
 
 
@@ -1392,11 +1404,11 @@ def agg_argmax_order_per_customer(spark, sf_dir):
     "q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
                   - CAST(p.p_retailprice AS DECIMAL(18,2))
                     * CAST(l.l_quantity AS DECIMAL(18,2)) * 0.1)
-                AS DECIMAL(38,4)) AS sum_profit
+                AS DOUBLE), 5) AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1429,9 +1441,12 @@ def q9_product_profit(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            big(F.year("o_orderdate")).alias("o_year"),
         )
-        .agg(F.sum(profit).cast("decimal(38,4)").alias("sum_profit"))
+        # profit has exact decimal scale 5 (x.xx * x.x); round at the exact
+        # scale — shallower rounding sits on .5 ties where HALF_UP (Spark)
+        # and half-even (DuckDB) could disagree.
+        .agg(F.round(F.sum(profit).cast("double"), 5).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -1501,7 +1516,7 @@ def q19_discounted_revenue(spark, sf_dir):
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(disc_price).alias("revenue"))
+        .agg(money4(F.sum(disc_price)).alias("revenue"))
     )
 
 
@@ -1701,7 +1716,7 @@ def _derived_partsupp(spark, sf_dir):
     oracle=_PS_CTE
     + """
     SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
-           ps.ps_supplycost
+           round(CAST(ps.ps_supplycost AS DOUBLE), 2) AS ps_supplycost
     FROM ps
     JOIN part p     ON p.p_partkey = ps.ps_partkey
     JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
@@ -1753,7 +1768,12 @@ def q2_min_cost_supplier(spark, sf_dir):
         .withColumn("min_cost", F.min("ps_supplycost").over(w))
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
-            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost"
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            money2(F.col("ps_supplycost")).alias("ps_supplycost"),
         )
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
@@ -1775,7 +1795,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         WHERE n.n_name = 'NATION_9'
         GROUP BY ps.ps_partkey
     )
-    SELECT ps_partkey, CAST(value AS DECIMAL(30,4)) AS part_value
+    SELECT ps_partkey, round(CAST(value AS DOUBLE), 4) AS part_value
     FROM val
     WHERE CAST(value AS DOUBLE) >
           (SELECT CAST(sum(value) AS DOUBLE) * 0.0001 FROM val)
@@ -1813,7 +1833,7 @@ def q11_important_stock(spark, sf_dir):
         val.crossJoin(F.broadcast(total))
         .filter(F.col("value").cast("double") > F.col("threshold"))
         .select(
-            "ps_partkey", F.col("value").cast("decimal(30,4)").alias("part_value")
+            "ps_partkey", money4(F.col("value")).alias("part_value")
         )
         .orderBy(F.desc("part_value"), F.asc("ps_partkey"))
     )
@@ -1856,9 +1876,9 @@ def json_variant_shred_props(spark, sf_dir):
            count(DISTINCT o_orderstatus)              AS status_distinct,
            min(o_orderstatus)                         AS status_min,
            max(o_orderstatus)                         AS status_max,
-           min(CAST(o_totalprice AS DECIMAL(18,2)))   AS price_min,
-           max(CAST(o_totalprice AS DECIMAL(18,2)))   AS price_max,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))   AS price_sum,
+           round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_min,
+           round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_max,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum,
            strftime(min(o_orderdate), '%Y-%m-%d')     AS date_min,
            strftime(max(o_orderdate), '%Y-%m-%d')     AS date_max
     FROM orders
@@ -1878,9 +1898,9 @@ def profile_orders_table(spark, sf_dir):
         F.countDistinct("o_orderstatus").alias("status_distinct"),
         F.min("o_orderstatus").alias("status_min"),
         F.max("o_orderstatus").alias("status_max"),
-        F.min(dec2("o_totalprice")).alias("price_min"),
-        F.max(dec2("o_totalprice")).alias("price_max"),
-        F.sum(dec2("o_totalprice")).alias("price_sum"),
+        money2(F.min(dec2("o_totalprice"))).alias("price_min"),
+        money2(F.max(dec2("o_totalprice"))).alias("price_max"),
+        money2(F.sum(dec2("o_totalprice"))).alias("price_sum"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_min"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_max"),
     )
@@ -1955,8 +1975,8 @@ def agg_string_concat_nations(spark, sf_dir):
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
            count(*)                                      AS n,
-           min(CAST(o_totalprice AS DECIMAL(18,2)))      AS lo,
-           max(CAST(o_totalprice AS DECIMAL(18,2)))      AS hi
+           round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS lo,
+           round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS hi
     FROM orders
     GROUP BY 1
     ORDER BY bucket
@@ -1974,8 +1994,8 @@ def agg_histogram_totalprice(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min(dec2("o_totalprice")).alias("lo"),
-            F.max(dec2("o_totalprice")).alias("hi"),
+            money2(F.min(dec2("o_totalprice"))).alias("lo"),
+            money2(F.max(dec2("o_totalprice"))).alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -1986,10 +2006,10 @@ def agg_histogram_totalprice(spark, sf_dir):
     oracle="""
     WITH sums AS (
       SELECT l_returnflag,
-             sum(CAST(l_quantity AS DECIMAL(18,2)))      AS qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price,
-             sum(CAST(l_discount AS DECIMAL(18,2)))      AS discount,
-             sum(CAST(l_tax AS DECIMAL(18,2)))           AS tax
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)      AS qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)      AS discount,
+             round(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE), 2)           AS tax
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'qty' AS measure, qty AS total FROM sums
@@ -2006,10 +2026,10 @@ def unpivot_lineitem_measures(spark, sf_dir):
     shuffle is the upstream aggregate."""
     l = t(spark, sf_dir, "lineitem")
     sums = l.groupBy("l_returnflag").agg(
-        F.sum(dec2("l_quantity")).alias("qty"),
-        F.sum(dec2("l_extendedprice")).alias("price"),
-        F.sum(dec2("l_discount")).alias("discount"),
-        F.sum(dec2("l_tax")).alias("tax"),
+        money2(F.sum(dec2("l_quantity"))).alias("qty"),
+        money2(F.sum(dec2("l_extendedprice"))).alias("price"),
+        money2(F.sum(dec2("l_discount"))).alias("discount"),
+        money2(F.sum(dec2("l_tax"))).alias("tax"),
     )
     return sums.unpivot(
         ["l_returnflag"],
@@ -2056,7 +2076,7 @@ def subquery_exists_urgent_customers(spark, sf_dir):
     "lateral_top2_orders_per_customer",
     oracle="""
     SELECT c.c_custkey, t.o_orderkey,
-           CAST(t.o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+           round(CAST(t.o_totalprice AS DOUBLE), 2) AS o_totalprice
     FROM customer c,
     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
              WHERE o.o_custkey = c.c_custkey
@@ -2076,7 +2096,7 @@ def lateral_top2_orders_per_customer(spark, sf_dir):
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey,
-               CAST(t.o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+               round(CAST(t.o_totalprice AS DOUBLE), 2) AS o_totalprice
         FROM xsp_lat_customer c,
         LATERAL (SELECT o_orderkey, o_totalprice FROM xsp_lat_orders o
                  WHERE o.o_custkey = c.c_custkey

@@ -71,7 +71,7 @@ def similarity_topk_bruteforce(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
@@ -128,7 +128,7 @@ def similarity_topk_ivf(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
@@ -296,11 +296,11 @@ def similarity_rplsh_bucket_stats(spark, sf_dir):
     )
     SELECT vec_id, CAST(amax_micro AS BIGINT) AS amax_micro,
            CAST(len(q) AS INTEGER)      AS n_dims,
-           list_sum(q)                  AS code_sum,
+           CAST(list_sum(q) AS BIGINT)  AS code_sum,
            list_min(q)                  AS code_min,
            list_max(q)                  AS code_max,
-           list_sum(list_transform(range(1, {_RP_DIM + 1}),
-             j -> abs(ei[j] * 127 - q[j] * amax_micro))) AS recon_err_units
+           CAST(list_sum(list_transform(range(1, {_RP_DIM + 1}),
+             j -> abs(ei[j] * 127 - q[j] * amax_micro))) AS BIGINT) AS recon_err_units
     FROM codes
     """,
 )
@@ -526,7 +526,7 @@ def similarity_topk_ivf_multiprobe(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

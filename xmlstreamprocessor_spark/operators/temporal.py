@@ -7,7 +7,14 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from xmlstreamprocessor_spark.operators.registry import dec2, fmt_ts, query, t
+from xmlstreamprocessor_spark.operators.registry import (
+    big,
+    dec2,
+    fmt_ts,
+    money2,
+    query,
+    t,
+)
 
 
 @query(
@@ -119,7 +126,7 @@ def sessionize_events_30m(spark, sf_dir):
              AS window_start,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -131,7 +138,7 @@ def window_tumbling_hourly_events(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec2("value")).alias("total_value"),
+            money2(F.sum(dec2("value"))).alias("total_value"),
         )
         .select(
             fmt_ts(F.col("w.start")).alias("window_start"),
@@ -153,7 +160,7 @@ def window_tumbling_hourly_events(spark, sf_dir):
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM slid
     WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
     GROUP BY window_start
@@ -167,7 +174,7 @@ def window_sliding_1h_30m_events(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec2("value")).alias("total_value"),
+            money2(F.sum(dec2("value"))).alias("total_value"),
         )
         .select(
             fmt_ts(F.col("w.start")).alias("window_start"),
@@ -228,21 +235,26 @@ def window_session_10m_events(spark, sf_dir):
              sum(CAST(value AS DECIMAL(18,2))) AS total_value
       FROM events GROUP BY 1
     ), hour AS (
-      SELECT date_trunc('hour', b) AS b, sum(n_events) AS n_events,
+      SELECT date_trunc('hour', b) AS b,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
              sum(total_value) AS total_value
       FROM minute GROUP BY 1
     ), day AS (
-      SELECT date_trunc('day', b) AS b, sum(n_events) AS n_events,
+      SELECT date_trunc('day', b) AS b,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
              sum(total_value) AS total_value
       FROM hour GROUP BY 1
     )
     SELECT 'minute' AS resolution, strftime(b, '%Y-%m-%d %H:%M:%S')
-             AS bucket_start, n_events, total_value FROM minute
+             AS bucket_start, n_events,
+           round(CAST(total_value AS DOUBLE), 2) AS total_value FROM minute
     UNION ALL
-    SELECT 'hour', strftime(b, '%Y-%m-%d %H:%M:%S'), n_events, total_value
+    SELECT 'hour', strftime(b, '%Y-%m-%d %H:%M:%S'), n_events,
+           round(CAST(total_value AS DOUBLE), 2)
     FROM hour
     UNION ALL
-    SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), n_events, total_value
+    SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), n_events,
+           round(CAST(total_value AS DOUBLE), 2)
     FROM day
     """,
 )
@@ -273,7 +285,7 @@ def temporal_rollup_multires(spark, sf_dir):
             F.lit(tag).alias("resolution"),
             fmt_ts("b").alias("bucket_start"),
             "n_events",
-            "total_value",
+            money2(F.col("total_value")).alias("total_value"),
         )
 
     return lvl(minute, "minute").unionAll(lvl(hour, "hour")).unionAll(
@@ -300,9 +312,10 @@ def temporal_rollup_multires(spark, sf_dir):
     )
     SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
            (v IS NULL) AS gap_filled,
-           last_value(v IGNORE NULLS) OVER (
+           round(CAST(last_value(v IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY h
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS value_filled
     FROM j
     """,
 )
@@ -336,7 +349,7 @@ def temporal_gapfill_locf(spark, sf_dir):
         "event_type",
         fmt_ts("h").alias("hour_start"),
         F.col("v").isNull().alias("gap_filled"),
-        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        money2(F.last("v", ignorenulls=True).over(w)).alias("value_filled"),
     )
 
 

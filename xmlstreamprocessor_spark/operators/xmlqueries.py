@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xmlstreamprocessor_spark.operators.registry import dec2, query, t
+from xmlstreamprocessor_spark.operators.registry import dec2, money2, query, t
 from xmlstreamprocessor_spark.plans import X
 from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
 
@@ -29,7 +29,7 @@ from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_
     oracle="""
     SELECT o_orderkey AS order_id, o_orderstatus AS status,
            o_orderpriority AS prio,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS total,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
     FROM orders
     """,
@@ -62,7 +62,7 @@ def xml_roundtrip_orders_struct(spark, sf_dir):
         F.col("order_id").cast("bigint").alias("order_id"),
         "status",
         "prio",
-        "total",
+        money2(F.col("total")).alias("total"),
         F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
     )
 
@@ -92,7 +92,8 @@ def xml_roundtrip_wildcard_tag_events(spark, sf_dir):
     "xml_roundtrip_lineitem_array",
     oracle="""
     SELECT l_orderkey AS order_id, count(*) AS n_items,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_qty
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -131,9 +132,11 @@ def xml_roundtrip_lineitem_array(spark, sf_dir):
     return ex.select(
         F.col("order_id").cast("bigint").alias("order_id"),
         F.size("qtys").cast("bigint").alias("n_items"),
-        F.expr(
-            "aggregate(qtys, CAST(0 AS DECIMAL(38,18)),"
-            " (a, x) -> CAST(a + x AS DECIMAL(38,18)))"
+        money2(
+            F.expr(
+                "aggregate(qtys, CAST(0 AS DECIMAL(38,18)),"
+                " (a, x) -> CAST(a + x AS DECIMAL(38,18)))"
+            )
         ).alias("total_qty"),
     )
 
@@ -143,7 +146,7 @@ def xml_roundtrip_lineitem_array(spark, sf_dir):
     oracle="""
     SELECT o_orderkey AS order_id, o_orderstatus AS status,
            o_orderpriority AS prio,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS total,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
     FROM orders
     """,
@@ -178,6 +181,6 @@ def xml_roundtrip_orders_struct_jvm(spark, sf_dir):
         F.col("order_id").cast("bigint").alias("order_id"),
         "status",
         "prio",
-        "total",
+        money2(F.col("total")).alias("total"),
         F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
     )
