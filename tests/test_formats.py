@@ -146,3 +146,23 @@ def test_compact_small_files(spark, tmp_path):
     files = glob.glob(f"{frag}/*.parquet")
     assert len(files) == n and n < 40
     assert sorted(map(tuple, spark.read.parquet(frag).collect())) == before
+
+
+def test_avro_roundtrip_or_clear_guidance(spark, tmp_path):
+    """Avro connector contract: when spark-avro is on the classpath the
+    round-trip must be lossless; when it is not (this container), the
+    helpers fail fast with deploy guidance instead of a cryptic
+    ClassNotFound from deep inside the writer."""
+    import pytest
+
+    df = catalog.load(spark, SF, "nation")
+    path = str(tmp_path / "avro")
+    if formats.avro_available(spark):
+        formats.write_avro(df, path)
+        back = formats.read_avro(spark, path)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            formats.write_avro(df, path)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            formats.read_avro(spark, path)

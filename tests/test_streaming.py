@@ -453,3 +453,62 @@ def test_xspxml_stream_resume_reads_only_new_files(spark, tmp_path):
     # restart on the same checkpoint: b.xml appended exactly once, a.xml
     # NOT re-ingested (no duplicates of 1/2/3)
     assert drain() == [1, 2, 3, 4, 5]
+
+
+def test_stream_kafka_contract_with_file_backed_double(spark, tmp_path):
+    """Kafka connector contract: stream_kafka_xml's downstream lineage
+    (value bytes -> string doc -> compiled-spec extraction -> watermarked
+    window agg) is exercised end-to-end through the injectable source
+    seam.  The double is a file-backed stream presenting EXACTLY the
+    Kafka source schema -- swapping in the real broker changes only the
+    readStream builder, nothing downstream."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.streaming import (
+        KAFKA_SOURCE_SCHEMA,
+        stream_kafka_xml,
+    )
+
+    # one "Kafka record" per line: value is an XML doc, offset is the line no
+    for i in range(3):
+        (tmp_path / f"p{i}.txt").write_text(
+            f"<m><user>u{i % 2}</user><ts>2024-01-01T{9 + i % 2:02d}:15:00</ts>"
+            f"<amount>{(i + 1) * 10}</amount></m>"
+        )
+    lines = spark.readStream.format("text").load(str(tmp_path))
+    double = lines.selectExpr(
+        "CAST(NULL AS BINARY) AS key",
+        "CAST(value AS BINARY) AS value",
+        "'orders-topic' AS topic",
+        "CAST(0 AS INT) AS partition",
+        "CAST(xxhash64(value) AS BIGINT) AS offset",
+        "CAST('2024-01-01 09:00:00' AS TIMESTAMP) AS timestamp",
+        "CAST(0 AS INT) AS timestampType",
+    )
+    expected = spark.createDataFrame([], KAFKA_SOURCE_SCHEMA).schema
+    # literals are non-nullable; the contract is names + types
+    assert [(f.name, f.dataType) for f in double.schema.fields] == [
+        (f.name, f.dataType) for f in expected.fields
+    ]
+    assert double.isStreaming
+
+    spec = X.struct(
+        "m",
+        {"user": X.string("user"), "ts": X.ndate("ts"), "amount": X.nint("amount")},
+    )
+    ev = stream_kafka_xml(
+        spark, "broker:9092", "orders-topic", "m", spec, source_frame=double
+    )
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy("user", F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("amount").alias("total"))
+        .select("user", F.date_format("w.start", "HH:mm").alias("h"), "total")
+    )
+    _drain(agg, "t_kafka_contract", mode="append")
+    got = {
+        (r["user"], r["h"]): r["total"]
+        for r in spark.sql("SELECT * FROM t_kafka_contract").collect()
+    }
+    # u0: docs 0 (10) + 2 (30) in hour 09; u1: doc 1 (20) in hour 10 (held
+    # open by the watermark in a single availableNow drain -> absent)
+    assert got == {("u0", "09:00"): 40}

@@ -734,9 +734,10 @@ def test_xspxml_partition_pruning_optin_and_safe_default(spark, tmp_path):
 
 def test_xspxml_reader_malformed_modes(spark, tmp_path):
     """DataSource-level error policy (same triple as extract_xml):
-    FAILFAST raises, DROPMALFORMED salvages the records completed before
-    the malformed bytes (iterparse prefix), PERMISSIVE adds one triage row
-    carrying the file path in a declared `_corrupt_file` column."""
+    FAILFAST raises, DROPMALFORMED drops ONLY the malformed record and
+    keeps reading (row-tag resync), PERMISSIVE additionally yields one
+    triage row per malformed record carrying the file path in a declared
+    `_corrupt_file` column."""
     from xmlstreamprocessor_spark.sources.datasource import register_xml_source
 
     register_xml_source(spark)
@@ -763,3 +764,40 @@ def test_xspxml_reader_malformed_modes(spark, tmp_path):
     perm = sorted([(r["id"], r["_corrupt_file"]) for r in load("PERMISSIVE").collect()], key=str)
     assert perm[:3] == [(1, None), (2, None), (3, None)]
     assert perm[3][0] is None and perm[3][1].endswith("bad.xml")
+
+
+def test_xspxml_reader_resyncs_after_malformed_record(spark, tmp_path):
+    """Records AFTER a malformed one are recovered (Spark XML reader
+    parity): the reader re-syncs at the next row-tag start instead of
+    abandoning the rest of the file."""
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "mixed.xml").write_text(
+        "<root>"
+        "<r><id>1</id></r>"
+        "<r><id>2</id"  # truncated: malformed mid-file
+        "<r><id>3</id></r>"
+        "<r><id>4</id></r>"
+        "</root>"
+    )
+
+    def load(mode):
+        return (
+            spark.read.format("xspxml")
+            .schema("id bigint, _corrupt_file string")
+            .option("rowTag", "r")
+            .option("mode", mode)
+            .load(str(d))
+        )
+
+    dropped = sorted(
+        r["id"] for r in load("DROPMALFORMED").collect() if r["id"] is not None
+    )
+    assert dropped == [1, 3, 4]  # only the broken record is lost
+    perm = load("PERMISSIVE").collect()
+    assert sorted(r["id"] for r in perm if r["id"] is not None) == [1, 3, 4]
+    triage = [r for r in perm if r["id"] is None]
+    assert len(triage) == 1 and triage[0]["_corrupt_file"].endswith("mixed.xml")

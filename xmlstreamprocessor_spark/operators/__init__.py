@@ -14,4 +14,5 @@ from xmlstreamprocessor_spark.operators import similarity  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import textops  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import multimodal  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import packing  # noqa: F401,E402
+from xmlstreamprocessor_spark.operators import formatsq  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import xmlqueries  # noqa: F401,E402

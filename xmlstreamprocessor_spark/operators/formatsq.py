@@ -1,0 +1,82 @@
+"""Connector-family evidence query: multi-format write/read round-trip.
+
+The formats layer (sources/formats.py) is exercised end-to-end: the orders
+table is written to parquet, ORC, CSV and JSON-lines under a scratch dir
+inside the repo, read back with the ORIGINAL schema (no inference), and
+reduced to one checksum row per format.  The oracle states the obvious
+contract — a lossless connector yields the same checksums as the source
+table for every format — so any type drift (CSV double rendering, JSON
+timestamp format, ORC logical types) breaks the hash match.
+
+Scale: the checksum aggregate is one partial+final hash aggregate per
+format; writes are the normal distributed writers (one file per partition
+here; at 100 TB the same code path fans out per executor)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.operators.registry import query, t
+from xmlstreamprocessor_spark.sources import formats
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".tmp_formats_rt")
+
+
+def _checksum(df, fmt: str):
+    # cents via floor(x*100 + 0.5): x is a 2-decimal-valued double, so the
+    # shifted value sits within 1 ulp of an integer — identical in any
+    # engine, and integer sums are associative across partitionings
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return df.agg(
+        F.lit(fmt).alias("fmt"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(cents).cast("bigint").alias("cents_sum"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("dmin"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("dmax"),
+    )
+
+
+@query(
+    "formats_roundtrip_orders",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents_sum,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS dmin,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS dmax
+      FROM orders
+    )
+    SELECT t.fmt, a.n_rows, a.key_sum, a.cents_sum, a.dmin, a.dmax
+    FROM agg a, (VALUES ('parquet'), ('orc'), ('csv'), ('json')) t(fmt)
+    """,
+)
+def formats_roundtrip_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    schema = o.schema
+
+    formats.write_parquet(o, os.path.join(base, "pq"))
+    formats.write_orc(o, os.path.join(base, "orc"))
+    formats.write_csv(o, os.path.join(base, "csv"))
+    formats.write_json(o, os.path.join(base, "json"))
+
+    back = {
+        "parquet": formats.read_parquet(spark, os.path.join(base, "pq")),
+        "orc": formats.read_orc(spark, os.path.join(base, "orc")),
+        "csv": formats.read_csv(spark, os.path.join(base, "csv"), schema=schema),
+        "json": formats.read_json(spark, os.path.join(base, "json"), schema=schema),
+    }
+    out = None
+    for fmt, df in back.items():
+        cs = _checksum(df.select(*[f.name for f in schema.fields]), fmt)
+        out = cs if out is None else out.unionByName(cs)
+    return out

@@ -104,6 +104,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # lazy checkpoint: the fingerprint aggregate below is the ONE job
         # per round — it materializes the checkpoint as it runs (an eager
@@ -116,8 +117,18 @@ def connected_components(
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # unconverged labels would silently yield wrong dedup groups;
+        # max_iter=25 covers graphs up to ~2^25 nodes at the proven
+        # O(log n) rate, so hitting this means something is broken
+        raise RuntimeError(
+            f"connected_components did not reach its fixpoint within "
+            f"{max_iter} rounds (last fingerprint {prev_sig}); raise "
+            f"max_iter or inspect the edge distribution"
+        )
     # at the fixpoint every edge is (node, root); the roots themselves only
     # appear on the dst side, so union them back in as their own label
     return (
@@ -164,12 +175,13 @@ _DUCK_CC_DUP_GROUPS = f"""
 def graph_components_dup_groups(spark, sf_dir):
     """Duplicate GROUPS from pairwise near-dup edges: connected components
     over the >=0.5-Jaccard pair graph (component = min doc_id, i.e. the
-    keeper).  At 100 TB the edge list comes from the MinHash-LSH candidate
-    join rather than the exact shingle self-join used here — the CC step is
-    identical either way and is where pairwise dedup becomes group dedup."""
-    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs
+    keeper).  The edge list comes from the LOSSLESS prefix-filtered exact
+    similarity join (dedup._jaccard_pairs_prefix) — identical pairs to the
+    naive shingle self-join, but candidates fan out only on each doc's
+    rarest-shingle prefix, so no postings^2 blowup on hot shingles."""
+    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_prefix
 
-    pairs = _jaccard_pairs(spark, sf_dir, 0.5)
+    pairs = _jaccard_pairs_prefix(spark, sf_dir, 0.5)
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )

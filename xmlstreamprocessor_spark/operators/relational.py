@@ -518,13 +518,42 @@ def agg_minmax_stats(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", oracle=None)  # approximate: rows-only check
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++) — the scale path for high-cardinality
-    distinct counts; no exact oracle by construction."""
+    """approx_count_distinct (HLL++, rsd=0.05) — the scale path for
+    high-cardinality distinct counts.  The estimate itself has no SQL
+    oracle by construction, so the CONTRACT is oracle-able instead: emit
+    the exact counts plus a within-tolerance flag for each estimate (HLL
+    is deterministic for a given dataset, so the flags are stable).  A
+    driver hash mismatch here means the sketch drifted outside 3x its
+    configured rsd — a real regression, not noise."""
+    tol = 0.15  # 3 x rsd
     return t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.05)
+                - F.countDistinct("l_partkey")
+            )
+            <= F.countDistinct("l_partkey") * tol
+        ).alias("parts_within_tol"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.05)
+                - F.countDistinct("l_orderkey")
+            )
+            <= F.countDistinct("l_orderkey") * tol
+        ).alias("orders_within_tol"),
     )
 
 

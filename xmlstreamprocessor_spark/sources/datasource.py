@@ -193,38 +193,81 @@ class XmlSourceReader(DataSourceReader):
         assert names == out_names, (names, out_names)
         pvals = self._partition_values(partition.path)
 
+        def to_tuple(rec):
+            return tuple(
+                pvals[n]
+                if n in pvals
+                else (coerce[n](rec.get(n)) if n in coerce else rec.get(n))
+                for n in names
+            )
+
         def rows(fh):
             for rec in iterparse_records(fh, self.row_tag, compiled):
-                yield tuple(
-                    pvals[n]
-                    if n in pvals
-                    else (coerce[n](rec.get(n)) if n in coerce else rec.get(n))
-                    for n in names
-                )
+                yield to_tuple(rec)
+
+        def triage_row():
+            return tuple(
+                partition.path if n == "_corrupt_file" else None for n in names
+            )
 
         with open(partition.path, "rb") as fh:
             if self.mode == "FAILFAST":
                 yield from rows(fh)
                 return
-            # non-FAILFAST: iterparse streams, so every record completed
-            # BEFORE the malformed byte range is already out (prefix
-            # salvage, same policy as sources/xml_batch PERMISSIVE);
-            # PERMISSIVE additionally emits one triage row — nulls except
-            # a `_corrupt_file` field (if the schema declares one) holding
-            # the file path.
+            # non-FAILFAST: stream optimistically (zero overhead while the
+            # file is well-formed).  On the first parse/cast error, switch
+            # to record-resync recovery below instead of abandoning the
+            # rest of the file.
+            n_ok = 0
             it = rows(fh)
             while True:
                 try:
-                    yield next(it)
+                    rec = next(it)
                 except StopIteration:
                     return
                 except Exception:  # noqa: BLE001 — malformed XML / bad cast
-                    if self.mode == "PERMISSIVE":
-                        yield tuple(
-                            partition.path if n == "_corrupt_file" else None
-                            for n in names
-                        )
-                    return
+                    break
+                n_ok += 1
+                yield rec
+        # Recovery pass (Spark XML reader parity: drop ONLY the malformed
+        # record, keep reading).  A broken expat stream cannot be resumed,
+        # so re-scan the raw bytes for row-tag start offsets and parse each
+        # [start_i, start_{i+1}) slice as a standalone document; slices that
+        # fail are dropped (DROPMALFORMED) or emitted as one triage row each
+        # (PERMISSIVE: nulls + `_corrupt_file` if declared).  The first
+        # ``n_ok`` recovered records were already emitted by the streaming
+        # pass and are skipped.  Caveat (shared with spark-xml): a row-tag
+        # token inside CDATA/comments is a false resync point.
+        import io
+        import re as _re
+
+        with open(partition.path, "rb") as fh:
+            data = fh.read()
+        tag = _re.escape(self.row_tag.encode())
+        starts = [
+            m.start()
+            for m in _re.finditer(rb"<(?:[A-Za-z_][\w.-]*:)?" + tag + rb"[\s/>]", data)
+        ]
+        ok = 0
+        for i, off in enumerate(starts):
+            end = starts[i + 1] if i + 1 < len(starts) else len(data)
+            it = iterparse_records(
+                io.BytesIO(data[off:end]), self.row_tag, compiled
+            )
+            try:
+                rec = next(it)
+            except Exception:  # noqa: BLE001 — incl. StopIteration: no record
+                if self.mode == "PERMISSIVE" and ok >= n_ok:
+                    yield triage_row()
+                continue
+            ok += 1
+            if ok <= n_ok:
+                continue  # already emitted before the error
+            try:
+                yield to_tuple(rec)
+            except Exception:  # noqa: BLE001 — bad cast in recovery
+                if self.mode == "PERMISSIVE":
+                    yield triage_row()
 
 
 def _coercer(dt):

@@ -33,6 +33,41 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is usable as a data source.
+    Resolution goes through Spark's own provider lookup (a bare class-file
+    probe is not enough: pyspark ships some avro classes without the
+    DataSourceRegister service entry)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:  # noqa: BLE001 — AnalysisException via py4j
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (row-oriented; schema travels with the file).  Requires the
+    spark-avro package — add ``--packages org.apache.spark:spark-avro_2.13:<ver>``
+    on a real deployment; raises with that guidance when absent."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    df.write.mode(mode).format("avro").save(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

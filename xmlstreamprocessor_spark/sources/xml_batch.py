@@ -151,9 +151,13 @@ def extract_xml(
             + [T.StructField(corrupt_column, T.StringType(), True)]
         )
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # batch only: fan small inputs out to every core before the Python
+    # kernel.  Streaming frames expose no .rdd (and their parallelism is
+    # the source's partitioning — Kafka topic partitions / file splits).
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,6 +1,8 @@
 from xmlstreamprocessor_spark.streaming.sources import (
+    KAFKA_SOURCE_SCHEMA,
     stream_documents,
     stream_events,
+    stream_kafka_xml,
     stream_xml,
 )
 from xmlstreamprocessor_spark.streaming.windows import (
@@ -28,8 +30,10 @@ from xmlstreamprocessor_spark.streaming.joins import (
 )
 
 __all__ = [
+    "KAFKA_SOURCE_SCHEMA",
     "stream_documents",
     "stream_events",
+    "stream_kafka_xml",
     "stream_xml",
     "tumbling_counts",
     "sliding_counts",

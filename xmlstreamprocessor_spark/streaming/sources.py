@@ -75,6 +75,14 @@ def stream_xml(
     return raw.mapInPandas(run, schema=schema)
 
 
+# the Kafka source's fixed output schema (Spark structured-streaming docs);
+# a test double must present exactly these columns
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
 def stream_kafka_xml(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -83,27 +91,36 @@ def stream_kafka_xml(
     spec: Struct | CompiledSpec,
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = None,
+    source_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Kafka -> XML extraction stream: each record value is one XML document
     (or fragment stream); parallelism is the topic's partition count, so at
     production scale partition the topic to match the executor count.
 
-    Requires the spark-sql-kafka package on the classpath (not bundled in
-    this test container — the file-source path in ``stream_xml`` exercises
-    the identical downstream extraction)."""
-    r = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = r.load().selectExpr("CAST(value AS STRING) AS doc")
+    ``source_frame`` is the injectable contract seam: any streaming
+    DataFrame with ``KAFKA_SOURCE_SCHEMA`` (what ``format("kafka")``
+    emits) stands in for the broker, and EVERYTHING downstream — the
+    value decode, the extraction kernel, watermarks/windows — is the
+    identical lineage the production path runs.  The spark-sql-kafka jar
+    is not bundled in this container, so tests drive this seam with a
+    file-backed double (tests/test_streaming.py::test_stream_kafka_*)."""
+    if source_frame is not None:
+        raw = source_frame
+    else:
+        r = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        if max_offsets_per_trigger is not None:
+            r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        raw = r.load()
+    docs = raw.selectExpr("CAST(value AS STRING) AS doc")
 
     from xmlstreamprocessor_spark.sources.xml_batch import extract_xml
 
-    return extract_xml(raw, "doc", spec)
+    return extract_xml(docs, "doc", spec)
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
