@@ -15,9 +15,9 @@ def words(c: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, document order of first occurrence
-    irrelevant (set semantics).  Empty when the doc has < n words."""
+def grams(c: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams in document order (duplicates kept — repetition
+    statistics need the multiset).  Empty when the doc has < n words."""
     # Built by zipping the word array with its own shifted slices: the
     # expensive split() is evaluated O(n) times per ROW, not per element
     # (an element_at(split(..), i) formulation re-splits per gram and turns
@@ -25,21 +25,32 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     # null and concat(null) propagates, so past-the-end grams filter out.
     ws = words(c)
     sz = F.size(ws)
-    grams = ws
+    gs = ws
     for k in range(1, n):
         shifted = F.slice(ws, k + 1, F.greatest(sz - k, F.lit(0)))
-        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+        gs = F.zip_with(gs, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(gs, lambda x: x.isNotNull())
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, document order of first occurrence
+    irrelevant (set semantics).  Empty when the doc has < n words."""
+    return F.array_distinct(grams(c, n))
+
+
+def duck_grams(col: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`grams` (1-indexed lists, duplicates kept)."""
+    ws = f"string_split_regex(trim({col}), '\\s+')"
+    gram = " || ' ' || ".join(f"{ws}[i+{k}]" for k in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({ws}) - {n - 2}, 1)),"
+        f" i -> {gram})"
+    )
 
 
 def duck_shingles(col: str, n: int = 3) -> str:
     """DuckDB twin of :func:`shingles` (1-indexed lists)."""
-    ws = f"string_split_regex(trim({col}), '\\s+')"
-    gram = " || ' ' || ".join(f"{ws}[i+{k}]" for k in range(n))
-    return (
-        f"list_distinct(list_transform(range(1, greatest(len({ws}) - {n - 2}, 1)),"
-        f" i -> {gram}))"
-    )
+    return f"list_distinct({duck_grams(col, n)})"
 
 
 def normalized(c: Column | str) -> Column:

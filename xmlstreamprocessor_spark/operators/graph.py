@@ -175,13 +175,14 @@ _DUCK_CC_DUP_GROUPS = f"""
 def graph_components_dup_groups(spark, sf_dir):
     """Duplicate GROUPS from pairwise near-dup edges: connected components
     over the >=0.5-Jaccard pair graph (component = min doc_id, i.e. the
-    keeper).  The edge list comes from the LOSSLESS prefix-filtered exact
-    similarity join (dedup._jaccard_pairs_prefix) — identical pairs to the
-    naive shingle self-join, but candidates fan out only on each doc's
-    rarest-shingle prefix, so no postings^2 blowup on hot shingles."""
-    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_prefix
+    keeper).  The edge list comes from the cost-based exact similarity
+    join (dedup._jaccard_pairs_auto): the direct postings join when the
+    df statistics prove it linear, the LOSSLESS prefix-filtered join when
+    the vocabulary is skewed — either way no postings^2 blowup is
+    possible, and the pairs are identical."""
+    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_auto
 
-    pairs = _jaccard_pairs_prefix(spark, sf_dir, 0.5)
+    pairs = _jaccard_pairs_auto(spark, sf_dir, 0.5)
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
