@@ -61,21 +61,12 @@ def multimodal_payload_stats(spark, sf_dir):
     )
 
 
-_FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("format", T.StringType()),
-        T.StructField("feat", T.ArrayType(T.FloatType())),
-    ]
-)
-
-
 def decode_image(payload: bytes, use_real_decoder: bool = False):
-    """Decode stub.  A real deployment plugs PIL/turbojpeg in here; this
-    container has no codec libs, so the default is a deterministic fake
-    derived from the payload digest (stable across runs/partitions)."""
+    """Decode stub for COMPRESSED formats.  A real deployment plugs
+    PIL/turbojpeg in here; this container has no codec libs, so the default
+    is a deterministic fake derived from the payload digest (stable across
+    runs/partitions).  Uncompressed formats don't need this stub:
+    :func:`decode_ppm` below is a real decoder."""
     if use_real_decoder:
         raise NotImplementedError(
             "real image decoding requires PIL/libjpeg — not available in "
@@ -88,27 +79,147 @@ def decode_image(payload: bytes, use_real_decoder: bool = False):
     return width, height, "fake/raw", feat
 
 
-@query("multimodal_image_features", oracle=None)  # Python kernel: rows-only
+def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """REAL decoder for binary PPM (P6) — the trivially-parseable
+    uncompressed format: ``P6 <ws> width <ws> height <ws> maxval <1 ws>``
+    then a raw ``width*height*3`` RGB byte plane.  Full header grammar is
+    honored (arbitrary whitespace runs, ``#`` comments through end-of-line,
+    per the netpbm spec), and truncated planes raise — this is the codec a
+    deployment would swap for libjpeg, not a digest fake."""
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6 magic missing)")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from the plane
+    width, height, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    plane = data[pos : pos + width * height * 3]
+    if len(plane) != width * height * 3:
+        raise ValueError("truncated PPM pixel plane")
+    return width, height, plane
+
+
+# Deterministic raster: each document renders as a small P6 PPM whose dims
+# come from the first two md5 bytes and whose RGB plane is the md5 hex
+# string tiled to width*height*3 bytes — every byte of the payload is
+# reproducible from `text` alone, which is what makes the DECODED stats
+# oracle-checkable in DuckDB (the oracle recomputes the same plane
+# arithmetically; the Spark side actually parses the bytes).
+_PPM_MAX_W = 4 + 12  # 4 + (byte0 % 13)
+_PPM_MAX_H = 4 + 10  # 4 + (byte1 % 11)
+_PPM_REPEATS = (_PPM_MAX_W * _PPM_MAX_H * 3) // 32 + 1
+
+
+def _ppm_payload_df(spark, sf_dir):
+    """documents rendered as real binary PPM payloads (opaque ``binary``
+    column + metadata), built entirely JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("text").cast("binary"))
+    b0 = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    b1 = F.conv(F.substring(hx, 3, 2), 16, 10).cast("int")
+    w = (F.lit(4) + b0 % 13).alias("w")
+    h = (F.lit(4) + b1 % 11).alias("h")
+    dims = d.select("doc_id", hx.alias("hx"), w, h)
+    plane = F.expr(f"substring(repeat(hx, {_PPM_REPEATS}), 1, w * h * 3)")
+    payload = F.concat(
+        F.lit("P6\n"),
+        F.col("w").cast("string"),
+        F.lit(" "),
+        F.col("h").cast("string"),
+        F.lit("\n255\n"),
+        plane,
+    ).cast("binary")
+    return dims.select("doc_id", payload.alias("payload"))
+
+
+def _duck_channel_sum(chan: int) -> str:
+    """DuckDB twin of one channel sum over the tiled-md5 plane: plane byte
+    p is hx[p % 32], channel c covers p = 3*i + c."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, width * height), i -> "
+        f"ascii(substr(hx, CAST((3 * i + {chan}) % 32 AS INTEGER) + 1, 1))"
+        f")) AS BIGINT)"
+    )
+
+
+_DUCK_IMAGE_FEATURES = f"""
+    WITH img AS (
+      SELECT doc_id, md5(text) AS hx,
+             4 + (CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 13)
+               AS width,
+             4 + (CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 11)
+               AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           {_duck_channel_sum(0)} AS sum_r,
+           {_duck_channel_sum(1)} AS sum_g,
+           {_duck_channel_sum(2)} AS sum_b
+    FROM img
+"""
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+@query("multimodal_image_features", oracle=_DUCK_IMAGE_FEATURES)
 def multimodal_image_features(spark, sf_dir):
-    """Feature extraction over binary payloads via Arrow-batched
+    """Feature extraction over binary image payloads via Arrow-batched
     mapInPandas — the canonical multimodal UDF shape (batch in, batch out,
-    schema fixed up front).  Partitioning is preserved; at scale repartition
-    by size buckets first so decode work balances."""
-    p = _payload_df(spark, sf_dir)
+    schema fixed up front).  The payloads are REAL binary PPMs and the
+    kernel runs a REAL decode (:func:`decode_ppm`: header grammar + raw
+    RGB plane), then derives per-channel integer statistics — so unlike a
+    digest fake, the query is hash-verified end-to-end against a DuckDB
+    oracle that recomputes the same plane arithmetically.  Partitioning is
+    preserved; at scale repartition by size buckets first so decode work
+    balances."""
+    import numpy as np
+
+    p = _ppm_payload_df(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "width": [], "height": [], "format": [], "feat": []}
+            out = {k.name: [] for k in _FEATURE_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, fmt, feat = decode_image(bytes(payload))
+                w, h, plane = decode_ppm(bytes(payload))
+                px = np.frombuffer(plane, dtype=np.uint8).reshape(-1, 3)
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["format"].append(fmt)
-                out["feat"].append(feat)
-            yield pd.DataFrame(out)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out, dtype="int64")
 
-    return p.select("doc_id", "payload").mapInPandas(run, schema=_FEATURE_SCHEMA)
+    return p.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
 @query(
