@@ -44,12 +44,13 @@ def test_prefix_filter_is_lossless(spark, oracle_sf_dir):
     assert len(pref) > 0  # non-vacuous on this corpus
 
 
-def test_jaccard_auto_picks_prefix_on_skewed_vocab(spark, oracle_sf_dir):
-    """The cost-based chooser must route a Zipfian corpus (one shingle in
-    every doc) to the prefix path, and still return exact results.  A
-    corpus where every doc shares a hot 3-gram makes sum(df^2) ~ n^2
-    postings-join rows, far past any linear bound."""
-    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_auto
+def test_jaccard_auto_picks_prefix_on_skewed_vocab(spark, oracle_sf_dir, monkeypatch):
+    """The cost-based chooser must ROUTE a Zipfian corpus (one shingle in
+    every doc) to the prefix path — asserted with a spy, locking the cost
+    model itself, not just output equality — and still return exact
+    results.  A corpus where every doc shares a hot 3-gram makes
+    sum(df^2) ~ n^2 postings-join rows, far past any linear bound."""
+    from xmlstreamprocessor_spark.operators import dedup as dd
 
     hot = "the quick brown"  # one shared 3-gram across all docs
     rows = [
@@ -57,15 +58,58 @@ def test_jaccard_auto_picks_prefix_on_skewed_vocab(spark, oracle_sf_dir):
         for i in range(200)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chosen = []
+    real_prefix, real_naive = dd._jaccard_pairs_prefix, dd._jaccard_pairs
+    monkeypatch.setattr(
+        dd, "_jaccard_pairs_prefix",
+        lambda *a, **k: (chosen.append("prefix"), real_prefix(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        dd, "_jaccard_pairs",
+        lambda *a, **k: (chosen.append("naive"), real_naive(*a, **k))[1],
+    )
     got = _pairs(
-        _jaccard_pairs_auto(spark, oracle_sf_dir, 0.5, docs=docs, max_blowup=4),
+        dd._jaccard_pairs_auto(spark, oracle_sf_dir, 0.5, docs=docs, max_blowup=4),
         "doc_a", "doc_b", "jaccard",
     )
+    assert chosen == ["prefix"], f"cost model picked {chosen}, wanted prefix"
     want = _pairs(
         _jaccard_pairs(spark, oracle_sf_dir, 0.5, docs=docs),
         "doc_a", "doc_b", "jaccard",
     )
     assert got == want and len(got) > 0
+
+
+def test_jaccard_auto_empty_corpus(spark, oracle_sf_dir):
+    """Zero postings (every doc under the 3-gram width) must not crash the
+    cost statistic (sum() over zero rows is NULL) — the chooser falls back
+    to the naive path, which correctly returns zero pairs."""
+    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_auto
+
+    docs = spark.createDataFrame(
+        [(0, "too short"), (1, "also short")], "doc_id long, text string"
+    )
+    assert _jaccard_pairs_auto(spark, oracle_sf_dir, 0.5, docs=docs).count() == 0
+
+
+def test_wide_simhash_banded_edges_equal_theta(spark, oracle_sf_dir):
+    """The pigeonhole band equi-join over the 252-bit signature is
+    LOSSLESS at radius 8: identical edge set to the all-pairs theta join
+    (which stays in the package as this verification kernel only)."""
+    from xmlstreamprocessor_spark.operators.dedup import (
+        dedup_simhash_wide_signatures,
+        wide_hamming_edges_banded,
+        wide_hamming_edges_theta,
+    )
+
+    sigs = dedup_simhash_wide_signatures(spark, oracle_sf_dir).cache()
+    try:
+        banded = {(r["u"], r["v"]) for r in wide_hamming_edges_banded(sigs).collect()}
+        theta = {(r["u"], r["v"]) for r in wide_hamming_edges_theta(sigs).collect()}
+    finally:
+        sigs.unpersist()
+    assert banded == theta
+    assert len(banded) > 0  # non-vacuous: the corpus has near-dup clusters
 
 
 def test_embedding_lsh_subset_of_exact_with_equal_scores(spark, oracle_sf_dir):
