@@ -8,7 +8,7 @@ contract between the two on the deterministic sf0.01 tables.
 
 from xmlstreamprocessor_spark.operators.dedup import (
     _jaccard_pairs,
-    dedup_embedding_cosine_pairs,
+    dedup_embedding_cosine_pairs_lsh,
     dedup_ngram_jaccard_pairs,
     embedding_cosine_pairs_exact,
 )
@@ -117,7 +117,8 @@ def test_embedding_lsh_subset_of_exact_with_equal_scores(spark, oracle_sf_dir):
     with a bit-identical rounded cosine; recall at the loose 0.4 threshold
     is bounded below (deterministic data + deterministic hyperplanes)."""
     lsh = _pairs(
-        dedup_embedding_cosine_pairs(spark, oracle_sf_dir), "vec_a", "vec_b", "cos_sim"
+        dedup_embedding_cosine_pairs_lsh(spark, oracle_sf_dir),
+        "vec_a", "vec_b", "cos_sim",
     )
     exact = _pairs(
         embedding_cosine_pairs_exact(spark, oracle_sf_dir), "vec_a", "vec_b", "cos_sim"

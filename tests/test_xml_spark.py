@@ -801,3 +801,34 @@ def test_xspxml_reader_resyncs_after_malformed_record(spark, tmp_path):
     assert sorted(r["id"] for r in perm if r["id"] is not None) == [1, 3, 4]
     triage = [r for r in perm if r["id"] is None]
     assert len(triage) == 1 and triage[0]["_corrupt_file"].endswith("mixed.xml")
+
+
+def test_scan_row_tag_offsets_chunked_and_span_aware(tmp_path):
+    """The recovery resync scanner must (a) stream in bounded chunks — the
+    offsets are identical no matter how small the chunk, including chunks
+    that split a row-tag token or a comment delimiter — and (b) skip
+    row-tag tokens inside <!--...--> and <![CDATA[...]]> spans, which a
+    raw whole-file regex would treat as false resync points."""
+    from xmlstreamprocessor_spark.sources.datasource import _scan_row_tag_offsets
+
+    body = (
+        b"<root>"
+        b"<r><id>1</id></r>"
+        b"<!-- a commented-out <r> record --> "
+        b"<r><id><![CDATA[text with <r> inside]]></id></r>"
+        b"<ns:r attr='x'><id>3</id></ns:r>"
+        b"<rr><id>not a row tag</id></rr>"
+        b"<r/>"
+        b"</root>"
+    )
+    p = tmp_path / "f.xml"
+    p.write_bytes(body)
+    want = [
+        body.index(b"<r><id>1"),
+        body.index(b"<r><id><!"),
+        body.index(b"<ns:r"),
+        body.index(b"<r/>"),
+    ]
+    assert _scan_row_tag_offsets(str(p), "r") == want
+    for chunk in (1, 3, 7, 130, 1 << 20):
+        assert _scan_row_tag_offsets(str(p), "r", chunk_size=chunk) == want

@@ -16,14 +16,12 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import functions as F
 
 from xmlstreamprocessor_spark.operators.registry import query, t
 from xmlstreamprocessor_spark.sources import formats
-
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".tmp_formats_rt")
 
 
 def _checksum(df, fmt: str):
@@ -58,25 +56,29 @@ def _checksum(df, fmt: str):
     """,
 )
 def formats_roundtrip_orders(spark, sf_dir):
+    # scratch is a per-invocation private tempdir (no cross-invocation
+    # races, nothing left inside the repo) removed in the finally: the
+    # 4-row checksum result is materialized eagerly first, so the returned
+    # DataFrame has no lineage into the deleted files
     o = t(spark, sf_dir, "orders")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(_SCRATCH, tag)
-    shutil.rmtree(base, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="xsp_formats_rt_")
     schema = o.schema
+    try:
+        formats.write_parquet(o, os.path.join(base, "pq"))
+        formats.write_orc(o, os.path.join(base, "orc"))
+        formats.write_csv(o, os.path.join(base, "csv"))
+        formats.write_json(o, os.path.join(base, "json"))
 
-    formats.write_parquet(o, os.path.join(base, "pq"))
-    formats.write_orc(o, os.path.join(base, "orc"))
-    formats.write_csv(o, os.path.join(base, "csv"))
-    formats.write_json(o, os.path.join(base, "json"))
-
-    back = {
-        "parquet": formats.read_parquet(spark, os.path.join(base, "pq")),
-        "orc": formats.read_orc(spark, os.path.join(base, "orc")),
-        "csv": formats.read_csv(spark, os.path.join(base, "csv"), schema=schema),
-        "json": formats.read_json(spark, os.path.join(base, "json"), schema=schema),
-    }
-    out = None
-    for fmt, df in back.items():
-        cs = _checksum(df.select(*[f.name for f in schema.fields]), fmt)
-        out = cs if out is None else out.unionByName(cs)
-    return out
+        back = {
+            "parquet": formats.read_parquet(spark, os.path.join(base, "pq")),
+            "orc": formats.read_orc(spark, os.path.join(base, "orc")),
+            "csv": formats.read_csv(spark, os.path.join(base, "csv"), schema=schema),
+            "json": formats.read_json(spark, os.path.join(base, "json"), schema=schema),
+        }
+        out = None
+        for fmt, df in back.items():
+            cs = _checksum(df.select(*[f.name for f in schema.fields]), fmt)
+            out = cs if out is None else out.unionByName(cs)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -236,38 +236,109 @@ class XmlSourceReader(DataSourceReader):
         # fail are dropped (DROPMALFORMED) or emitted as one triage row each
         # (PERMISSIVE: nulls + `_corrupt_file` if declared).  The first
         # ``n_ok`` recovered records were already emitted by the streaming
-        # pass and are skipped.  Caveat (shared with spark-xml): a row-tag
-        # token inside CDATA/comments is a false resync point.
+        # pass and are skipped.  The offset scan is CHUNKED (O(1 MiB)
+        # memory, preserving the bounded-memory iterparse design on large
+        # corrupt files) and skips `<!--...-->` / `<![CDATA[...]]>` spans,
+        # so row-tag tokens inside comments or CDATA are not false resync
+        # points; per-record slices are then seek-read individually, so
+        # peak memory is the largest single record, never the file.
         import io
-        import re as _re
+        import os as _os
 
-        with open(partition.path, "rb") as fh:
-            data = fh.read()
-        tag = _re.escape(self.row_tag.encode())
-        starts = [
-            m.start()
-            for m in _re.finditer(rb"<(?:[A-Za-z_][\w.-]*:)?" + tag + rb"[\s/>]", data)
-        ]
+        starts = _scan_row_tag_offsets(partition.path, self.row_tag)
+        size = _os.path.getsize(partition.path)
         ok = 0
-        for i, off in enumerate(starts):
-            end = starts[i + 1] if i + 1 < len(starts) else len(data)
-            it = iterparse_records(
-                io.BytesIO(data[off:end]), self.row_tag, compiled
-            )
-            try:
-                rec = next(it)
-            except Exception:  # noqa: BLE001 — incl. StopIteration: no record
-                if self.mode == "PERMISSIVE" and ok >= n_ok:
-                    yield triage_row()
-                continue
-            ok += 1
-            if ok <= n_ok:
-                continue  # already emitted before the error
-            try:
-                yield to_tuple(rec)
-            except Exception:  # noqa: BLE001 — bad cast in recovery
-                if self.mode == "PERMISSIVE":
-                    yield triage_row()
+        with open(partition.path, "rb") as fh:
+            for i, off in enumerate(starts):
+                end = starts[i + 1] if i + 1 < len(starts) else size
+                fh.seek(off)
+                chunk = fh.read(end - off)
+                it = iterparse_records(io.BytesIO(chunk), self.row_tag, compiled)
+                try:
+                    rec = next(it)
+                except Exception:  # noqa: BLE001 — incl. StopIteration: no record
+                    if self.mode == "PERMISSIVE" and ok >= n_ok:
+                        yield triage_row()
+                    continue
+                ok += 1
+                if ok <= n_ok:
+                    continue  # already emitted before the error
+                try:
+                    yield to_tuple(rec)
+                except Exception:  # noqa: BLE001 — bad cast in recovery
+                    if self.mode == "PERMISSIVE":
+                        yield triage_row()
+
+
+def _scan_row_tag_offsets(
+    path: str, row_tag: str, chunk_size: int = 1 << 20
+) -> list[int]:
+    """Absolute byte offsets of row-tag start tokens, found with a CHUNKED
+    scan (memory is O(chunk_size), never O(file)) that tracks
+    ``<!--...-->`` and ``<![CDATA[...]]>`` spans across chunk boundaries so
+    tokens inside them are not reported — those are exactly the false
+    resync points a raw regex over the whole file would hit.
+
+    Decisions are only made up to ``len(buf) - overlap`` until EOF, so a
+    token or row-tag match straddling a chunk boundary is always seen whole
+    on the next pass (overlap bounds the namespace-prefix length, as any
+    scanner without unbounded lookbehind must)."""
+    import re as _re
+
+    pat = _re.compile(
+        rb"<(?:[A-Za-z_][\w.-]*:)?" + _re.escape(row_tag.encode()) + rb"[\s/>]"
+    )
+    overlap = max(len(row_tag.encode()) + 96, 128)
+    offsets: list[int] = []
+    buf = b""
+    base = 0  # absolute file offset of buf[0]
+    state = 0  # 0 = markup, 1 = inside comment, 2 = inside CDATA
+    with open(path, "rb") as fh:
+        eof = False
+        while not (eof and not buf):
+            if not eof:
+                block = fh.read(chunk_size)
+                if block:
+                    buf += block
+                else:
+                    eof = True
+            limit = len(buf) if eof else max(0, len(buf) - overlap)
+            p = 0
+            while p < limit:
+                if state == 1:  # scan for comment close
+                    q = buf.find(b"-->", p)
+                    if q == -1 or q >= limit:
+                        p = limit
+                    else:
+                        state, p = 0, q + 3
+                elif state == 2:  # scan for CDATA close
+                    q = buf.find(b"]]>", p)
+                    if q == -1 or q >= limit:
+                        p = limit
+                    else:
+                        state, p = 0, q + 3
+                else:
+                    c = buf.find(b"<!--", p)
+                    d = buf.find(b"<![CDATA[", p)
+                    m = pat.search(buf, p)
+                    nxt = min(
+                        (x for x in (c, d, m.start() if m else -1) if x != -1),
+                        default=-1,
+                    )
+                    if nxt == -1 or nxt >= limit:
+                        p = limit
+                    elif nxt == c:
+                        state, p = 1, c + 4
+                    elif nxt == d:
+                        state, p = 2, d + 9
+                    else:
+                        offsets.append(base + nxt)
+                        p = nxt + 1
+            buf = buf[limit:]
+            base += limit
+            if eof and limit == 0:
+                break
+    return offsets
 
 
 def _coercer(dt):
