@@ -512,3 +512,126 @@ def test_stream_kafka_contract_with_file_backed_double(spark, tmp_path):
     # u0: docs 0 (10) + 2 (30) in hour 09; u1: doc 1 (20) in hour 10 (held
     # open by the watermark in a single availableNow drain -> absent)
     assert got == {("u0", "09:00"): 40}
+
+
+def _write_stream_input(spark, src, rows, schema):
+    """Append one batch of rows as a new parquet file under the file-stream
+    source dir (the file-backed seam the Kafka contract test uses: each
+    append is one 'broker segment' the stream discovers exactly once)."""
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_stateful_sessionizer_exactly_once_across_restart(spark, tmp_path):
+    """Kill/restart contract for the stateful sessionizer: drain phase-A
+    input, STOP the query (state lives only in the checkpoint), append
+    phase-B input, restart on the same checkpoint and drain again.  The
+    session whose events straddle the restart boundary (u1 11:00 pre /
+    11:20 post) must come out ONCE with merged start/count — recovered
+    state, not re-derived and not duplicated — and every gap-closed
+    session appears exactly once across both drains."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def drain():
+        ev = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize_stateful(ev, timeout_ms=None)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def ts(s):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+
+    _write_stream_input(
+        spark,
+        src,
+        [
+            (1, ts("2024-01-01 10:00:00")),
+            (1, ts("2024-01-01 10:10:00")),
+            (1, ts("2024-01-01 11:00:00")),  # open tail carried in state
+            (2, ts("2024-01-01 10:05:00")),  # open, closed only in phase B
+        ],
+        schema,
+    )
+    drain()
+    got1 = {
+        (r["user_id"], str(r["session_start"]), str(r["session_last"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # only u1's first session closed by the in-data gap so far
+    assert got1 == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2)}
+
+    _write_stream_input(
+        spark,
+        src,
+        [
+            (1, ts("2024-01-01 11:20:00")),  # extends the pre-restart session
+            (1, ts("2024-01-01 13:00:00")),  # gap: closes (11:00, 11:20)
+            (2, ts("2024-01-01 12:00:00")),  # gap: closes (10:05, 10:05)
+            (3, ts("2024-01-01 12:30:00")),  # new open session, never closed
+        ],
+        schema,
+    )
+    drain()
+    got2 = {
+        (r["user_id"], str(r["session_start"]), str(r["session_last"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 11:00:00", "2024-01-01 11:20:00", 2),
+        (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1),
+    }
+
+
+def test_stateful_packer_exactly_once_across_restart(spark, tmp_path):
+    """Kill/restart contract for the streaming packer: doc 4 arrives after
+    the restart and must land at offset 4 of chunk 1 — the chunk OPENED
+    before the restart (state (chunk_seq=1, used=4) replayed from the
+    checkpoint) — and the union of both drains assigns every doc exactly
+    once with no re-emission of phase-A rows."""
+    from xmlstreamprocessor_spark.streaming.packer import pack_stream_stateful
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "shard long, doc_id long, n_tokens long"
+
+    def drain():
+        docs = spark.readStream.schema(schema).parquet(src)
+        q = (
+            pack_stream_stateful(docs, cap=10)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_stream_input(spark, src, [(0, 1, 4), (0, 2, 4), (0, 3, 4)], schema)
+    drain()
+    rows = lambda: {  # noqa: E731
+        (r["shard"], r["doc_id"], r["chunk_seq"], r["offset_in_chunk"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows() == {(0, 1, 0, 0), (0, 2, 0, 4), (0, 3, 1, 0)}
+
+    _write_stream_input(spark, src, [(0, 4, 5), (0, 5, 8)], schema)
+    drain()
+    assert rows() == {
+        (0, 1, 0, 0),
+        (0, 2, 0, 4),
+        (0, 3, 1, 0),
+        (0, 4, 1, 4),  # joins the chunk opened pre-restart
+        (0, 5, 2, 0),
+    }
