@@ -259,3 +259,63 @@ def test_inferred_spec_matches_declared_on_same_documents(spark):
     got_inf = [tuple(r) for r in extract_xml(df, "xml", inferred).collect()]
     got_dec = [tuple(r) for r in extract_xml(df, "xml", declared).collect()]
     assert got_inf == got_dec and len(got_inf) == 2
+
+
+NS_XML = """<root xmlns:inv="http://ex.com/inventory" xmlns:fin="http://ex.com/finance">
+  <rec>
+    <inv:total>7</inv:total>
+    <fin:total>99</fin:total>
+    <name>widget</name>
+  </rec>
+</root>"""
+
+
+def test_default_mode_merges_colliding_local_names():
+    """Reference parity (Parser.cs:133,166): namespaces are ignored, so
+    inv:total and fin:total are the SAME tag and first-occurrence wins —
+    the documented default, and the silent-merge hazard strict mode
+    exists for."""
+    spec = X.struct("rec", {"total": X.nint("total"), "name": X.string("name")})
+    rec = compile_spec(spec).extract_element(ET.fromstring(NS_XML)[0])
+    assert rec == {"total": 7, "name": "widget"}
+
+
+def test_strict_ns_mode_distinguishes_namespaces():
+    """Opt-in strict-ns matching: patterns are Clark-notation names, so
+    the two totals extract to different fields instead of merging, and a
+    local-name pattern no longer matches a namespaced element."""
+    inv, fin = "{http://ex.com/inventory}", "{http://ex.com/finance}"
+    spec = X.struct(
+        "rec",
+        {
+            "inv_total": X.nint(f"{inv}total"),
+            "fin_total": X.nint(f"{fin}total"),
+            "name": X.string("name"),
+        },
+    )
+    rec = compile_spec(spec, strict_ns=True).extract_element(
+        ET.fromstring(NS_XML)[0]
+    )
+    assert rec == {"inv_total": 7, "fin_total": 99, "name": "widget"}
+
+    # local-name pattern "total" matches NEITHER namespaced element now
+    loose = X.struct("rec", {"total": X.nint("total"), "name": X.string("name")})
+    rec2 = compile_spec(loose, strict_ns=True).extract_element(
+        ET.fromstring(NS_XML)[0]
+    )
+    assert rec2 == {"total": None, "name": "widget"}
+
+
+def test_strict_ns_roundtrips_through_distributed_reader(spark, tmp_path):
+    """strict_ns survives the pickle into the distributed shredder
+    (read_xml path) and forces the Python kernel (the JVM from_xml path
+    strips namespaces, so auto-dispatch must not take it)."""
+    from xmlstreamprocessor_spark.sources import read_xml
+
+    (tmp_path / "a.xml").write_text(NS_XML)
+    inv = "{http://ex.com/inventory}"
+    spec = compile_spec(
+        X.struct("rec", {"inv_total": X.nint(f"{inv}total")}), strict_ns=True
+    )
+    rows = read_xml(spark, str(tmp_path), "rec", spec).collect()
+    assert [r["inv_total"] for r in rows] == [7]

@@ -49,9 +49,26 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 
 
+# Namespace handling: the DEFAULT matches the reference, which compares on
+# reader.LocalName only — namespaces ignored (Parser.cs:133, 166) — so two
+# elements differing only in namespace are the same tag.  The opt-in STRICT
+# mode (compile_spec(..., strict_ns=True)) matches on the full
+# Clark-notation name ("{uri}local", ElementTree's encoding), so colliding
+# local names stay distinct; spec patterns are then written in Clark
+# notation too.  The mode is process-global during a single document's
+# evaluation (set by the compiled spec at each entry point) — safe because
+# Spark Python workers are single-threaded per process.
+_STRICT_NS = False
+
+
+def _set_strict_ns(on: bool) -> None:
+    global _STRICT_NS
+    _STRICT_NS = bool(on)
+
+
 def _localname(tag: str) -> str:
-    # reference matches on reader.LocalName only; namespaces ignored
-    # (Parser.cs:133, 166). ElementTree encodes ns as "{uri}local".
+    if _STRICT_NS:
+        return tag
     return tag.rsplit("}", 1)[-1]
 
 
@@ -140,7 +157,10 @@ def serialize_element(elem) -> str:
     """Serialize an element the way .NET ``XmlWriter`` does for
     ``ReadOuterXml`` — self-closing empty elements rendered ``<tag />``
     (golden outputs in Test1.cs:261-270)."""
-    name = _localname(elem.tag)
+    # always the PLAIN local name: a Clark "{uri}tag" would not be
+    # well-formed markup, so string folding stays namespace-agnostic even
+    # under strict-ns matching (ET drops the original prefix anyway)
+    name = elem.tag.rsplit("}", 1)[-1]
     attrs = "".join(f' {k}="{v}"' for k, v in elem.attrib.items())
     inner = _inner_xml(elem)
     if inner == "":
@@ -559,13 +579,15 @@ class CompiledSpec:
     (schema extraction at CreateParser time, Parser.cs:110-115; per-record
     work is slot fills + one generator call)."""
 
-    def __init__(self, root: Struct):
+    def __init__(self, root: Struct, strict_ns: bool = False):
         if not isinstance(root, Struct):
             raise TypeError("top-level spec must be X.struct(...)")
         self.root = root
+        self.strict_ns = strict_ns
         self.schema: T.StructType = root.dtype()
 
     def extract_element(self, elem) -> dict[str, Any] | None:
+        _set_strict_ns(getattr(self, "strict_ns", False))
         if not match_pattern(self.root.pattern, _localname(elem.tag)):
             return None
         return self.root.parse(elem)
@@ -580,11 +602,13 @@ class CompiledArraySpec:
     """``ParserTool.CreateArrayParser`` (Parser.cs:341-345): the root element
     is the container; one output value per matching child, document order."""
 
-    def __init__(self, container_pattern: str, inner: Spec):
+    def __init__(self, container_pattern: str, inner: Spec, strict_ns: bool = False):
         self.arr = Arr(container_pattern, inner)
+        self.strict_ns = strict_ns
         self.element_type = inner.dtype()
 
     def extract_element(self, elem) -> list[Any] | None:
+        _set_strict_ns(getattr(self, "strict_ns", False))
         if not match_pattern(self.arr.pattern, _localname(elem.tag)):
             return None
         return self.arr.parse(elem)
@@ -595,9 +619,15 @@ class CompiledArraySpec:
         return self.extract_element(ET.fromstring(xml))
 
 
-def compile_spec(root: Struct) -> CompiledSpec:
-    return CompiledSpec(root)
+def compile_spec(root: Struct, strict_ns: bool = False) -> CompiledSpec:
+    """``strict_ns=False`` (default) reproduces the reference's
+    LocalName-only matching; ``True`` matches full Clark-notation names
+    ("{uri}local") so colliding local names in different namespaces are
+    NOT silently merged — write spec patterns in Clark notation then."""
+    return CompiledSpec(root, strict_ns=strict_ns)
 
 
-def compile_array_spec(container_pattern: str, inner: Spec) -> CompiledArraySpec:
-    return CompiledArraySpec(container_pattern, inner)
+def compile_array_spec(
+    container_pattern: str, inner: Spec, strict_ns: bool = False
+) -> CompiledArraySpec:
+    return CompiledArraySpec(container_pattern, inner, strict_ns=strict_ns)

@@ -70,6 +70,11 @@ def _jvm_safe(compiled: CompiledSpec) -> bool:
 
     from xmlstreamprocessor_spark.plans.spec import Arr, Struct, _StringSlot
 
+    if getattr(compiled, "strict_ns", False):
+        # the JVM path strips namespaces before parsing — strict Clark-name
+        # matching only exists in the Python kernel
+        return False
+
     def bad_slot(f) -> bool:
         if isinstance(f, _StringSlot):
             return True
@@ -187,6 +192,9 @@ def extract_xml(
 def iterparse_records(source, row_tag: str, compiled: CompiledSpec) -> Iterator[dict]:
     """Stream record elements matching ``row_tag`` out of one XML source with
     bounded memory (iterparse + clear), emitting extracted dicts."""
+    from xmlstreamprocessor_spark.plans.spec import _set_strict_ns
+
+    _set_strict_ns(getattr(compiled, "strict_ns", False))
     depth = 0
     for event, elem in ET.iterparse(source, events=("start", "end")):
         if event == "start":
