@@ -23,80 +23,79 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
-# The round-1 driver verified only the first 50 registry entries, so the
-# head of the ordering is curated to cover the whole surface: the 4 XML
-# round-trips (the reference-derived §2A operators) first, then at least
-# one oracle-paired representative of every §2B family and every
-# LLM-pipeline operator family (windows, streaming batch-twins, temporal,
-# as-of, dedup x4 algorithms, graph CC, similarity/ANN, text, multimodal,
-# sampling, packing, formats, sorts, set ops, subqueries, scalar funcs),
-# interleaved with the 15 queries that hash-failed in round 1 so their
-# fixes land inside the checked window.  Everything else follows in
-# module-registration order.
+# The driver hash-verifies the FIRST 50 entries of queries() each round, so
+# the head of the ordering is a per-round curated window.  Round 2's window
+# covered one representative per family (all 50 green in
+# CORRECTNESS_r02.json); round 3 keeps the 4 XML round-trips pinned (the
+# reference-derived §2A surface must stay checked every round) and rotates
+# the other 46 slots to queries with NO driver verdict in any prior round,
+# plus every query whose semantics changed this round (the PPM-decoding
+# image features, the wide-signature connected components, the
+# exact-vs-LSH cosine pair split).  COVERAGE GAP (by design of the 50-slot
+# window): the ~90 out-of-window queries are verified only by the local
+# strict gate — run `python tools/check_correctness.py` (all queries,
+# same compare as the driver) before shipping a round; rotation retires
+# the gap across rounds.
 _PRIORITY = [
-    # §2A reference surface
+    # §2A reference surface (pinned every round)
     "xml_roundtrip_orders_struct",
     "xml_roundtrip_orders_struct_jvm",
     "xml_roundtrip_wildcard_tag_events",
     "xml_roundtrip_lineitem_array",
-    # round-1 hash-fail flips (filters/joins/aggs/scalar families)
-    "q1_pricing_summary",
-    "q_revenue_per_nation",
-    "join_left_customer_order_stats",
-    "agg_rollup_order_year_priority",
-    "agg_cube_lineitem_flags",
-    "pivot_status_totals_by_priority",
-    "agg_salted_skewed_event_totals",
-    "json_extract_event_props",
-    "agg_argmax_order_per_customer",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q22_global_sales_opportunity",
-    # window family
-    "window_topk_orders_per_customer",
-    "window_trailing_7day_revenue",
-    # streaming batch-twins
-    "window_tumbling_hourly_events",
-    "window_session_10m_events",
-    # temporal
-    "temporal_rollup_multires",
-    "temporal_ewma_per_user",
-    # as-of join
-    "asof_join_purchase_last_view",
-    # dedup algorithms (exact, minhash-LSH, simhash, embedding-LSH, prefix)
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
+    # new/changed semantics this round
+    "multimodal_image_features",
+    "dedup_connected_components",
+    "dedup_simhash_wide_signatures",
     "dedup_embedding_cosine_pairs",
-    "dedup_ngram_jaccard_pairs",
-    # graph / dup groups
-    "graph_components_minhash_groups",
-    "graph_dup_group_sizes",
-    # similarity / ANN / quantization
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "embedding_int8_quantize",
-    # text analysis
-    "text_stats_documents",
-    "text_langid_documents",
-    "text_tfidf_top_terms",
-    # multimodal
-    "multimodal_payload_stats",
-    "multimodal_frame_sample",
-    # sampling / packing / formats
-    "sample_deterministic_rate",
-    "sample_train_val_split",
-    "pack_sequences_plan",
-    "pipeline_dedup_mix_pack",
-    "formats_roundtrip_orders",
-    # sorts / set ops / subqueries / scalar funcs
-    "sort_top20_orders",
-    "setop_union_all_keys",
-    "subquery_exists_urgent_customers",
-    "scalar_string_functions",
+    "dedup_embedding_cosine_pairs_lsh",
+    # TPC-H shapes never driver-checked
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    # relational tail: json/setops/aggs/unpivot/lateral/scalar
+    "json_variant_shred_props",
+    "setop_except_all_statuses",
+    "agg_histogram_totalprice",
+    "agg_stats_moments",
+    "unpivot_lineitem_measures",
+    "lateral_top2_orders_per_customer",
+    "scalar_map_functions",
+    # window/analytic tail
+    "window_rank_dense_ntile",
+    "window_running_total_per_customer",
+    "window_lag_lead_order_gaps",
+    "window_range_frame_value_band",
+    "window_sliding_1h_30m_events",
+    "analytic_weekly_retention_cohorts",
+    "analytic_zscore_anomalies",
+    # mutation / temporal tail
+    "merge_upsert_orders",
+    "scd2_customer_priority_history",
+    "sessionize_events_30m",
+    "temporal_gapfill_locf",
+    "temporal_gapfill_interpolate",
+    # dedup/similarity/graph tail
+    "dedup_simhash_signatures",
+    "dedup_levenshtein_pairs",
+    "graph_components_dup_groups",
+    "similarity_centroid_per_label",
+    "similarity_rplsh_signatures",
+    "similarity_ivf_assign_cells",
+    "similarity_topk_ivf_multiprobe",
+    # text tail
+    "text_token_count_bpe",
+    "text_rolling_hash_fingerprint",
+    "text_quality_filter",
+    "text_pii_scrub",
+    "text_decontaminate_overlap",
+    "text_langid_confusion",
+    "text_repetition_filter",
+    # multimodal / mixing / packing tail
+    "multimodal_audio_framing",
+    "multimodal_image_resize_plan",
+    "mix_weighted_corpus",
+    "sample_stratified_quota",
+    "pack_greedy_shardlocal",
 ]
 
 
