@@ -1369,11 +1369,11 @@ def join_salted_skewed_fact_dim(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: derived revenue view + scalar-max filter (the
-    classic view-reuse query).  Scale: the revenue aggregate is computed
-    once into a window max — no second scan of lineitem, unlike the naive
-    subquery formulation."""
-    from pyspark.sql import Window
-
+    classic view-reuse query).  Scale: the revenue aggregate feeds a
+    ONE-ROW max that is broadcast back onto it — two passes over the tiny
+    per-supplier revenue table, zero over lineitem; the alternative
+    (an unpartitioned window max) would move every supplier row to a
+    single partition, which grows linearly with supplier count."""
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1384,10 +1384,10 @@ def q15_top_supplier(spark, sf_dir):
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(disc_price).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn(
-        "mx", F.max("total_revenue").over(w)
-    ).filter(F.col("total_revenue") == F.col("mx"))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
     s = t(spark, sf_dir, "supplier")
     return s.join(top, s.s_suppkey == top.supplier_no).select(
         "s_suppkey", "s_name", money4(F.col("total_revenue")).alias("total_revenue")
