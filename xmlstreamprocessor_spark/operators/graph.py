@@ -109,7 +109,9 @@ def connected_components(
         # lazy checkpoint: the fingerprint aggregate below is the ONE job
         # per round — it materializes the checkpoint as it runs (an eager
         # checkpoint would double the job count, and round latency on a
-        # shrunken edge list is pure scheduling overhead)
+        # shrunken edge list is pure scheduling overhead; batching TWO
+        # star-rounds per job was measured SLOWER here — the wall is
+        # sequential stage latency, which batching deepens, not job count)
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
