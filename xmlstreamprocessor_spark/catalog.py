@@ -32,13 +32,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-        # rejects; read it as raw nanos and truncate to microseconds (same
-        # semantics as DuckDB/pyarrow ns->us truncation).
+        # The driver has shipped events.ts under THREE parquet encodings
+        # across rounds — TIMESTAMP(NANOS) (vectorized reader rejects it;
+        # read as raw nanos long + truncate, the DuckDB/pyarrow ns->us
+        # semantics), TIMESTAMP(MICROS) adjusted-to-UTC, and MICROS
+        # not-adjusted (reads as TIMESTAMP_NTZ, which functions like
+        # unix_micros refuse) — so normalize every variant to one session
+        # TIMESTAMP here; under the UTC session zone the cast is
+        # instant-identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_t = dict(df.dtypes).get("ts")
+        if ts_t == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_t == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

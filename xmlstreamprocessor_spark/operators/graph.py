@@ -249,3 +249,66 @@ def graph_components_minhash_groups(spark, sf_dir):
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@query(
+    "dedup_drop_list",
+    oracle=f"""
+    WITH comp AS ({_DUCK_CC_DUP_GROUPS})
+    SELECT doc_id AS drop_doc_id, component AS keep_doc_id
+    FROM comp WHERE doc_id <> component
+    """,
+)
+def dedup_drop_list(spark, sf_dir):
+    """The ACTIONABLE dedup output: one row per document to discard with
+    the keeper (min doc_id of its component) it duplicates — what a
+    100 TB pipeline materializes and anti-joins against the corpus.  The
+    keeper itself never appears on the drop side, so
+    ``corpus.join(drop_list, corpus.doc_id == drop_doc_id, "left_anti")``
+    is the dedup, one broadcast-able anti-join."""
+    comp = graph_components_dup_groups(spark, sf_dir)
+    return comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("drop_doc_id"),
+        F.col("component").alias("keep_doc_id"),
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH comp AS ({_DUCK_CC_DUP_GROUPS}),
+    drops AS (
+      SELECT doc_id FROM comp WHERE doc_id <> component
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+           round(count(dr.doc_id) * 1.0 / count(*), 6) AS drop_rate
+    FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Dedup accounting per source shard — the per-provenance dup rate a
+    training-data pipeline reports before reweighting its mix.  The drop
+    list is near-dup-sized (tiny vs the corpus), so it broadcasts onto the
+    full documents scan; the groupBy is one map-side-combined aggregate."""
+    drops = dedup_drop_list(spark, sf_dir).select(
+        F.col("drop_doc_id").alias("doc_id"), F.lit(1).alias("dropped")
+    )
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(drops), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("drop_rate"),
+        )
+    )

@@ -17,17 +17,30 @@ from xmlstreamprocessor_spark.sources.xml_batch import _ensure_compiled
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet replayed as a file-source stream (one micro-batch with
-    availableNow, or incremental as files land in a real deployment)."""
+    availableNow, or incremental as files land in a real deployment).
+
+    The ts encoding is PROBED from the file (one batch schema read, no
+    data): TIMESTAMP(NANOS) parquet must be read as raw nanos long and
+    truncated to micros (the vectorized reader rejects nanos), while
+    TIMESTAMP(MICROS) reads natively — the driver's testdata has shipped
+    both encodings across rounds, and hardcoding either silently corrupts
+    the other by 1000x (a bigint user schema happily reads the micros
+    physical INT64)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_dtypes = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    nanos = batch_dtypes.get("ts") == "bigint"
+    ts_decl = "ts bigint" if nanos else "ts timestamp"
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        f"event_id bigint, {ts_decl}, user_id bigint, event_type string, "
         "value double, props string"
     )
     # glob so the file source's basePath resolves to the directory while the
     # stream matches only the events table (a bare file path is rejected,
     # and the bare directory would ingest every table's parquet)
     raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def stream_xml(
