@@ -79,3 +79,18 @@ def test_cc_scales_to_pseudorandom_graph(spark):
         .count()
     )
     assert bad_label == 0
+
+
+def test_cc_distributed_path_equals_local_finisher(spark):
+    """local_threshold=0 forces the alternating-star rounds; the labels
+    must be identical to the (default) driver-side union-find on the same
+    topologies — the two regimes of the cost-based finisher agree."""
+    cases = [
+        [(1, 2), (2, 3), (3, 1), (10, 11)],
+        [(i, i + 1) for i in range(31)],          # diameter-31 chain
+        [(100, 5), (100, 6), (6, 5), (5, 100)],   # dup + reversed edges
+    ]
+    for edges in cases:
+        dist = _resolve(spark, edges, local_threshold=0)
+        local = _resolve(spark, edges)
+        assert dist == local and len(local) > 0
