@@ -128,3 +128,25 @@ def test_embedding_lsh_subset_of_exact_with_equal_scores(spark, oracle_sf_dir):
     # 4 bands x 4 bits at cos>=0.4 gives ~0.5 recall analytically; this
     # dataset is fixed, so pin a floor that catches banding regressions
     assert len(lsh) >= 0.45 * len(exact)
+
+
+def test_blocked_cosine_matches_expression_kernel(spark, oracle_sf_dir):
+    """The blocked numpy kernel is an execution strategy, not an
+    approximation: identical pair set AND bit-identical rounded scores to
+    the aggregate(zip_with) expression kernel, across block counts that
+    exercise diagonal-only (B=1) and many-cross-block (B=7, non-divisor)
+    task shapes."""
+    from xmlstreamprocessor_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+    )
+
+    exact = _pairs(
+        embedding_cosine_pairs_exact(spark, oracle_sf_dir), "vec_a", "vec_b", "cos_sim"
+    )
+    assert len(exact) > 0
+    for n_blocks in (1, 7, 16):
+        blocked = _pairs(
+            embedding_cosine_pairs_blocked(spark, oracle_sf_dir, n_blocks=n_blocks),
+            "vec_a", "vec_b", "cos_sim",
+        )
+        assert blocked == exact, f"n_blocks={n_blocks}"
