@@ -530,3 +530,70 @@ def similarity_topk_ivf_multiprobe(spark, sf_dir):
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: measured recall of the approximate indexes
+# ---------------------------------------------------------------------------
+
+
+def _install_recall_query() -> None:
+    """Registered after the three top-k queries so the oracle can compose
+    their REGISTRY oracle texts verbatim (each becomes a CTE; DuckDB
+    accepts a WITH inside a CTE body)."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    exact_sql = REGISTRY["similarity_topk_bruteforce"][1]
+    ivf_sql = REGISTRY["similarity_topk_ivf"][1]
+    mp_sql = REGISTRY["similarity_topk_ivf_multiprobe"][1]
+    oracle = f"""
+    WITH exact_topk AS ({exact_sql}),
+    ivf_topk AS ({ivf_sql}),
+    mp_topk AS ({mp_sql})
+    SELECT e.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS ivf_hits,
+           round(count(i.neighbor_id) * 1.0 / {_TOP_K}, 6) AS ivf_recall,
+           CAST(count(m.neighbor_id) AS BIGINT) AS multiprobe_hits,
+           round(count(m.neighbor_id) * 1.0 / {_TOP_K}, 6) AS multiprobe_recall
+    FROM exact_topk e
+    LEFT JOIN ivf_topk i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    LEFT JOIN mp_topk m
+      ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+    @query("similarity_recall_vs_exact", oracle=oracle)
+    def similarity_recall_vs_exact(spark, sf_dir):
+        """MEASURED recall@10 of both approximate indexes against the exact
+        brute-force ground truth, per query vector — the evaluation a real
+        ANN deployment ships with its index choice (the docstring curves in
+        OPERATORS.md are analysis; this is evidence).  Each top-k side is
+        <= Q*k rows, so the comparison joins broadcast; the expensive part
+        is the three top-k subtrees themselves, each already audited for
+        scale (broadcast query side / cell equi-join)."""
+        exact = similarity_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        ivf = similarity_topk_ivf(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("ivf_hit")
+        )
+        mp = similarity_topk_ivf_multiprobe(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("mp_hit")
+        )
+        return (
+            exact.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+            .join(F.broadcast(mp), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("ivf_hit").cast("bigint").alias("ivf_hits"),
+                F.round(F.count("ivf_hit") / F.lit(_TOP_K), 6).alias("ivf_recall"),
+                F.count("mp_hit").cast("bigint").alias("multiprobe_hits"),
+                F.round(F.count("mp_hit") / F.lit(_TOP_K), 6).alias(
+                    "multiprobe_recall"
+                ),
+            )
+        )
+
+
+_install_recall_query()
