@@ -150,3 +150,48 @@ def test_blocked_cosine_matches_expression_kernel(spark, oracle_sf_dir):
             "vec_a", "vec_b", "cos_sim",
         )
         assert blocked == exact, f"n_blocks={n_blocks}"
+
+
+def test_blocked_cosine_edge_cases_match_expression_kernel(spark, tmp_path):
+    """Adversarial corpus: a zero-norm vector (cosine undefined — the
+    contract is "no pairs", NOT a DIVIDE_BY_ZERO crash under Spark 4's
+    default ANSI mode), exact duplicates (cos 1.0), antiparallel vectors,
+    and tiny magnitudes.  The blocked kernel must reproduce the
+    expression kernel row-for-row."""
+    from xmlstreamprocessor_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+        embedding_cosine_pairs_exact,
+    )
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0]),       # zero norm -> excluded, no crash
+        (1, [1.0, 2.0, -3.0, 0.5]),
+        (2, [1.0, 2.0, -3.0, 0.5]),      # exact duplicate of 1
+        (3, [-1.0, -2.0, 3.0, -0.5]),    # antiparallel to 1 (cos -1)
+        (4, [1e-160, 2e-160, -3e-160, 5e-161]),  # tiny magnitude
+        (5, [2.0, 4.0, -6.0, 1.0]),      # parallel to 1 (cos 1)
+        (6, [4.0, -1.0, 0.0, 7.0]),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id bigint, embedding array<double>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    def pairs(df):
+        return {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"] for r in df.collect()
+        }
+
+    exact = pairs(embedding_cosine_pairs_exact(spark, sf))
+    for n_blocks in (1, 3):
+        blocked = pairs(
+            embedding_cosine_pairs_blocked(spark, sf, n_blocks=n_blocks)
+        )
+        assert blocked == exact, n_blocks
+    # the zero vector pairs with nothing; duplicates/parallels score 1.0
+    assert not any(0 in k for k in exact)
+    assert exact[(1, 2)] == 1.0 and exact[(1, 5)] == 1.0
+    # the 1e-160 vector's squared norm (~1e-320) is DENORMAL: precision
+    # collapses and the cosine overshoots 1 — identically in both
+    # kernels, which is exactly what the bit-parity contract promises
+    assert (1, 4) in exact and exact[(1, 4)] == 1.000006
