@@ -28,7 +28,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (cosine undefined): the
+    when-guard keeps the division unevaluated for degenerate rows, so
+    Spark 4's default ANSI mode cannot raise DIVIDE_BY_ZERO — a NULL
+    score fails every >= threshold filter and ranks last in DESC
+    ordering, which is the intended no-pairs/no-rank behavior."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def cosine6(a: Column, b: Column) -> Column:

@@ -66,7 +66,11 @@ def similarity_topk_bruteforce(spark, sf_dir):
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")), 6
+            F.when(
+                F.col("nq") * F.col("nc") != 0,
+                dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")),
+            ),
+            6,
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -123,7 +127,11 @@ def similarity_topk_ivf(spark, sf_dir):
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")), 6
+            F.when(
+                F.col("nq") * F.col("nc") != 0,
+                dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")),
+            ),
+            6,
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
