@@ -42,7 +42,11 @@ def main() -> None:
         f"sf dir `{sf_dir}`, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], "
         f"{len(rows)} queries, total {total} s (single-run, cold plans — the "
         "headline `bench.py` set uses best-of-2; regenerate with "
-        "`python tools/bench_extended.py`).",
+        "`python tools/bench_extended.py`).  Treat per-query walls as "
+        "order-of-magnitude only: ambient VM load swings single runs "
+        "±50% (observed totals 134–197 s for identical code), hitting "
+        "the iterative/multi-job chains hardest; BASELINE.md's "
+        "median-of-3 protocol is the regression reference.",
         "",
         "| query | sec | rows | error |",
         "|---|---|---|---|",
