@@ -37,8 +37,8 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # same compare as the driver) before shipping a round; rotation retires
 # the gap across rounds.  Queries ADDED in round 3 after the window was
 # fixed (dedup_substring_spans/_coverage_by_source/_cut_text,
-# similarity_recall_vs_exact) are strict-gate green and first in line
-# for the round-4 window.
+# similarity_recall_vs_exact, dedup_minhash_signatures) are strict-gate
+# green and first in line for the round-4 window.
 _PRIORITY = [
     # §2A reference surface (pinned every round)
     "xml_roundtrip_orders_struct",
