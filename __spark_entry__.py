@@ -24,81 +24,79 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  Round 2's window
-# covered one representative per family (all 50 green in
-# CORRECTNESS_r02.json); round 3 keeps the 4 XML round-trips pinned (the
-# reference-derived §2A surface must stay checked every round) and rotates
-# the other 46 slots to queries with NO driver verdict in any prior round,
-# plus every query whose semantics changed this round (the PPM-decoding
-# image features, the wide-signature connected components, the
-# exact-vs-LSH cosine pair split).  COVERAGE GAP (by design of the 50-slot
-# window): the ~90 out-of-window queries are verified only by the local
-# strict gate — run `python tools/check_correctness.py` (all queries,
-# same compare as the driver) before shipping a round; rotation retires
-# the gap across rounds.  Queries ADDED in round 3 after the window was
-# fixed (dedup_substring_spans/_coverage_by_source/_cut_text,
-# similarity_recall_vs_exact, dedup_minhash_signatures) are strict-gate
-# green and first in line for the round-4 window.
+# the head of the ordering is a per-round curated window.  Rounds 2+3
+# together put a green driver verdict on 126 of the 147 registered queries;
+# round 4's window closes the gap: the 4 XML round-trips stay pinned (the
+# reference-derived §2A surface must stay checked every round), the next 21
+# slots are every query that has NEVER had a driver verdict (the round-3
+# late additions plus 15 rotation leftovers, and agg_approx_distinct — the
+# one ever-checked-never-green row, r1 `err: no_oracle`, which has an exact
+# oracle since round 2), and the remaining slots re-check every query whose
+# code round 4 touches (cosine-pair size guardrail, jaccard lineage-sever,
+# connected-components driver-finisher threshold, streaming source probe)
+# plus the new incremental-MinHash queries added this round.  After this
+# window lands green, all 147+new registry entries have >=1 green driver
+# verdict across rounds 2-4.  COVERAGE GAP (by design of the 50-slot
+# window): out-of-window queries are verified only by the local strict gate
+# — run `python tools/check_correctness.py` (all queries, same compare as
+# the driver) before shipping a round.
 _PRIORITY = [
     # §2A reference surface (pinned every round)
     "xml_roundtrip_orders_struct",
     "xml_roundtrip_orders_struct_jvm",
     "xml_roundtrip_wildcard_tag_events",
     "xml_roundtrip_lineitem_array",
-    # new/changed semantics this round
-    "multimodal_image_features",
-    "dedup_connected_components",
-    "dedup_simhash_wide_signatures",
+    # never driver-checked in any round (20) + never-green (1)
+    "profile_orders_table",
+    "setop_intersect_all_statuses",
+    "agg_string_concat_nations",
+    "agg_approx_distinct",
+    "window_moving_avg_rows_frame",
+    "window_first_last_value",
+    "window_percent_rank_cume_dist",
+    "window_running_distinct_statuses",
+    "analytic_funnel_view_click_purchase",
+    "dedup_minhash_signatures",
+    "similarity_rplsh_bucket_stats",
+    "similarity_recall_vs_exact",
+    "dedup_substring_spans",
+    "dedup_substring_coverage_by_source",
+    "dedup_substring_cut_text",
+    "dedup_drop_list",
+    "dedup_rate_by_source",
+    "text_fingerprint_documents",
+    "text_ngram_top100",
+    "multimodal_resize_to_box",
+    "mix_weighted_proportions",
+    # new queries this round (incremental MinHash maintenance)
+    "dedup_minhash_delta_pairs",
+    # code touched this round: cosine guardrail, jaccard lineage-sever,
+    # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_pairs_lsh",
-    # TPC-H shapes never driver-checked
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_shippers",
-    # relational tail: json/setops/aggs/unpivot/lateral/scalar
-    "json_variant_shred_props",
-    "setop_except_all_statuses",
-    "agg_histogram_totalprice",
-    "agg_stats_moments",
-    "unpivot_lineitem_measures",
-    "lateral_top2_orders_per_customer",
-    "scalar_map_functions",
-    # window/analytic tail
-    "window_rank_dense_ntile",
-    "window_running_total_per_customer",
-    "window_lag_lead_order_gaps",
-    "window_range_frame_value_band",
-    "window_sliding_1h_30m_events",
-    "analytic_weekly_retention_cohorts",
-    "analytic_zscore_anomalies",
-    # mutation / temporal tail
-    "merge_upsert_orders",
-    "scd2_customer_priority_history",
-    "sessionize_events_30m",
-    "temporal_gapfill_locf",
-    "temporal_gapfill_interpolate",
-    # dedup/similarity/graph tail
-    "dedup_simhash_signatures",
-    "dedup_levenshtein_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_connected_components",
     "graph_components_dup_groups",
-    "similarity_centroid_per_label",
-    "similarity_rplsh_signatures",
-    "similarity_ivf_assign_cells",
-    "similarity_topk_ivf_multiprobe",
-    # text tail
-    "text_token_count_bpe",
-    "text_rolling_hash_fingerprint",
-    "text_quality_filter",
-    "text_pii_scrub",
-    "text_decontaminate_overlap",
-    "text_langid_confusion",
-    "text_repetition_filter",
-    # multimodal / mixing / packing tail
-    "multimodal_audio_framing",
-    "multimodal_image_resize_plan",
-    "mix_weighted_corpus",
-    "sample_stratified_quota",
-    "pack_greedy_shardlocal",
+    "graph_dup_group_sizes",
+    "graph_components_minhash_groups",
+    "dedup_levenshtein_pairs",
+    "sessionize_events_30m",
+    "window_tumbling_hourly_events",
+    "window_sliding_1h_30m_events",
+    # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+    "formats_roundtrip_orders",
+    "asof_join_purchase_last_view",
+    "pipeline_dedup_mix_pack",
+    "temporal_rollup_multires",
+    "text_tfidf_top_terms",
+    "similarity_topk_bruteforce",
+    "multimodal_image_features",
 ]
 
 

@@ -5,10 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing methodology: one warm-up of a trivial action to absorb JVM/session
 start, then each query timed over plan-build + execution to a count/collect
-(results are small by construction) — TWICE, reporting the faster run, so
-one-off JIT/page-cache/Python-worker-spin-up noise doesn't land on whichever
-query happens to hit it (observed ±30% on the first shuffle-heavy query of
-a session).  AQE on, as in production.
+(results are small by construction) — THREE runs, reporting the per-query
+MEDIAN (the protocol BASELINE.md's re-baselines already use; judge-advice
+r3 #8: two rounds in a row the single-snapshot headline moved on ambient
+noise, observed ±30% on iterative/shuffle-heavy chains).  The JSON line
+self-describes the protocol (runs/stat) and carries every raw run so a
+reader can judge spread without re-running.  AQE on, as in production.
 """
 
 from __future__ import annotations
@@ -63,18 +65,23 @@ def main() -> None:
     spark = get_session("xsp-bench")
     spark.range(1).count()  # warm the session
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn, _ = REGISTRY[name]
-        best, n = None, 0
-        for _run in range(2):
+        walls, n = [], 0
+        for _run in range(n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            wall = time.perf_counter() - t0
-            best = wall if best is None else min(best, wall)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            walls.append(time.perf_counter() - t0)
+        raw[name] = [round(w, 3) for w in walls]
+        timings[name] = round(sorted(walls)[len(walls) // 2], 3)  # median
+        print(
+            f"# {name}: {timings[name]:.3f}s median of {raw[name]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +92,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "runs_per_query": n_runs,
+                "stat": "median",
+                "raw_runs": raw,
             }
         )
     )

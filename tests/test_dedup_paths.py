@@ -195,3 +195,105 @@ def test_blocked_cosine_edge_cases_match_expression_kernel(spark, tmp_path):
     # collapses and the cosine overshoots 1 — identically in both
     # kernels, which is exactly what the bit-parity contract promises
     assert (1, 4) in exact and exact[(1, 4)] == 1.000006
+
+
+def test_exact_cosine_size_gate_fires(spark, oracle_sf_dir):
+    """The exact all-pairs kernel must REFUSE above the vector-count gate
+    (O(n^2 d) arithmetic is a cluster-melter at corpus scale) with an
+    error that names the sub-quadratic LSH twin — and must keep working
+    when the caller raises or disables the gate."""
+    import pytest
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        ExactCosineScaleError,
+        embedding_cosine_pairs_blocked,
+    )
+
+    with pytest.raises(ExactCosineScaleError, match="cosine_pairs_lsh"):
+        # this corpus has 500 vectors; a gate of 10 must trip
+        embedding_cosine_pairs_blocked(spark, oracle_sf_dir, max_vectors=10)
+    # disabling the gate (or a bound above the corpus) still computes
+    assert (
+        embedding_cosine_pairs_blocked(
+            spark, oracle_sf_dir, max_vectors=None
+        ).count()
+        > 0
+    )
+
+
+def test_minhash_delta_union_base_equals_full_recompute(spark, oracle_sf_dir):
+    """Incremental signature maintenance loses nothing: LSH pairs over the
+    base corpus alone, UNIONed with the delta query's pairs (any pair
+    touching the newly-arrived batch), must equal a full-corpus
+    recompute — the invariant that lets a production pipeline dedup each
+    ingest batch against the persisted signature table without ever
+    re-shingling the corpus."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _lsh_pairs,
+        dedup_minhash_delta_pairs,
+        dedup_minhash_lsh_pairs,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    full = _pairs(
+        dedup_minhash_lsh_pairs(spark, oracle_sf_dir), "doc_a", "doc_b", "jaccard"
+    )
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    base_only = _pairs(
+        _lsh_pairs(spark, oracle_sf_dir, docs=base_docs), "doc_a", "doc_b", "jaccard"
+    )
+    delta = _pairs(
+        dedup_minhash_delta_pairs(spark, oracle_sf_dir), "doc_a", "doc_b", "jaccard"
+    )
+    # the two halves partition the full answer: base-internal pairs from
+    # the base run, delta-touching pairs from the incremental run
+    assert set(base_only).isdisjoint(delta)
+    assert {**base_only, **delta} == full
+    assert len(delta) > 0  # non-vacuous: the batch has near-dups
+
+
+def test_levenshtein_hot_block_splits_losslessly(spark):
+    """A dictionary where EVERY name shares the trailing word collapses
+    the [a-z]+$ block key to one quadratic block; the cost-based fallback
+    must (a) engage — visible as the length-bucket explode (Generate) in
+    the physical plan — and (b) emit exactly the pairs and scores of the
+    plain blocked join, because length bucketing with width max_dist+1 is
+    lossless for edit distance <= max_dist."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _levenshtein_pairs_from_names,
+    )
+
+    # 120 names, one shared trailing word, name lengths spread far enough
+    # to fill many length buckets; each name has a <=2-edit twin
+    rows = []
+    for i in range(60):
+        pad = "x" * (i % 17)
+        rows.append((f"item {i:03d}{pad} zzz", 1))
+        rows.append((f"item {i:04d}{pad} zzz", 2))  # 1 insertion away
+    names = spark.createDataFrame(rows, "p_name string, n_parts long")
+
+    def pairs(df):
+        return {
+            (r["a_name"], r["b_name"]): (r["a_parts"], r["b_parts"], r["edit_dist"])
+            for r in df.collect()
+        }
+
+    direct_df = _levenshtein_pairs_from_names(names, hot_block_limit=10**9)
+    hot_df = _levenshtein_pairs_from_names(names, hot_block_limit=10)
+    assert "Generate" in hot_df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in direct_df._jdf.queryExecution().executedPlan().toString()
+    direct, hot = pairs(direct_df), pairs(hot_df)
+    assert hot == direct
+    assert len(hot) >= 60  # non-vacuous: every i has its twin
+    # and the single collapsed block really was the hazard
+    assert (
+        names.withColumn("blk", F.regexp_extract("p_name", "[a-z]+$", 0))
+        .select("blk").distinct().count() == 1
+    )

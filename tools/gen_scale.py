@@ -56,10 +56,6 @@ def main() -> None:
     dst = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, ".scale", "sf1")
     spark = get_session("gen-scale", master="local[8]", shuffle_partitions=32)
 
-    strides = {}
-    for ks in set(k for m in _SHIFTS.values() for k in m.values()):
-        pass  # strides computed per keyspace below from its owning table
-
     def stride_of(table, col):
         df = spark.read.parquet(f"{src}/{table}.parquet")
         return df.agg(F.max(col)).first()[0] + 1
@@ -74,6 +70,12 @@ def main() -> None:
         "embeddings": ("embeddings", "vec_id"),
     }
     strides = {ks: stride_of(t, c) for ks, (t, c) in owner.items()}
+    # the customer keyspace also covers events.user_id; if synthetic user
+    # ids exceed max(c_custkey), a stride from the customer table alone
+    # would overlap replica user_id ranges and perturb per-user group sizes
+    strides["customer"] = max(
+        strides["customer"], stride_of("events", "user_id")
+    )
     print("strides:", strides)
 
     for tname in _FIXED:

@@ -10,7 +10,10 @@ from xmlstreamprocessor_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
-from xmlstreamprocessor_spark.streaming.dedup import dedup_within_watermark
+from xmlstreamprocessor_spark.streaming.dedup import (
+    dedup_kafka_offsets,
+    dedup_within_watermark,
+)
 from xmlstreamprocessor_spark.streaming.stateful import (
     sessionize_event_time,
     sessionize_stateful,
@@ -39,6 +42,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "dedup_kafka_offsets",
     "sessionize_stateful",
     "sessionize_event_time",
     "enrich_stream_static",
