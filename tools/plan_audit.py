@@ -54,7 +54,6 @@ EXTRA = [
     "setop_except_all_statuses",
     "subquery_exists_urgent_customers",
     "lateral_top2_orders_per_customer",
-    "pipeline_dedup_mix_pack",
     # round-3 additions
     "dedup_embedding_cosine_pairs",
     "dedup_substring_spans",
