@@ -68,8 +68,10 @@ _PRIORITY = [
     "text_ngram_top100",
     "multimodal_resize_to_box",
     "mix_weighted_proportions",
-    # new queries this round (incremental MinHash maintenance)
+    # new queries this round (incremental MinHash maintenance,
+    # quality-ranked token-budget selection)
     "dedup_minhash_delta_pairs",
+    "mix_token_budget_by_quality",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -96,7 +98,6 @@ _PRIORITY = [
     "temporal_rollup_multires",
     "text_tfidf_top_terms",
     "similarity_topk_bruteforce",
-    "multimodal_image_features",
 ]
 
 

@@ -63,6 +63,7 @@ EXTRA = [
     "dedup_connected_components",
     # round-4 additions
     "dedup_minhash_delta_pairs",
+    "mix_token_budget_by_quality",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

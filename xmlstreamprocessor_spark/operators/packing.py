@@ -343,3 +343,87 @@ def pack_greedy_shardlocal(spark, sf_dir):
         F.regexp_count(F.col("text"), F.lit(_TOK_RE)).cast("bigint").alias("n_tokens"),
     )
     return pack_batch_greedy(d, cap=_CAP).orderBy("shard", "doc_id")
+
+
+# token budget per source for the quality-ranked selection query
+_BUDGET = 800
+
+
+@query(
+    "mix_token_budget_by_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, doc_id,
+             {_DUCK_TOKENS} AS n_tokens,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             round(CAST(n_chars AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\\s+')), 6) AS awl,
+             length(text) - length(replace(text, '.', '')) AS n_periods
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, n_tokens,
+             round(least(n_words, 500) + 20 * least(n_periods, 10)
+                   - round(abs(awl - 6.0) * 8, 6), 6) AS score
+      FROM s
+    ), c AS (
+      SELECT source, doc_id, score, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM scored
+    )
+    SELECT source, doc_id, score, n_tokens, tokens_before
+    FROM c WHERE tokens_before < {_BUDGET}
+    ORDER BY source, score DESC, doc_id
+    """,
+)
+def mix_token_budget_by_quality(spark, sf_dir):
+    """Quality-ranked token-budget selection: per source, take the
+    best-scoring documents until the ``_BUDGET``-token budget fills — the
+    "fill an N-billion-token training mix with the best of each source"
+    operation.  The score is a deterministic C4-style heuristic (word
+    count capped at 500, sentence-period credit, penalty for mean word
+    length far from 6) computed as pure scan-stage expressions; selection
+    takes every document whose cumulative predecessor tokens (within its
+    source, score-descending, doc_id tiebreak) are under budget, so the
+    cut is at document granularity and overshoots by at most one document
+    — deterministic and re-runnable on any cluster size.
+
+    Scale: ONE shuffle, the per-source window sort.  Source cardinality
+    is small but per-source partitions are corpus-sized at 100 TB; the
+    production variant first finds each source's score threshold with a
+    two-level pass (per-shard (score-bucket -> token-sum) histograms,
+    broadcast-merged into an approximate cutoff, exact tie-resolution on
+    the boundary bucket only — the same shape as pack_sequences_plan's
+    two-level prefix sum), then selects with a scan predicate.  The
+    windowed form here IS the boundary-bucket kernel of that plan."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(ws)
+    awl = F.round(F.col("n_chars").cast("double") / n_words, 6)
+    n_periods = F.length("text") - F.length(F.regexp_replace("text", r"\.", ""))
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_TOK_RE)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.least(n_words, F.lit(500)).cast("double")
+            + 20 * F.least(n_periods, F.lit(10))
+            - F.round(F.abs(awl - 6.0) * 8, 6),
+            6,
+        ).alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        scored.withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("tokens_before") < _BUDGET)
+        .orderBy("source", F.col("score").desc(), "doc_id")
+    )
