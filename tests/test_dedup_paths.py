@@ -257,6 +257,40 @@ def test_minhash_delta_union_base_equals_full_recompute(spark, oracle_sf_dir):
     assert len(delta) > 0  # non-vacuous: the batch has near-dups
 
 
+def test_minhash_expr_signatures_equal_groupby_kernel(spark, oracle_sf_dir):
+    """The per-row expression form of the MinHash signature (the streaming
+    ingest kernel — array_min over the shingle array) must produce
+    exactly the values of the groupBy/min batch kernel for every
+    shingleable document, and all-null signatures for docs the batch
+    kernel omits (<3 words)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _minhash_signatures_for,
+        minhash_signature_exprs,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    docs = t(spark, oracle_sf_dir, "documents").union(
+        spark.createDataFrame(
+            [(10_000_001, "too short", "en", "srcx", 9)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    expr_rows = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(20))
+        for r in docs.select("doc_id", *minhash_signature_exprs("text")).collect()
+    }
+    kernel_rows = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(20))
+        for r in _minhash_signatures_for(docs).collect()
+    }
+    assert expr_rows[10_000_001] == (None,) * 20
+    assert 10_000_001 not in kernel_rows  # batch kernel: no signature row
+    del expr_rows[10_000_001]
+    assert expr_rows == kernel_rows and len(expr_rows) > 0
+
+
 def test_levenshtein_hot_block_splits_losslessly(spark):
     """A dictionary where EVERY name shares the trailing word collapses
     the [a-z]+$ block key to one quadratic block; the cost-based fallback

@@ -637,6 +637,58 @@ def test_stateful_packer_exactly_once_across_restart(spark, tmp_path):
     }
 
 
+def test_stream_dedup_minhash_against_persisted_corpus(spark, tmp_path):
+    """Streaming ingest dedup against the persisted MinHash signature
+    table: an arriving micro-batch keeps only documents whose LSH band
+    keys collide with nothing in the corpus.  An exact copy of a corpus
+    doc must drop, a fresh doc must pass, an unshingleable (<3 words)
+    doc must pass (all-null band keys match nothing), and the stream
+    result must equal the same function applied as a batch plan — the
+    kernel is stateless expressions + anti joins, so the two runs share
+    one lineage."""
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _bands_from_sig,
+        _minhash_signatures_for,
+    )
+    from xmlstreamprocessor_spark.streaming import stream_dedup_minhash
+
+    base = catalog.load(spark, SF, "documents")
+    base_bands = _bands_from_sig(_minhash_signatures_for(base)).cache()
+    try:
+        copied = base.orderBy("doc_id").first()["text"]
+        rows = [
+            (9_000_001, copied, "en", "srcs", len(copied)),  # corpus dup -> drop
+            (
+                9_000_002,
+                "an entirely novel stream document mentioning zanzibar "
+                "quixotic parallelograms nineteen times for good measure",
+                "en",
+                "srcs",
+                110,
+            ),  # fresh -> keep
+            (9_000_003, "too short", "en", "srcs", 9),  # unshingleable -> keep
+        ]
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        src = str(tmp_path / "stream_src")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        _drain(stream_dedup_minhash(stream, base_bands), "t_mh_dedup")
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT doc_id FROM t_mh_dedup").collect()
+        )
+        assert got == [9_000_002, 9_000_003]
+        batch_twin = sorted(
+            r["doc_id"]
+            for r in stream_dedup_minhash(
+                spark.createDataFrame(rows, schema), base_bands
+            ).collect()
+        )
+        assert batch_twin == got
+    finally:
+        base_bands.unpersist()
+
+
 def test_kafka_rebalance_redelivery_dedups_across_restart(spark, tmp_path):
     """Protocol-level restart evidence for the Kafka seam (judge-advice r3
     #3): a consumer-group REBALANCE re-delivers an already-consumed offset

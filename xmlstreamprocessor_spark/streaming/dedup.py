@@ -3,11 +3,15 @@
 ``dropDuplicatesWithinWatermark`` keys state by the dedup columns and evicts
 it once the watermark passes — bounded state for unbounded streams, the
 streaming twin of the batch exact-dedup operator (operators/dedup.py).
+``stream_dedup_minhash`` extends the incremental-MinHash story
+(operators/dedup.py::dedup_minhash_delta_pairs) to streaming ingest:
+near-dup filtering of each micro-batch against the persisted corpus
+signature table, built entirely from stateless JVM expressions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def dedup_within_watermark(
@@ -41,3 +45,53 @@ def dedup_kafka_offsets(raw: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return raw.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
         ["topic", "partition", "offset"]
     )
+
+
+def stream_dedup_minhash(docs: DataFrame, base_bands: DataFrame) -> DataFrame:
+    """Near-dup filter for streaming ingest: keep only documents whose
+    MinHash-LSH band keys match NOTHING in the persisted corpus signature
+    table — the streaming face of the incremental-maintenance path
+    (``dedup_minhash_delta_pairs`` is the batch face; both consume the
+    same ``(doc_id, band, band_sig)`` band table, see
+    ``operators/dedup._bands_from_sig``).
+
+    Plan: the 20-hash signature computes as per-row expressions inside
+    the micro-batch's scan stage (``minhash_signature_exprs`` — no
+    aggregation), then ONE stateless broadcast LEFT ANTI join per band
+    (10 total) removes every document that collides with the corpus in
+    any band.  No watermark, no state store, append-mode clean — the
+    whole filter re-runs identically on task retry, and at scale each
+    anti join is a broadcast of that band's (small, bounded-by-corpus)
+    sig set, or flips to shuffle under AQE if the signature table
+    outgrows broadcast.
+
+    Semantics: band-candidates are dropped CONSERVATIVELY (recall-
+    oriented dedup — a candidate is only probably a dup; at j=0.8 the
+    10x2 band scheme fires with p>=0.9999, and false candidates are rare
+    because random 2-row collisions need two 28-bit min-hash agreements).
+    Pipelines that need precision 1 route the dropped side through the
+    exact-Jaccard verify instead of discarding (the batch
+    ``_verify_jaccard`` kernel).  Docs with <3 words have all-null band
+    keys, match nothing, and are always kept — identical to the batch
+    contract where unshingleable docs never pair."""
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _BAND_ROWS,
+        _N_HASHES,
+        minhash_signature_exprs,
+    )
+
+    out = docs.select("*", *minhash_signature_exprs("text"))
+    for b in range(_N_HASHES // _BAND_ROWS):
+        key = F.concat_ws(
+            "|", *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+        )
+        side = (
+            base_bands.filter(F.col("band") == b)
+            .select(F.col("band_sig").alias("_band_key"))
+        )
+        out = (
+            out.withColumn("_band_key", key)
+            .join(F.broadcast(side), "_band_key", "left_anti")
+            .drop("_band_key")
+        )
+    return out.drop(*[f"mh{i}" for i in range(_N_HASHES)])
