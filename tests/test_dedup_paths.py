@@ -267,7 +267,7 @@ def test_minhash_expr_signatures_equal_groupby_kernel(spark, oracle_sf_dir):
 
     from xmlstreamprocessor_spark.operators.dedup import (
         _minhash_signatures_for,
-        minhash_signature_exprs,
+        with_minhash_signature,
     )
     from xmlstreamprocessor_spark.operators.registry import t
 
@@ -279,7 +279,9 @@ def test_minhash_expr_signatures_equal_groupby_kernel(spark, oracle_sf_dir):
     )
     expr_rows = {
         r["doc_id"]: tuple(r[f"mh{i}"] for i in range(20))
-        for r in docs.select("doc_id", *minhash_signature_exprs("text")).collect()
+        for r in with_minhash_signature(docs)
+        .select("doc_id", *[f"mh{i}" for i in range(20)])
+        .collect()
     }
     kernel_rows = {
         r["doc_id"]: tuple(r[f"mh{i}"] for i in range(20))

@@ -77,10 +77,10 @@ def stream_dedup_minhash(docs: DataFrame, base_bands: DataFrame) -> DataFrame:
     from xmlstreamprocessor_spark.operators.dedup import (
         _BAND_ROWS,
         _N_HASHES,
-        minhash_signature_exprs,
+        with_minhash_signature,
     )
 
-    out = docs.select("*", *minhash_signature_exprs("text"))
+    out = with_minhash_signature(docs)
     for b in range(_N_HASHES // _BAND_ROWS):
         key = F.concat_ws(
             "|", *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
