@@ -1,7 +1,7 @@
 """Whole-surface benchmark: run EVERY registered query once at
 $SPARK_GRAFT_SF_DIR (default sf0.1) and write BENCH_EXTENDED.md sorted by
 cost — the breadth-plus-throughput record behind the 30-query headline set
-(`bench.py`, best-of-2, is the driver-facing regression gate; this file is
+(`bench.py`, median-of-3, is the driver-facing regression gate; this file is
 the coverage evidence and hot-spot worklist).
 """
 
@@ -41,7 +41,7 @@ def main() -> None:
         "",
         f"sf dir `{sf_dir}`, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], "
         f"{len(rows)} queries, total {total} s (single-run, cold plans — the "
-        "headline `bench.py` set uses best-of-2; regenerate with "
+        "headline `bench.py` set uses median-of-3; regenerate with "
         "`python tools/bench_extended.py`).  Treat per-query walls as "
         "order-of-magnitude only: ambient VM load swings single runs "
         "±50% (observed totals 134–197 s for identical code), hitting "
