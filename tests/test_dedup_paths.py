@@ -197,6 +197,41 @@ def test_blocked_cosine_edge_cases_match_expression_kernel(spark, tmp_path):
     assert (1, 4) in exact and exact[(1, 4)] == 1.000006
 
 
+def test_pair_scorer_drops_zero_norm_candidates(spark, tmp_path):
+    """The vectorized candidate scorer must DROP zero-norm pairs inside
+    the kernel: the expression twin yields NULL there (fails the >=
+    filter), while a kernel that emitted NaN would PASS it — Spark
+    orders NaN above every double.  Normal pairs must score bit-identical
+    to the expression kernel's rounding."""
+    from xmlstreamprocessor_spark.operators.dedup import score_candidate_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),          # zero norm
+            (1, [1.0, 2.0, 2.0]),
+            (2, [2.0, 4.0, 4.0]),          # parallel to 1 (cos 1.0)
+            (3, [-1.0, -2.0, -2.0]),       # antiparallel (cos -1.0)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 3), (2, 3)], "vec_a bigint, vec_b bigint"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in score_candidate_pairs(cand, emb, threshold=0.4).collect()
+    }
+    # zero-norm pair (0,1) dropped, antiparallel pairs fail the threshold
+    assert got == {(1, 2): 1.0}
+    # with a threshold that admits negatives, antiparallels appear, the
+    # zero-norm pair still must not
+    got_all = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in score_candidate_pairs(cand, emb, threshold=-2.0).collect()
+    }
+    assert got_all == {(1, 2): 1.0, (1, 3): -1.0, (2, 3): -1.0}
+
+
 def test_exact_cosine_size_gate_fires(spark, oracle_sf_dir):
     """The exact all-pairs kernel must REFUSE above the vector-count gate
     (O(n^2 d) arithmetic is a cluster-melter at corpus scale) with an

@@ -64,6 +64,7 @@ EXTRA = [
     # round-4 additions
     "dedup_minhash_delta_pairs",
     "mix_token_budget_by_quality",
+    "dedup_embedding_cosine_pairs_lsh",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
