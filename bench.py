@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -77,7 +78,7 @@ def main() -> None:
             n = df.count()
             walls.append(time.perf_counter() - t0)
         raw[name] = [round(w, 3) for w in walls]
-        timings[name] = round(sorted(walls)[len(walls) // 2], 3)  # median
+        timings[name] = round(statistics.median(walls), 3)
         print(
             f"# {name}: {timings[name]:.3f}s median of {raw[name]} ({n} rows)",
             file=sys.stderr,

@@ -114,6 +114,8 @@ def check_regressions(old: dict, new: dict) -> list[str]:
     always failures."""
     problems = []
     for name, a in new.items():
+        if name == "_meta":
+            continue
         if a is None:
             problems.append(f"{name}: audit errored")
             continue
@@ -184,6 +186,18 @@ def main() -> None:
             raise SystemExit(1)
         with open(SNAPSHOT) as f:
             old = json.load(f)
+        # plan metrics are SF-dependent (AQE broadcast/SMJ decisions and
+        # exchange counts shift with data size): refuse a cross-SF compare
+        # instead of reporting spurious regressions / masking real ones
+        snap_sf = old.get("_meta", {}).get("sf")
+        if snap_sf is not None and snap_sf != SF:
+            print(
+                f"--check: snapshot was captured at sf dir {snap_sf!r} but "
+                f"this audit runs at {SF!r}; set SPARK_GRAFT_SF_DIR to the "
+                "snapshot's dir (or re-baseline at the new one)",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
         problems = check_regressions(old, audits)
         if problems:
             print("PLAN REGRESSIONS vs committed PLANS.json:")
@@ -201,7 +215,7 @@ def main() -> None:
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     with open(SNAPSHOT, "w") as f:
-        json.dump(audits, f, indent=1, sort_keys=True)
+        json.dump({"_meta": {"sf": SF}, **audits}, f, indent=1, sort_keys=True)
         f.write("\n")
     print(
         f"wrote {out} + {SNAPSHOT} ({len(names)} queries)"

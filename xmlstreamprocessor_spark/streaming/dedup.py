@@ -80,10 +80,24 @@ def stream_dedup_minhash(docs: DataFrame, base_bands: DataFrame) -> DataFrame:
         with_minhash_signature,
     )
 
+    reserved = {f"mh{i}" for i in range(_N_HASHES)} | {"_mh_base", "_band_key"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"stream_dedup_minhash reserves columns {sorted(clash)}; rename "
+            "them on the input frame (they would be silently dropped)"
+        )
     out = with_minhash_signature(docs)
     for b in range(_N_HASHES // _BAND_ROWS):
-        key = F.concat_ws(
-            "|", *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+        # guard: unshingleable docs have all-null mh columns, and
+        # concat_ws SKIPS nulls — an empty-string key would probe the
+        # join instead of being null-kept, one base-side representation
+        # change away from dropping every short document
+        key = F.when(
+            F.col(f"mh{b * _BAND_ROWS}").isNotNull(),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+            ),
         )
         side = (
             base_bands.filter(F.col("band") == b)
