@@ -69,9 +69,10 @@ _PRIORITY = [
     "multimodal_resize_to_box",
     "mix_weighted_proportions",
     # new queries this round (incremental MinHash maintenance,
-    # quality-ranked token-budget selection)
+    # quality-ranked token-budget selection, semantic dedup groups)
     "dedup_minhash_delta_pairs",
     "mix_token_budget_by_quality",
+    "dedup_semantic_groups",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -97,7 +98,6 @@ _PRIORITY = [
     "pipeline_dedup_mix_pack",
     "temporal_rollup_multires",
     "text_tfidf_top_terms",
-    "similarity_topk_bruteforce",
 ]
 
 

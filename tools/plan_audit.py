@@ -65,6 +65,7 @@ EXTRA = [
     "dedup_minhash_delta_pairs",
     "mix_token_budget_by_quality",
     "dedup_embedding_cosine_pairs_lsh",
+    "dedup_semantic_groups",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
