@@ -292,6 +292,41 @@ def test_minhash_delta_union_base_equals_full_recompute(spark, oracle_sf_dir):
     assert len(delta) > 0  # non-vacuous: the batch has near-dups
 
 
+def test_minhash_delta_against_persisted_signature_table(
+    spark, oracle_sf_dir, tmp_path
+):
+    """The 'persisted signature table' claim, made literal: write the base
+    corpus signatures to parquet, read them back, and run the delta dedup
+    against the STORED table (no lineage back to the base text).  Pairs
+    must be identical to the recompute path — the corpus text is provably
+    not needed once its signatures are on disk."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _minhash_signatures_for,
+        dedup_minhash_delta_pairs,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    store = str(tmp_path / "minhash_signatures.parquet")
+    _minhash_signatures_for(base_docs).write.parquet(store)
+
+    from_store = _pairs(
+        dedup_minhash_delta_pairs(
+            spark, oracle_sf_dir, base_signatures=spark.read.parquet(store)
+        ),
+        "doc_a", "doc_b", "jaccard",
+    )
+    recomputed = _pairs(
+        dedup_minhash_delta_pairs(spark, oracle_sf_dir), "doc_a", "doc_b", "jaccard"
+    )
+    assert from_store == recomputed and len(from_store) > 0
+
+
 def test_minhash_expr_signatures_equal_groupby_kernel(spark, oracle_sf_dir):
     """The per-row expression form of the MinHash signature (the streaming
     ingest kernel — array_min over the shingle array) must produce
