@@ -73,6 +73,7 @@ _PRIORITY = [
     "dedup_minhash_delta_pairs",
     "mix_token_budget_by_quality",
     "dedup_semantic_groups",
+    "analytic_active_users_dau_wau",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -97,7 +98,6 @@ _PRIORITY = [
     "asof_join_purchase_last_view",
     "pipeline_dedup_mix_pack",
     "temporal_rollup_multires",
-    "text_tfidf_top_terms",
 ]
 
 

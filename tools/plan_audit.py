@@ -66,6 +66,7 @@ EXTRA = [
     "mix_token_budget_by_quality",
     "dedup_embedding_cosine_pairs_lsh",
     "dedup_semantic_groups",
+    "analytic_active_users_dau_wau",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

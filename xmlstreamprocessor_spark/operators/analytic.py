@@ -575,3 +575,69 @@ def window_trailing_7day_revenue(spark, sf_dir):
         "o_orderkey",
         money2(F.sum(dec2("o_totalprice")).over(w)).alias("trailing_7d"),
     ).orderBy("o_custkey", "order_date", "o_orderkey")
+
+
+@query(
+    "analytic_active_users_dau_wau",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), days AS (
+      SELECT DISTINCT day FROM pairs
+    ), contrib AS (
+      SELECT p.user_id,
+             CAST(unnest(generate_series(p.day, p.day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM pairs p
+    ), wau AS (
+      SELECT c.day, count(DISTINCT c.user_id) AS wau
+      FROM contrib c JOIN days d ON d.day = c.day
+      GROUP BY c.day
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM pairs GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           d.dau, w.wau,
+           round(d.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def analytic_active_users_dau_wau(spark, sf_dir):
+    """Daily and trailing-7-day active users per day, plus the DAU/WAU
+    "stickiness" ratio — the dashboard triple every event warehouse
+    serves.
+
+    The WAU is computed WITHOUT a range join or a per-day re-scan: each
+    distinct (user, day) pair is exploded into the <=7 target days it
+    contributes to (a fixed 7x fan-out of the deduped pair table, linear
+    at any scale), then one hash aggregate per target day counts the
+    distinct contributors.  Synthetic trailing days past the observed
+    range are pruned with a broadcast semi-join against the day
+    dictionary.  Compare the naive day-x-events interval join: a shuffle
+    of |days| x |events| candidate rows that AQE can only mitigate, not
+    remove."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    pairs = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+    ).join(F.broadcast(days), "day", "left_semi")
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
