@@ -74,6 +74,9 @@ _PRIORITY = [
     "mix_token_budget_by_quality",
     "dedup_semantic_groups",
     "analytic_active_users_dau_wau",
+    "mix_temperature_rates",
+    "shuffle_deterministic_order",
+    "text_chunk_sliding_window",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -88,10 +91,9 @@ _PRIORITY = [
     "sessionize_events_30m",
     "window_tumbling_hourly_events",
     "window_sliding_1h_30m_events",
-    # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_product_profit",
+    # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
+    # q1/q3/q9 rotated out this round to make room for the three new
+    # training-pipeline queries above (they are r1+r2 double-green)
     "q18_large_volume_customers",
     "q21_waiting_supplier",
     "formats_roundtrip_orders",

@@ -41,3 +41,56 @@ def test_quota_sample_exact_and_stable(spark):
     assert all(r["count"] <= 50 for r in sizes)
     again = {tuple(r) for r in _run(spark, "sample_stratified_quota").collect()}
     assert {tuple(r) for r in out.collect()} == again
+
+
+def test_temperature_rates_invariants(spark):
+    rows = _run(spark, "mix_temperature_rates").collect()
+    assert len(rows) >= 2
+    # the largest language is the anchor: factor exactly 1.0
+    biggest = max(rows, key=lambda r: r["n_tokens"])
+    assert biggest["sample_factor"] == 1.0
+    # alpha=0.5 flattens: smaller languages get factor >= 1 (upsampled),
+    # and the factor is monotone non-increasing in token mass
+    ordered = sorted(rows, key=lambda r: r["n_tokens"])
+    factors = [r["sample_factor"] for r in ordered]
+    assert all(f >= 1.0 for f in factors)
+    assert factors == sorted(factors, reverse=True)
+    # resulting token mass ~ t^0.5: ratio of resampled masses matches
+    # sqrt ratio of original masses (within rounding slack)
+    import math
+
+    a, b = ordered[0], ordered[-1]
+    got = (a["n_tokens"] * a["sample_factor"]) / (
+        b["n_tokens"] * b["sample_factor"]
+    )
+    want = math.sqrt(a["n_tokens"] / b["n_tokens"])
+    assert abs(got - want) < 1e-4
+
+
+def test_shuffle_order_is_a_permutation_and_stable(spark):
+    out = _run(spark, "shuffle_deterministic_order").collect()
+    n_docs = (
+        _run(spark, "sample_stratified_quota")
+        .sparkSession.read.parquet(f"{SF}/documents.parquet")
+        .count()
+    )
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    # positions within each shard are 1..len(shard) with no gaps
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # shards are reasonably balanced (hash-uniform): no shard > 3x mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+    # rerun is byte-identical
+    again = _run(spark, "shuffle_deterministic_order").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_shuffle_order_differs_from_id_order(spark):
+    out = _run(spark, "shuffle_deterministic_order").collect()
+    ids_in_shuffle_order = [r["doc_id"] for r in out]
+    assert ids_in_shuffle_order != sorted(ids_in_shuffle_order)

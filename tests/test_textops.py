@@ -48,3 +48,58 @@ def test_repetition_filter_flags_degenerate_docs(spark):
     assert clean["top_bigram_frac"] == round(1 / 7, 6)
     assert clean["dup_3gram_frac"] == 0.0
     assert clean["keep"] is True
+
+
+def test_chunk_sliding_window_covers_every_word(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.textops import _CHUNK_S, _CHUNK_W
+
+    fn, _ = REGISTRY["text_chunk_sliding_window"]
+    chunks = fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_words")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("start_word") + F.col("n_words")).alias("covered"),
+        F.min("start_word").alias("first_start"),
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        # chunk count = ceil over stride; last chunk reaches the final word
+        import math
+
+        assert r["n_chunks"] == max(1, math.ceil(r["n_words"] / _CHUNK_S))
+        assert r["covered"] == r["n_words"]
+        assert r["first_start"] == 0
+
+
+def test_chunk_short_doc_single_window(spark):
+    import pandas as pd
+
+    from xmlstreamprocessor_spark.operators import textops
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    # a 3-word doc yields exactly one chunk of 3 words
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma"]})
+    )
+    df.createOrReplaceTempView("_chunk_probe")
+    from pyspark.sql import functions as F
+
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    out = (
+        df.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(textops._CHUNK_S))
+            ).alias("s"),
+            "n",
+        )
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["s"] == 0

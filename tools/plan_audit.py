@@ -67,6 +67,9 @@ EXTRA = [
     "dedup_embedding_cosine_pairs_lsh",
     "dedup_semantic_groups",
     "analytic_active_users_dau_wau",
+    "mix_temperature_rates",
+    "shuffle_deterministic_order",
+    "text_chunk_sliding_window",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

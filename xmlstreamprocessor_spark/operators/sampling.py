@@ -129,3 +129,126 @@ def sample_train_val_split(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "split")
     )
+
+
+# token-count proxy shared with packing.py / textops.text_token_count_bpe
+_DUCK_TOKENS = (
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    " AS BIGINT)"
+)
+_TOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "mix_temperature_rates",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(max(n_tokens) AS BIGINT) AS max_tokens
+      FROM per_lang
+    )
+    SELECT p.lang, p.n_docs, p.n_tokens,
+           round(CAST(p.n_tokens AS DOUBLE) / t.total_tokens, 6) AS mass_frac,
+           round(sqrt(CAST(p.n_tokens AS DOUBLE) / t.max_tokens)
+                 * t.max_tokens / p.n_tokens, 6) AS sample_factor
+    FROM per_lang p CROSS JOIN tot t
+    ORDER BY p.lang
+    """,
+)
+def mix_temperature_rates(spark, sf_dir):
+    """Temperature-scaled multilingual sampling plan (alpha = 0.5, the
+    XLM-R / mT5 convention): per-language token mass p_l is re-shaped to
+    q_l ~ p_l^alpha, flattening the head languages so low-resource ones
+    are not drowned.  ``sample_factor`` is the per-language replication
+    factor relative to the largest language (whose factor is exactly 1.0):
+    resampling language l by that factor yields token mass ~ t_l^alpha.
+
+    Exactness across engines: token counts aggregate as BIGINTs (exact on
+    any partitioning), and the factor is computed per-row from two exact
+    integers via divide -> sqrt -> multiply -> divide — IEEE-754 sqrt is
+    correctly rounded in both engines (unlike pow, which is only 1-ulp on
+    the JVM), so the doubles match bit-for-bit before the cosmetic round.
+    Scale: one map-side-combinable groupBy on a handful of language keys,
+    then a broadcast of the 1-row totals — no data-sized shuffle."""
+    d = t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOK_RE), 0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6)
+            .alias("mass_frac"),
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double") / F.col("max_tokens"))
+                * F.col("max_tokens")
+                / F.col("n_tokens"),
+                6,
+            ).alias("sample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "shuffle_deterministic_order",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             {_duck_bucket('doc_id')} % {_N_SHARDS} AS shard_id
+      FROM documents
+    )
+    SELECT doc_id, lang, shard_id,
+           row_number() OVER (PARTITION BY shard_id
+                              ORDER BY shuffle_key, doc_id) AS pos_in_shard
+    FROM keyed
+    ORDER BY shard_id, pos_in_shard
+    """,
+)
+def shuffle_deterministic_order(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document gets a
+    (shard_id, pos_in_shard) address derived purely from md5(doc_id), so
+    the epoch-0 data order is reproducible across reruns, engines, and
+    cluster sizes — a ``rand()`` shuffle gives a different epoch on every
+    retry, which silently changes the training run.
+
+    Scale: this is the shape real dataloader shuffles use — NO total-order
+    sort (a global sort range-partitions the whole corpus through one
+    barrier).  Rows hash into {_N_SHARDS} independent shards (raise to
+    O(cluster cores) at scale) and each shard sorts locally by the hash
+    key; the only shuffle is the hash partitioning, and shard sorts run
+    fully in parallel.  Readers stream shards in id order, positions in
+    order — equivalent to a uniform shuffle of the corpus."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("shuffle_key"),
+        (_hash_bucket(F.col("doc_id")) % _N_SHARDS).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "lang", "shard_id", "pos_in_shard")
+        .orderBy("shard_id", "pos_in_shard")
+    )

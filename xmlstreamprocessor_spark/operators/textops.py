@@ -573,3 +573,77 @@ def text_repetition_filter(spark, sf_dir, docs=None):
             (dup_word <= 0.80) & (top_bigram <= 0.30) & (dup_3gram <= 0.60)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking: documents -> fixed-size overlapping training
+# samples.  A pretraining pipeline cuts every document into windows of
+# _CHUNK_W tokens advancing by _CHUNK_S (W - S tokens of overlap preserve
+# context across boundaries); this is the map from a cleaned corpus to the
+# actual sample table a trainer consumes.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # words per chunk
+_CHUNK_S = 48  # stride (16-word overlap)
+
+
+@query(
+    "text_chunk_sliding_window",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {_CHUNK_S})) AS s
+      FROM ws
+    )
+    SELECT doc_id,
+           CAST(s / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           s AS start_word,
+           CAST(least(len(w) - s, {_CHUNK_W}) AS BIGINT) AS n_words,
+           md5(array_to_string(w[s + 1 : s + {_CHUNK_W}], ' ')) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_sliding_window(spark, sf_dir):
+    """Cut every document into overlapping 64-word windows with stride
+    48 (chunk k covers words [k*S, k*S + W)); emit one row per chunk with
+    its position and an md5 of the chunk text.  The md5 stands in for the
+    chunk payload in the compare (and is what a dedup-at-chunk-level pass
+    would key on anyway); a real pipeline would carry the text column.
+
+    Scale: pure per-row compute — split once per document, explode the
+    start offsets, slice the cached word array per chunk.  No shuffle at
+    all until the cosmetic final sort; output size is corpus tokens * W/S
+    (~1.33x), the same expansion the trainer's sample table has.  Skew is
+    bounded because chunk fan-out is proportional to document length, and
+    a posexplode row is just (id, offset) — the word array is not
+    duplicated per chunk by the optimizer (single project per row)."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+    starts = base.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+        ).alias("s"),
+    )
+    return (
+        starts.select(
+            "doc_id",
+            (F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("start_word"),
+            F.least(F.col("n") - F.col("s"), F.lit(_CHUNK_W))
+            .cast("bigint")
+            .alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("w"), F.col("s") + 1, F.lit(_CHUNK_W)), " "
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
