@@ -77,6 +77,7 @@ _PRIORITY = [
     "mix_temperature_rates",
     "shuffle_deterministic_order",
     "text_chunk_sliding_window",
+    "dedup_chunk_exact",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -93,8 +94,8 @@ _PRIORITY = [
     "window_sliding_1h_30m_events",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
-    # training-pipeline queries above (they are r1+r2 double-green)
-    "q18_large_volume_customers",
+    # training-pipeline queries above (they are r1+r2 double-green);
+    # q18 likewise rotated out for dedup_chunk_exact
     "q21_waiting_supplier",
     "formats_roundtrip_orders",
     "asof_join_purchase_last_view",

@@ -103,3 +103,23 @@ def test_chunk_short_doc_single_window(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["s"] == 0
+
+
+def test_chunk_dedup_consistent_with_chunk_table(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    chunks = REGISTRY["text_chunk_sliding_window"][0](spark, oracle_sf_dir)
+    dups = REGISTRY["dedup_chunk_exact"][0](spark, oracle_sf_dir)
+    # every reported duplicate hash really occurs n_occurrences times in
+    # the chunk table, and the keeper is its minimum doc_id
+    recount = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n2"), F.min("doc_id").alias("k2")
+    )
+    j = dups.join(recount, "chunk_md5").collect()
+    assert len(j) == dups.count() and len(j) > 0
+    for r in j:
+        assert r["n_occurrences"] == r["n2"]
+        assert r["keeper_doc"] == r["k2"]
+        assert r["n_occurrences"] > 1

@@ -70,6 +70,7 @@ EXTRA = [
     "mix_temperature_rates",
     "shuffle_deterministic_order",
     "text_chunk_sliding_window",
+    "dedup_chunk_exact",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -647,3 +647,73 @@ def text_chunk_sliding_window(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(w[s + 1 : s + {_CHUNK_W}], ' ')) AS chunk_md5
+      FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(0, len(w) - 1, {_CHUNK_S})) AS s
+        FROM ws
+      )
+    )
+    SELECT chunk_md5,
+           count(*) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING count(*) > 1
+    ORDER BY chunk_md5
+    """,
+)
+def dedup_chunk_exact(spark, sf_dir):
+    """Exact dedup at CHUNK granularity — the unit a trainer actually
+    consumes.  Documents that survive doc-level dedup can still share
+    aligned 64-word windows (boilerplate, mirrored passages); grouping the
+    sliding-window chunk fingerprints finds every repeated chunk, its
+    occurrence count, and the keeper (min doc_id) a drop-pass would
+    retain.
+
+    Scale: this is the canonical hash-groupBy dedup shape on the CHUNKED
+    corpus — one map-side-combinable aggregation on a fixed-width md5 key
+    (at 100 TB you'd key on xxhash64; md5 keeps the oracle exact).  The
+    expensive part (chunking) is shuffle-free, and the groupBy carries
+    only (hash, doc_id) pairs, never chunk text."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    chunks = (
+        d.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("w"), F.col("s") + 1, F.lit(_CHUNK_W)), " "
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy("chunk_md5")
+    )
