@@ -78,6 +78,7 @@ _PRIORITY = [
     "shuffle_deterministic_order",
     "text_chunk_sliding_window",
     "dedup_chunk_exact",
+    "interval_join_bucketized_incidents",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -95,8 +96,8 @@ _PRIORITY = [
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);
-    # q18 likewise rotated out for dedup_chunk_exact
-    "q21_waiting_supplier",
+    # q18/q21 likewise rotated out for dedup_chunk_exact and the
+    # bucketized interval join
     "formats_roundtrip_orders",
     "asof_join_purchase_last_view",
     "pipeline_dedup_mix_pack",

@@ -65,3 +65,44 @@ def test_asof_tolerance_nulls_far_matches(spark):
     assert got == exp
     # tolerance only removes matches, never rows
     assert len(got) == len(_expected(purchases, views, "backward"))
+
+
+def test_interval_join_bucketized_matches_naive_and_avoids_bnlj(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.temporal import (
+        _IVL_LEN_S,
+        _IVL_N,
+        _IVL_SPACING_S,
+    )
+
+    out = REGISTRY["interval_join_bucketized_incidents"][0](
+        spark, oracle_sf_dir
+    )
+    rows = out.collect()
+    assert len(rows) == _IVL_N
+
+    # naive reference: BNLJ containment join, same windows
+    e = spark.read.parquet(f"{oracle_sf_dir}/events.parquet").select(
+        F.unix_timestamp("ts").alias("es"), "user_id"
+    )
+    t0 = e.agg(
+        (F.floor(F.min("es") / 3600) * 3600).cast("bigint").alias("t0")
+    ).collect()[0]["t0"]
+    naive = {}
+    wins = [
+        (k, t0 + k * _IVL_SPACING_S, t0 + k * _IVL_SPACING_S + _IVL_LEN_S)
+        for k in range(_IVL_N)
+    ]
+    ev = e.collect()
+    for k, lo, hi in wins:
+        in_w = [r for r in ev if lo <= r["es"] < hi]
+        naive[k] = (len(in_w), len({r["user_id"] for r in in_w}))
+    for r in rows:
+        assert (r["n_events"], r["n_users"]) == naive[r["window_id"]]
+
+    # the plan must be equi-join shaped: never a nested-loop containment probe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -71,6 +71,7 @@ EXTRA = [
     "shuffle_deterministic_order",
     "text_chunk_sliding_window",
     "dedup_chunk_exact",
+    "interval_join_bucketized_incidents",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -524,3 +524,111 @@ def temporal_gapfill_interpolate(spark, sf_dir):
         F.col("v").isNull().alias("gap_filled"),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketized interval (range) join: points-in-intervals WITHOUT a
+# broadcast-nested-loop join.  Spark has no range-join primitive; a naive
+# `e.ts BETWEEN w.lo AND w.hi` join compiles to BNLJ — a cluster-melter
+# when the interval side outgrows the broadcast threshold.  The scalable
+# rewrite (the same one Databricks' range-join hint performs) chunks time
+# into fixed buckets no longer than the shortest interval: each interval
+# explodes into the <= 3 buckets it covers, each point maps to exactly
+# one bucket, and the join becomes a plain hash EQUI-join on the bucket
+# with the containment predicate left as a residual filter.
+# ---------------------------------------------------------------------------
+
+_IVL_SPACING_S = 21600  # one window every 6 h
+_IVL_LEN_S = 5400  # 90 min long
+_IVL_BUCKET_S = 1800  # bucket <= interval length; aligned with both
+_IVL_N = 28  # 7 days of windows
+
+
+@query(
+    "interval_join_bucketized_incidents",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(min(epoch(ts)) / 3600) * 3600 AS BIGINT) AS t0
+      FROM events
+    ), w AS (
+      SELECT g.k,
+             b.t0 + g.k * {_IVL_SPACING_S} AS start_s,
+             b.t0 + g.k * {_IVL_SPACING_S} + {_IVL_LEN_S} AS end_s
+      FROM (SELECT unnest(generate_series(0, {_IVL_N - 1})) AS k) g, b
+    ), j AS (
+      SELECT w.k, w.start_s, e.user_id
+      FROM w LEFT JOIN events e
+        ON epoch(e.ts) >= w.start_s AND epoch(e.ts) < w.end_s
+    )
+    SELECT k AS window_id,
+           start_s AS window_start_s,
+           count(user_id) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY k, start_s
+    ORDER BY window_id
+    """,
+)
+def interval_join_bucketized_incidents(spark, sf_dir):
+    """Count events and distinct users inside each of 28 deterministic
+    90-minute "incident windows" (every 6 h from the hour-aligned corpus
+    start) — a point-in-interval join executed as a bucketized EQUI-join.
+
+    Plan: intervals explode into their 3 covered 30-min buckets; events
+    compute their single bucket in the scan stage; the join is a hash
+    equi-join on the bucket with containment as a residual predicate —
+    shuffle partitions by bucket on BOTH sides, so it scales to an
+    interval table of any size (no broadcast requirement, no BNLJ, no
+    cartesian).  Windows are disjoint and bucket-aligned, so no event
+    matches twice and no dedup pass is needed.  The DuckDB oracle states
+    the same join naively — legal at oracle scale, the thing this rewrite
+    exists to avoid at 100 TB."""
+    e = t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("es"), "user_id"
+    )
+    t0 = e.agg(
+        (F.floor(F.min("es") / 3600) * 3600).cast("bigint").alias("t0")
+    )
+    w = (
+        t0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_IVL_N - 1))).alias("k"), "t0"
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            (F.col("t0") + F.col("k") * _IVL_SPACING_S).alias("start_s"),
+            (F.col("t0") + F.col("k") * _IVL_SPACING_S + _IVL_LEN_S).alias(
+                "end_s"
+            ),
+        )
+    )
+    wb = w.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / _IVL_BUCKET_S),
+                F.floor((F.col("end_s") - 1) / _IVL_BUCKET_S),
+            )
+        ),
+    )
+    eb = e.withColumn("bucket", F.floor(F.col("es") / _IVL_BUCKET_S))
+    j = eb.join(
+        wb,
+        (eb["bucket"] == wb["bucket"])
+        & (eb["es"] >= wb["start_s"])
+        & (eb["es"] < wb["end_s"]),
+        "inner",
+    ).select("k", "start_s", "user_id")
+    agg = j.groupBy("k", "start_s").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.countDistinct("user_id").cast("bigint").alias("n_us"),
+    )
+    return (
+        w.select("k", "start_s")
+        .join(agg, ["k", "start_s"], "left")
+        .select(
+            F.col("k").alias("window_id"),
+            F.col("start_s").alias("window_start_s"),
+            F.coalesce(F.col("n_ev"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("n_us"), F.lit(0)).cast("bigint").alias("n_users"),
+        )
+        .orderBy("window_id")
+    )
