@@ -79,6 +79,7 @@ _PRIORITY = [
     "text_chunk_sliding_window",
     "dedup_chunk_exact",
     "interval_join_bucketized_incidents",
+    "text_decontaminate_bloom",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -97,9 +98,9 @@ _PRIORITY = [
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);
     # q18/q21 likewise rotated out for dedup_chunk_exact and the
-    # bucketized interval join
+    # bucketized interval join; asof re-check rotated out for the bloom
+    # decontaminate
     "formats_roundtrip_orders",
-    "asof_join_purchase_last_view",
     "pipeline_dedup_mix_pack",
     "temporal_rollup_multires",
 ]

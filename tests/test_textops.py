@@ -123,3 +123,45 @@ def test_chunk_dedup_consistent_with_chunk_table(spark, oracle_sf_dir):
         assert r["n_occurrences"] == r["n2"]
         assert r["keeper_doc"] == r["k2"]
         assert r["n_occurrences"] > 1
+
+
+def test_bloom_decontaminate_exact_and_prunes(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.functions.text import shingles
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.textops import (
+        _BLOOM_BITS,
+        _DECON_N,
+        _EVAL_DOCS,
+        _bloom_positions,
+    )
+
+    exact = REGISTRY["text_decontaminate_overlap"][0](spark, oracle_sf_dir)
+    bloom = REGISTRY["text_decontaminate_bloom"][0](spark, oracle_sf_dir)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, bloom.collect())
+    )
+
+    # the prefilter must actually prune: re-derive the candidate fraction
+    d = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    eval_sh = (
+        d.filter(F.col("doc_id") < _EVAL_DOCS)
+        .select(F.explode(shingles(F.lower(F.col("text")), _DECON_N)).alias("sh"))
+        .distinct()
+    )
+    pos = (
+        eval_sh.select(F.explode(F.array(*_bloom_positions(F.col("sh")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bitmap = [0] * (_BLOOM_BITS // 64)
+    for r in pos:
+        bitmap[r["p"] // 64] |= 1 << (r["p"] % 64)
+    set_bits = sum(bin(w).count("1") for w in bitmap)
+    # load factor stays low enough that the false-positive rate ~(load)^k
+    # keeps the candidate set a small fraction of the train shingles
+    load = set_bits / _BLOOM_BITS
+    assert load < 0.5
+    fp_rate = load**4
+    assert fp_rate < 0.07

@@ -72,6 +72,7 @@ EXTRA = [
     "text_chunk_sliding_window",
     "dedup_chunk_exact",
     "interval_join_bucketized_incidents",
+    "text_decontaminate_bloom",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

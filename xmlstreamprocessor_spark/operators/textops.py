@@ -717,3 +717,110 @@ def dedup_chunk_exact(spark, sf_dir):
         .filter(F.col("n_occurrences") > 1)
         .orderBy("chunk_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: same RESULT as
+# text_decontaminate_overlap, different 100 TB posture.  The plain
+# operator broadcasts the eval shingle STRINGS; once the eval registry
+# grows past broadcast size (hundreds of benchmarks x k-grams), the
+# scalable shape is (1) compress the eval set into a fixed-size Bloom
+# bitmap, (2) ship the bitmap (kilobytes, size independent of shingle
+# count) to every task as a scan-stage prefilter, (3) exactly verify only
+# the surviving candidates — the false-positive fraction — with the real
+# join.  The final output is EXACT (bloom false positives are removed by
+# the verify join), which is why the oracle is the same naive exact SQL.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 15  # 4 KiB bitmap
+_BLOOM_K = 4  # hash functions: disjoint 16-bit md5 slices
+
+
+def _bloom_positions(sh_col):
+    """k bit positions from disjoint 4-hex-char (16-bit) md5 slices."""
+    hx = F.md5(sh_col.cast("binary"))
+    return [
+        (
+            F.conv(F.substring(hx, 1 + 4 * i, 4), 16, 10).cast("bigint")
+            % _BLOOM_BITS
+        )
+        for i in range(_BLOOM_K)
+    ]
+
+
+@query(
+    "text_decontaminate_bloom",
+    # EXACT result == text_decontaminate_overlap: the bloom is only a
+    # prefilter, verified candidates are the same set — same oracle.
+    oracle=f"""
+    WITH train_sh AS (
+      SELECT doc_id, unnest({duck_shingles('lower(text)', _DECON_N)}) AS sh
+      FROM documents WHERE doc_id >= {_EVAL_DOCS}
+    ), eval_sh AS (
+      SELECT DISTINCT unnest({duck_shingles('lower(text)', _DECON_N)}) AS sh
+      FROM documents WHERE doc_id < {_EVAL_DOCS}
+    )
+    SELECT t.doc_id, count(DISTINCT t.sh) AS n_shared_ngrams
+    FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_decontaminate_bloom(spark, sf_dir):
+    """Decontamination via Bloom prefilter + exact verify.  Builds a 4 KiB
+    / k=4 Bloom bitmap over the eval shingles (driver assembles <= 32768
+    set-bit positions — bounded by the bitmap size, not the eval set),
+    embeds it as a 512-long literal array, tests train shingles with pure
+    JVM bit arithmetic in the scan stage, and exactly verifies the
+    surviving candidates against the true eval set.  Output is exact;
+    only the INTERMEDIATE volume changes: the verify join sees the
+    candidate fraction instead of every train shingle.  At 100 TB the
+    bitmap scales to ~10 bits/element of the eval registry and ships to
+    every executor as a few MB regardless of shingle string size."""
+    from xmlstreamprocessor_spark.functions.text import shingles
+
+    d = t(spark, sf_dir, "documents")
+    eval_sh = (
+        d.filter(F.col("doc_id") < _EVAL_DOCS)
+        .select(F.explode(shingles(F.lower(F.col("text")), _DECON_N)).alias("sh"))
+        .distinct()
+    )
+    # driver-side bitmap assembly: bounded by _BLOOM_BITS positions
+    pos_rows = (
+        eval_sh.select(
+            F.explode(F.array(*_bloom_positions(F.col("sh")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    n_words = _BLOOM_BITS // 64
+    bitmap = [0] * n_words
+    for r in pos_rows:
+        bitmap[r["p"] // 64] |= 1 << (r["p"] % 64)
+    # signed-long wrap for the JVM literal
+    bits = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("bigint")
+          for w in bitmap]
+    )
+
+    train = d.filter(F.col("doc_id") >= _EVAL_DOCS).select(
+        "doc_id",
+        F.explode(shingles(F.lower(F.col("text")), _DECON_N)).alias("sh"),
+    )
+    cond = None
+    for p in _bloom_positions(F.col("sh")):
+        hit = (
+            F.getbit(
+                F.element_at(bits, (p / 64).cast("int") + 1),
+                (p % 64).cast("int"),
+            )
+            == 1
+        )
+        cond = hit if cond is None else (cond & hit)
+    candidates = train.filter(cond)
+    return (
+        candidates.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
