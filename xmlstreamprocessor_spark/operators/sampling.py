@@ -249,6 +249,8 @@ def shuffle_deterministic_order(spark, sf_dir):
     w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
     return (
         keyed.withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        # no final orderBy: the driver compare is order-insensitive, and a
+        # cosmetic global sort would add exactly the range-partition
+        # barrier this operator exists to avoid
         .select("doc_id", "lang", "shard_id", "pos_in_shard")
-        .orderBy("shard_id", "pos_in_shard")
     )
