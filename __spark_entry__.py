@@ -80,6 +80,7 @@ _PRIORITY = [
     "dedup_chunk_exact",
     "interval_join_bucketized_incidents",
     "text_decontaminate_bloom",
+    "text_bm25_topk",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -92,7 +93,6 @@ _PRIORITY = [
     "graph_components_minhash_groups",
     "dedup_levenshtein_pairs",
     "sessionize_events_30m",
-    "window_tumbling_hourly_events",
     "window_sliding_1h_30m_events",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new

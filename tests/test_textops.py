@@ -165,3 +165,14 @@ def test_bloom_decontaminate_exact_and_prunes(spark, oracle_sf_dir):
     assert load < 0.5
     fp_rate = load**4
     assert fp_rate < 0.07
+
+
+def test_bm25_topk_ranked_and_bounded(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.textops import _BM25_TOPK
+
+    rows = REGISTRY["text_bm25_topk"][0](spark, oracle_sf_dir).collect()
+    assert 0 < len(rows) <= _BM25_TOPK
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)

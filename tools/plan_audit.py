@@ -73,6 +73,7 @@ EXTRA = [
     "dedup_chunk_exact",
     "interval_join_bucketized_incidents",
     "text_decontaminate_bloom",
+    "text_bm25_topk",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

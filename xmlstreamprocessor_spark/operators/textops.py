@@ -824,3 +824,127 @@ def text_decontaminate_bloom(spark, sf_dir):
         .agg(F.countDistinct("sh").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: score every document against a fixed keyword query and
+# return the top 20 — the ranking function a corpus-scale search /
+# retrieval-augmentation pass runs.  Okapi BM25 with the standard
+# k1=1.2, b=0.75 and the Robertson-Sparck-Jones idf (ln(1 + (N-df+0.5)/
+# (df+0.5))), which is what Lucene/Elasticsearch ship.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), avgdl AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS total_len,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {str(tuple(_BM25_TERMS))} GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf
+      GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1 + (a.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
+                  * (CAST(dl.dl AS DOUBLE) * a.n_docs / a.total_len)))
+             ) AS bm25
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN avgdl a
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(bm25, 6) AS bm25
+    FROM scored
+    ORDER BY round(bm25, 6) DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Top-{k} documents for the fixed keyword query {terms} under Okapi
+    BM25 (k1=1.2, b=0.75, Lucene-style idf).
+
+    Scale shape: the token explode immediately FILTERS to the query terms
+    — the (doc, term) shuffle carries only matching postings, a tiny
+    fraction of the corpus; document lengths aggregate separately
+    (map-side combined); df and the corpus totals are a handful of rows
+    and broadcast back.  The final top-k is a TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort.
+    Exactness: tf/df/dl/N are exact integers; the float chain
+    (divide -> ln -> multiply -> divide, then one sum over at most
+    {n} terms in a deterministic per-row order via an ordered array
+    aggregate... kept simple: <= {n} addends summed per doc — DuckDB's
+    sum order over 3 rows is engine-internal, so scores round to 6
+    decimals BEFORE the compare and ties order by doc_id)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").cast("bigint").alias("total_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B
+                        * (
+                            F.col("dl").cast("double")
+                            * F.col("n_docs")
+                            / F.col("total_len")
+                        )
+                    )
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("bm25"))
+    )
+    return (
+        scored.select("doc_id", F.round(F.col("bm25"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
