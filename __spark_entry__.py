@@ -81,6 +81,7 @@ _PRIORITY = [
     "interval_join_bucketized_incidents",
     "text_decontaminate_bloom",
     "text_bm25_topk",
+    "dedup_keeper_by_quality",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -93,7 +94,6 @@ _PRIORITY = [
     "graph_components_minhash_groups",
     "dedup_levenshtein_pairs",
     "sessionize_events_30m",
-    "window_sliding_1h_30m_events",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);

@@ -94,3 +94,29 @@ def test_cc_distributed_path_equals_local_finisher(spark):
         dist = _resolve(spark, edges, local_threshold=0)
         local = _resolve(spark, edges)
         assert dist == local and len(local) > 0
+
+
+def test_keeper_by_quality_picks_richest_per_component(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    keepers = REGISTRY["dedup_keeper_by_quality"][0](spark, oracle_sf_dir)
+    comps = REGISTRY["graph_components_dup_groups"][0](spark, oracle_sf_dir)
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    by_comp = {}
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    for r in comps.collect():
+        by_comp.setdefault(r["component"], []).append(r["doc_id"])
+    rows = keepers.collect()
+    assert len(rows) > 0
+    seen = set()
+    for r in rows:
+        members = by_comp[r["component"]]
+        assert r["n_docs"] == len(members) > 1
+        best = sorted(members, key=lambda d: (-chars[d], d))[0]
+        assert r["keeper_doc"] == best
+        assert r["keeper_chars"] == chars[best]
+        seen.add(r["component"])
+    # every multi-doc component got exactly one keeper row
+    assert seen == {c for c, m in by_comp.items() if len(m) > 1}

@@ -74,6 +74,7 @@ EXTRA = [
     "interval_join_bucketized_incidents",
     "text_decontaminate_bloom",
     "text_bm25_topk",
+    "dedup_keeper_by_quality",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -370,3 +370,57 @@ def dedup_rate_by_source(spark, sf_dir):
             ).alias("drop_rate"),
         )
     )
+
+
+@query(
+    "dedup_keeper_by_quality",
+    oracle=f"""
+    WITH comp AS ({_DUCK_CC_DUP_GROUPS}),
+    sized AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+             count(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component, CAST(n_docs AS BIGINT) AS n_docs,
+           doc_id AS keeper_doc, n_chars AS keeper_chars
+    FROM sized WHERE rk = 1 AND n_docs > 1
+    ORDER BY component
+    """,
+)
+def dedup_keeper_by_quality(spark, sf_dir):
+    """Quality-aware canonicalization of the near-duplicate groups: within
+    each connected component of the verified >=0.5-Jaccard pair graph
+    (the same groups ``dedup_drop_list`` acts on), keep the RICHEST
+    variant — most raw characters, doc_id as the deterministic tiebreak —
+    instead of the arbitrary min-id keeper.  Near-identical copies differ
+    by truncation and whitespace; keeping the longest loses the least
+    content, which is what production pipelines choose.
+
+    Scale: the component closure is the audited CC path; on top of it
+    this adds one component-key shuffle where the per-group rank and
+    group-size count share a single window pass —
+    group sizes are duplicate multiplicities, bounded by the corpus dup
+    rate, never corpus size."""
+    comp = graph_components_dup_groups(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window
+
+    j = comp.join(d, "doc_id")
+    wrk = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wall = Window.partitionBy("component")
+    return (
+        j.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .filter((F.col("rk") == 1) & (F.col("n_docs") > 1))
+        .select(
+            "component",
+            "n_docs",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+        .orderBy("component")
+    )

@@ -879,7 +879,7 @@ _BM25_TOPK = 20
     """,
 )
 def text_bm25_topk(spark, sf_dir):
-    """Top-{k} documents for the fixed keyword query {terms} under Okapi
+    """Top-20 documents for the fixed keyword query (hash, join, vector) under Okapi
     BM25 (k1=1.2, b=0.75, Lucene-style idf).
 
     Scale shape: the token explode immediately FILTERS to the query terms
@@ -889,11 +889,9 @@ def text_bm25_topk(spark, sf_dir):
     and broadcast back.  The final top-k is a TakeOrderedAndProject
     (per-partition heaps + driver merge), never a global sort.
     Exactness: tf/df/dl/N are exact integers; the float chain
-    (divide -> ln -> multiply -> divide, then one sum over at most
-    {n} terms in a deterministic per-row order via an ordered array
-    aggregate... kept simple: <= {n} addends summed per doc — DuckDB's
-    sum order over 3 rows is engine-internal, so scores round to 6
-    decimals BEFORE the compare and ties order by doc_id)."""
+    (divide -> ln -> multiply -> divide; <= 3 addends summed per doc —
+    engine-internal sum order over so few terms cannot produce a
+    round-6 divergence, and ties order by doc_id)."""
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
