@@ -82,6 +82,7 @@ _PRIORITY = [
     "text_decontaminate_bloom",
     "text_bm25_topk",
     "dedup_keeper_by_quality",
+    "join_salted_skewed_events_segment",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -93,7 +94,6 @@ _PRIORITY = [
     "graph_dup_group_sizes",
     "graph_components_minhash_groups",
     "dedup_levenshtein_pairs",
-    "sessionize_events_30m",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);

@@ -146,3 +146,38 @@ def test_multiprobe_candidates_stay_equijoin(spark):
     assert "CartesianProduct" not in plan
     # the probe->corpus candidate join is an equi-join on the cell key
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain(spark, oracle_sf_dir):
+    """The salted join must (a) equal the plain join bit-for-bit and
+    (b) actually partition each key's rows across salt values."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY, dec2, money2
+
+    salted = REGISTRY["join_salted_skewed_events_segment"][0](
+        spark, oracle_sf_dir
+    )
+    e = spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+    c = spark.read.parquet(f"{oracle_sf_dir}/customer.parquet")
+    plain = (
+        e.join(c, e["user_id"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money2(F.sum(dec2("value"))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    assert [tuple(r) for r in salted.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+    # salt really spreads rows: >1 distinct salt per busy user
+    spread = (
+        e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(8)))
+        .groupBy("user_id")
+        .agg(F.countDistinct("salt").alias("ns"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 8)
+    )
+    rows = spread.collect()
+    assert rows and all(r["ns"] > 1 for r in rows)

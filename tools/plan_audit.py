@@ -75,6 +75,7 @@ EXTRA = [
     "text_decontaminate_bloom",
     "text_bm25_topk",
     "dedup_keeper_by_quality",
+    "join_salted_skewed_events_segment",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -881,6 +881,57 @@ def agg_salted_skewed_event_totals(spark, sf_dir):
 
 
 @query(
+    "join_salted_skewed_events_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_salted_skewed_events_segment(spark, sf_dir):
+    """Salted equi-join: the skew-mitigation twin of
+    ``agg_salted_skewed_event_totals`` for JOINS.  When one join key owns
+    a disproportionate share of the fact side (one celebrity user, one
+    default account id), a plain shuffle join lands that key's entire
+    volume on ONE task.  The lossless rewrite: salt the fact side
+    (salt = hash(row) % S computed in the scan stage), replicate the
+    dimension side S times via an explode, and equi-join on
+    (key, salt) — every hot key's rows spread over S tasks, at the cost
+    of an S-times-larger (still small) dimension shuffle.  Decimal sums
+    make the re-aggregated result bit-identical to the direct join (the
+    oracle).  AQE's skew-join split handles MODERATE skew adaptively;
+    explicit salting is the deterministic fallback for pathological keys
+    and for engines/stages AQE cannot rewrite."""
+    _S = 8
+    e = t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(_S))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_S - 1)))
+        )
+    )
+    return (
+        e.join(
+            c,
+            (e["user_id"] == c["c_custkey"]) & (e["salt"] == c["salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money2(F.sum(dec2("value"))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "q14_promo_revenue",
     oracle="""
     SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
