@@ -31,12 +31,18 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # slots are every query that has NEVER had a driver verdict (the round-3
 # late additions plus 15 rotation leftovers, and agg_approx_distinct — the
 # one ever-checked-never-green row, r1 `err: no_oracle`, which has an exact
-# oracle since round 2), and the remaining slots re-check every query whose
-# code round 4 touches (cosine-pair size guardrail, jaccard lineage-sever,
-# connected-components driver-finisher threshold, streaming source probe)
-# plus the new incremental-MinHash queries added this round.  After this
-# window lands green, all 147+new registry entries have >=1 green driver
-# verdict across rounds 2-4.  COVERAGE GAP (by design of the 50-slot
+# oracle since round 2), then every query ADDED in round 4 (incremental
+# MinHash, token-budget mix, semantic groups, DAU/WAU, temperature mixing,
+# deterministic shuffle, sliding-window chunking, chunk-level dedup,
+# bucketized interval join, Bloom decontamination, BM25 retrieval, quality
+# keeper, salted skew join), and the remaining slots re-check queries whose
+# code round 4 touched (cosine-pair size guardrail, jaccard lineage-sever,
+# connected-components driver-finisher threshold, streaming source probe).
+# Rotated OUT to make room — all with green driver verdicts from earlier
+# rounds: q1/q3/q9/q18/q21, asof_join_purchase_last_view,
+# sessionize_events_30m, window_tumbling/sliding.  After this window lands
+# green, all pre-round-4 registry entries have >=1 green driver verdict
+# across rounds 2-4.  COVERAGE GAP (by design of the 50-slot
 # window): out-of-window queries are verified only by the local strict gate
 # — run `python tools/check_correctness.py` (all queries, same compare as
 # the driver) before shipping a round.
@@ -83,6 +89,7 @@ _PRIORITY = [
     "text_bm25_topk",
     "dedup_keeper_by_quality",
     "join_salted_skewed_events_segment",
+    "text_lm_bigram_score",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -93,7 +100,6 @@ _PRIORITY = [
     "graph_components_dup_groups",
     "graph_dup_group_sizes",
     "graph_components_minhash_groups",
-    "dedup_levenshtein_pairs",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);

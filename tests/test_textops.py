@@ -176,3 +176,21 @@ def test_bm25_topk_ranked_and_bounded(spark, oracle_sf_dir):
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_lm_bigram_score_flags_low_likelihood_tail(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.textops import _LM_KEEP
+
+    rows = REGISTRY["text_lm_bigram_score"][0](spark, oracle_sf_dir).collect()
+    assert len(rows) == 500
+    kept = [r for r in rows if r["keep"]]
+    dropped = [r for r in rows if not r["keep"]]
+    # the cutoff actually splits the corpus, and the flag is consistent
+    assert kept and dropped
+    for r in rows:
+        assert r["keep"] == (r["avg_logprob"] >= _LM_KEEP - 5e-7)
+        assert r["n_bigrams"] > 0
+    # deterministic rerun
+    again = REGISTRY["text_lm_bigram_score"][0](spark, oracle_sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

@@ -76,6 +76,7 @@ EXTRA = [
     "text_bm25_topk",
     "dedup_keeper_by_quality",
     "join_salted_skewed_events_segment",
+    "text_lm_bigram_score",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

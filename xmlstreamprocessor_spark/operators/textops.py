@@ -946,3 +946,115 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filtering (CCNet-style): score each document by
+# the average log-probability of its word bigrams under an add-one-
+# smoothed bigram LM trained on THE CORPUS ITSELF, and flag the
+# low-likelihood tail.  This is the shape of the KenLM perplexity filter
+# every large pretraining corpus runs (CCNet, RefinedWeb, FineWeb) — the
+# LM here is the corpus's own bigram statistics, so the whole pipeline
+# (train + score) is two aggregations and a join, no external model.
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000  # fixed-point micro-nats
+_LM_KEEP = -3.45  # avg bigram logprob cutoff (median is ~ -3.39 here)
+
+
+@query(
+    "text_lm_bigram_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM w WHERE len(ws) >= 2
+    ), cb AS (
+      SELECT w1, bg, count(*) AS cb FROM bg GROUP BY w1, bg
+    ), cl AS (
+      SELECT w1, count(*) AS cl FROM bg GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT w1) AS vocab FROM bg
+    ), lp AS (
+      SELECT cb.bg,
+             CAST(floor({_LM_SCALE} * ln((cb.cb + 1.0) / (cl.cl + v.vocab)))
+                  AS BIGINT) AS lp_int
+      FROM cb JOIN cl ON cl.w1 = cb.w1 CROSS JOIN v
+    ), per AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(l.lp_int) AS BIGINT) AS s
+      FROM bg b JOIN lp l ON l.bg = b.bg GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(CAST(s AS DOUBLE) / {_LM_SCALE} / n_bigrams, 6)
+             AS avg_logprob,
+           (CAST(s AS DOUBLE) / {_LM_SCALE} / n_bigrams) >= {_LM_KEEP} AS keep
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def text_lm_bigram_score(spark, sf_dir):
+    """Average add-one-smoothed bigram log-probability per document, with
+    a keep flag for the low-likelihood (gibberish / boilerplate) tail.
+
+    Exactness across engines is engineered, not hoped for: every count
+    (bigram, left-context, vocabulary) is an exact BIGINT; each DISTINCT
+    bigram's logprob quantizes to fixed-point micro-nats (floor(1e6 *
+    ln(...)) — the only transcendental, applied to a bit-identical double
+    ratio of integers); the per-document accumulation is then an INTEGER
+    sum — order-independent, unlike a float sum over hundreds of addends,
+    which would diverge between engines at the last ulp.  The final
+    divide/round runs the same IEEE ops on both sides.
+
+    Scale: two map-side-combinable aggregations over the bigram stream
+    (the "LM training"), a vocabulary scalar, one broadcast-able join of
+    the per-bigram scores back onto the stream, and a per-doc integer
+    sum.  Nothing quadratic, nothing driver-side; at 100 TB the bigram
+    table is the only large intermediate and it shuffles once with
+    map-side combine."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.expr(
+        "transform(sequence(0, size(ws) - 2),"
+        " i -> struct(ws[i] AS w1, concat(ws[i], ' ', ws[i + 1]) AS bg))"
+    )
+    bgdf = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    )
+    cb = bgdf.groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("cb"))
+    cl = bgdf.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    v = bgdf.agg(F.countDistinct("w1").alias("vocab"))
+    lp = (
+        cb.join(cl, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.floor(
+                _LM_SCALE
+                * F.log(
+                    (F.col("cb") + F.lit(1.0)) / (F.col("cl") + F.col("vocab"))
+                )
+            )
+            .cast("bigint")
+            .alias("lp_int"),
+        )
+    )
+    per = bgdf.join(lp, "bg").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp_int").cast("bigint").alias("s"),
+    )
+    avg = F.col("s").cast("double") / _LM_SCALE / F.col("n_bigrams")
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_logprob"),
+        (avg >= _LM_KEEP).alias("keep"),
+    ).orderBy("doc_id")
