@@ -90,6 +90,7 @@ _PRIORITY = [
     "dedup_keeper_by_quality",
     "join_salted_skewed_events_segment",
     "text_lm_bigram_score",
+    "pipeline_chunk_pack",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -99,7 +100,6 @@ _PRIORITY = [
     "dedup_connected_components",
     "graph_components_dup_groups",
     "graph_dup_group_sizes",
-    "graph_components_minhash_groups",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);

@@ -133,3 +133,24 @@ def test_greedy_kernel_batch_split_invariance():
         assert (seq_w, used_w) == (seq2, used2)
 
     _property()
+
+
+def test_chunk_pack_conserves_words_and_caps_bins(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.packing import _CAP
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    bins = REGISTRY["pipeline_chunk_pack"][0](spark, oracle_sf_dir).collect()
+    chunks = REGISTRY["text_chunk_sliding_window"][0](spark, oracle_sf_dir)
+    total_words = chunks.agg(F.sum("n_words")).collect()[0][0]
+    n_chunks = chunks.count()
+    assert sum(r["total_words"] for r in bins) == total_words
+    assert sum(r["n_chunks"] for r in bins) == n_chunks
+    # bin ids are dense from 0 and each bin holds >= 1 full cap's worth of
+    # START offsets (a chunk belongs to the bin of its first token, so a
+    # bin's total can exceed _CAP by at most one chunk's tail)
+    ids = [r["bin_id"] for r in bins]
+    assert ids == list(range(len(ids)))
+    for r in bins[:-1]:
+        assert r["total_words"] >= _CAP - 64  # bins are filled, not sparse

@@ -77,6 +77,7 @@ EXTRA = [
     "dedup_keeper_by_quality",
     "join_salted_skewed_events_segment",
     "text_lm_bigram_score",
+    "pipeline_chunk_pack",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

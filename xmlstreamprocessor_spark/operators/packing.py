@@ -427,3 +427,97 @@ def mix_token_budget_by_quality(spark, sf_dir):
         .filter(F.col("tokens_before") < _BUDGET)
         .orderBy("source", F.col("score").desc(), "doc_id")
     )
+
+
+@query(
+    "pipeline_chunk_pack",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_idx,
+             CAST(least(len(w) - s, 64) AS BIGINT) AS n_words
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 48)) AS s
+        FROM ws
+      )
+    ), offs AS (
+      SELECT doc_id, chunk_idx, n_words,
+             sum(n_words) OVER (ORDER BY doc_id, chunk_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS start_off
+      FROM chunks
+    )
+    SELECT CAST(floor(COALESCE(start_off, 0) / {_CAP}) AS BIGINT) AS bin_id,
+           count(*) AS n_chunks,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM offs
+    GROUP BY 1
+    ORDER BY bin_id
+    """,
+)
+def pipeline_chunk_pack(spark, sf_dir):
+    """Chunk -> pack composed as ONE declarative plan: the sliding-window
+    chunks (``text_chunk_sliding_window``'s 64/48 windows) laid end to end
+    in (doc, chunk) order and cut at every 2048-token boundary — the sample
+    table a trainer actually reads, produced without materializing the
+    intermediate chunk table.
+
+    Scale: chunking is shuffle-free per-row compute; the token offset
+    reuses the two-level distributed prefix sum from
+    ``pack_sequences_plan`` (per-shard window in parallel, then an
+    exclusive prefix over the tiny shard-totals table) — the lone
+    unpartitioned window runs on ~n_docs/100 rows, never the chunk
+    stream."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    chunks = (
+        d.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(48))).alias(
+                "s"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / 48).cast("bigint").alias("chunk_idx"),
+            F.least(F.col("n") - F.col("s"), F.lit(64))
+            .cast("bigint")
+            .alias("n_words"),
+            (F.col("doc_id") / _SHARD).cast("bigint").alias("shard"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = chunks.withColumn(
+        "local_off", F.coalesce(F.sum("n_words").over(w_in), F.lit(0))
+    )
+    totals = chunks.groupBy("shard").agg(F.sum("n_words").alias("shard_total"))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn(
+        "base", F.coalesce(F.sum("shard_total").over(w_sh), F.lit(0))
+    ).select("shard", "base")
+    offs = local.join(F.broadcast(bases), "shard").withColumn(
+        "start_off", F.col("base") + F.col("local_off")
+    )
+    return (
+        offs.withColumn(
+            "bin_id", F.floor(F.col("start_off") / _CAP).cast("bigint")
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
