@@ -91,15 +91,15 @@ _PRIORITY = [
     "join_salted_skewed_events_segment",
     "text_lm_bigram_score",
     "pipeline_chunk_pack",
+    "analytic_event_transition_matrix",
+    "embedding_pq_encode",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_pairs_lsh",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    "dedup_connected_components",
     "graph_components_dup_groups",
-    "graph_dup_group_sizes",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);

@@ -181,3 +181,18 @@ def test_salted_join_spreads_hot_key_and_matches_plain(spark, oracle_sf_dir):
     )
     rows = spread.collect()
     assert rows and all(r["ns"] > 1 for r in rows)
+
+
+def test_transition_matrix_probabilities_normalize(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["analytic_event_transition_matrix"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(x["p"] for x in rs) - 1.0) < 1e-4
+        assert sum(x["n"] for x in rs) > 0

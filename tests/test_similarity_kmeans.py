@@ -45,3 +45,27 @@ def test_kmeans_assignment_is_deterministic(spark):
     assert sorted(map(tuple, a.select("id", "cell").collect())) == sorted(
         map(tuple, b.select("id", "cell").collect())
     )
+
+
+def test_pq_encode_codes_in_range_and_seeds_self_code(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import (
+        _PQ_M,
+        _PQ_NC,
+        _PQ_SEED_LO,
+    )
+
+    rows = REGISTRY["embedding_pq_encode"][0](spark, oracle_sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        for i in range(_PQ_M):
+            assert 0 <= r[f"code_{i}"] < _PQ_NC
+    # each seed vector is its own nearest centroid in every subspace
+    by_id = {r["vec_id"]: r for r in rows}
+    for cid in range(_PQ_NC):
+        r = by_id[_PQ_SEED_LO + cid]
+        for i in range(_PQ_M):
+            assert r[f"code_{i}"] == cid
+    # codes are informative: more than one distinct code per subspace
+    for i in range(_PQ_M):
+        assert len({r[f"code_{i}"] for r in rows}) > 1

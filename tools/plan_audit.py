@@ -78,6 +78,8 @@ EXTRA = [
     "join_salted_skewed_events_segment",
     "text_lm_bigram_score",
     "pipeline_chunk_pack",
+    "analytic_event_transition_matrix",
+    "embedding_pq_encode",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

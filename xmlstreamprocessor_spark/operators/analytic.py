@@ -641,3 +641,51 @@ def analytic_active_users_dau_wau(spark, sf_dir):
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "analytic_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+)
+def analytic_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type), the model behind
+    next-action prediction and funnel-drop analysis.  (ts, event_id)
+    ordering makes simultaneous events deterministic on both engines.
+
+    Scale: ONE shuffle on user_id serves the sequence window (per-user
+    partitions are session-sized); the transition counts then collapse to
+    a |types|^2 table whose groupBy and row-normalizing window are
+    trivially small.  No self-join of the event stream against itself —
+    the lag window is the linear-cost formulation."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")

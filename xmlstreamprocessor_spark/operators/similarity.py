@@ -605,3 +605,120 @@ def _install_recall_query() -> None:
 
 
 _install_recall_query()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encode: compress each 64-dim embedding to 4
+# one-byte codes by quantizing its 4 disjoint 16-dim subvectors against
+# per-subspace codebooks of 16 centroids — the memory layout behind
+# billion-vector ANN indexes (IVF-PQ): 256 bytes/vector becomes 4.
+# Codebooks here are 16 deterministic seed vectors (vec_id 10..25), the
+# same seeding convention kmeans_lloyd starts from; a production encoder
+# would first refine them with kmeans_lloyd per subspace.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_K = 16  # dims per subspace (64/4)
+_PQ_NC = 16  # centroids per subspace
+_PQ_SEED_LO = 10  # seed centroids: vec_id in [10, 26)
+
+
+def _duck_pq_diff(m: str = "g.m") -> str:
+    return (
+        f"list_transform(range(1, {_PQ_K + 1}),"
+        f" j -> e[j + {m} * {_PQ_K}] - c[j + {m} * {_PQ_K}])"
+    )
+
+
+@query(
+    "embedding_pq_encode",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id - {_PQ_SEED_LO} AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings
+      WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_NC}
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+      SELECT v.vec_id, g.m, s.cid,
+             list_dot_product({_duck_pq_diff()}, {_duck_pq_diff()}) AS dist
+      FROM v
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN seeds s
+    ), r AS (
+      SELECT vec_id, m, cid,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, cid) AS rk
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS code_0,
+           CAST(max(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS code_1,
+           CAST(max(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS code_2,
+           CAST(max(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS code_3
+    FROM r WHERE rk = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_pq_encode(spark, sf_dir):
+    """PQ-encode every embedding: per 16-dim subspace, the index of the
+    nearest of 16 codebook centroids (L2; centroid id breaks exact-tie
+    distances).  Distances are sequential double folds over identical
+    index order on both engines, so the argmin — compared on unrounded
+    but bit-identical doubles — cannot flip between Spark and the oracle.
+
+    Scale: the codebook is 16 x 4 tiny rows and BROADCASTS; the corpus
+    never shuffles — each vector meets its 64 candidate (subspace,
+    centroid) pairs map-side, and the per-(vector, subspace) argmin is a
+    64-row window inside the scan stage's partition.  At a billion
+    vectors this is one linear pass, which is exactly why IVF-PQ encodes
+    at ingest."""
+    e = t(spark, sf_dir, "embeddings")
+    seeds = (
+        e.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_NC)
+        )
+        .select(
+            (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+            as_double_array("embedding").alias("c"),
+        )
+    )
+    subspaces = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    v = e.select("vec_id", as_double_array("embedding").alias("e"))
+    d = (
+        v.crossJoin(F.broadcast(subspaces))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            dot(
+                F.zip_with(
+                    F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    lambda x, y: x - y,
+                ),
+                F.zip_with(
+                    F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    lambda x, y: x - y,
+                ),
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    best = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("cid")))
+                .cast("bigint")
+                .alias(f"code_{i}")
+                for i in range(_PQ_M)
+            ]
+        )
+        .orderBy("vec_id")
+    )
