@@ -69,3 +69,33 @@ def test_pq_encode_codes_in_range_and_seeds_self_code(spark, oracle_sf_dir):
     # codes are informative: more than one distinct code per subspace
     for i in range(_PQ_M):
         assert len({r[f"code_{i}"] for r in rows}) > 1
+
+
+def test_pq_adc_approximates_exact_neighbors(spark, oracle_sf_dir):
+    """ADC over 4-byte codes should still recover a meaningful fraction of
+    the exact top-10 (it's an approximation, but not noise)."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    adc = REGISTRY["similarity_topk_pq_adc"][0](spark, oracle_sf_dir).collect()
+    exact = REGISTRY["similarity_topk_bruteforce"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    by_q_adc, by_q_exact = {}, {}
+    for r in adc:
+        by_q_adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q_adc) == set(by_q_exact)
+    recalls = [
+        len(by_q_adc[q] & by_q_exact[q]) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 4 subspaces x 16 UNREFINED seed centroids: measured ~0.15 here —
+    # far above the ~2% chance floor (10 of 499), below what a
+    # kmeans-refined codebook would give; the pin guards against the
+    # approximation degrading to noise, not for production recall
+    assert mean_recall > 0.08, f"ADC mean recall {mean_recall:.2f}"
+    # per-query output is a full top-10 with ranks 1..10
+    for q, rows in by_q_adc.items():
+        assert len(rows) == 10

@@ -80,6 +80,7 @@ EXTRA = [
     "pipeline_chunk_pack",
     "analytic_event_transition_matrix",
     "embedding_pq_encode",
+    "similarity_topk_pq_adc",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -722,3 +722,162 @@ def embedding_pq_encode(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "similarity_topk_pq_adc",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id - {_PQ_SEED_LO} AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings
+      WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_NC}
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+      SELECT v.vec_id, g.m, s.cid,
+             list_dot_product({_duck_pq_diff()}, {_duck_pq_diff()}) AS dist
+      FROM v
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN seeds s
+    ), r AS (
+      SELECT vec_id, m, cid,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, cid) AS rk
+      FROM d
+    ), codes AS (
+      SELECT vec_id,
+             max(CASE WHEN m = 0 THEN cid END) AS code_0,
+             max(CASE WHEN m = 1 THEN cid END) AS code_1,
+             max(CASE WHEN m = 2 THEN cid END) AS code_2,
+             max(CASE WHEN m = 3 THEN cid END) AS code_3
+      FROM r WHERE rk = 1 GROUP BY vec_id
+    ), lut AS (
+      SELECT v.vec_id AS query_id, g.m, s.cid,
+             list_dot_product({_duck_pq_diff()}, {_duck_pq_diff()}) AS l
+      FROM v
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN seeds s
+      WHERE v.vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT l0.query_id, cd.vec_id AS neighbor_id,
+             l0.l + l1.l + l2.l + l3.l AS adc
+      FROM codes cd
+      JOIN lut l0 ON l0.m = 0 AND l0.cid = cd.code_0
+      JOIN lut l1 ON l1.m = 1 AND l1.cid = cd.code_1
+                 AND l1.query_id = l0.query_id
+      JOIN lut l2 ON l2.m = 2 AND l2.cid = cd.code_2
+                 AND l2.query_id = l0.query_id
+      JOIN lut l3 ON l3.m = 3 AND l3.cid = cd.code_3
+                 AND l3.query_id = l0.query_id
+      WHERE cd.vec_id <> l0.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+)
+def similarity_topk_pq_adc(spark, sf_dir):
+    """ANN search over the PQ codes via asymmetric distance computation
+    (ADC, Jegou et al. 2011): each query precomputes a 4 x 16 lookup
+    table of subspace distances to every codebook centroid, and a
+    vector's approximate distance is then FOUR table lookups + 3 adds —
+    no access to the original vector.  This is the query half of IVF-PQ:
+    ``embedding_pq_encode`` is the ingest pass, this is the probe.
+
+    Exactness: the LUT entries are the same bit-identical sequential
+    folds the encoder uses, and the 4-term sum is written as explicit
+    ordered addition (l0+l1+l2+l3) on both engines — never a float
+    aggregation whose order the engine picks.  Ranking compares the
+    unrounded doubles with neighbor_id tiebreak.
+
+    Scale: codes are 4 bytes/vector and never shuffle — the scored join
+    broadcasts the (queries x 64)-row LUT onto the code table map-side;
+    per-query top-k is the standard rank-window.  At a billion vectors
+    the scan reads 4 GB of codes instead of 256 GB of floats, which is
+    the entire point of PQ."""
+    codes = embedding_pq_encode(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    seeds = (
+        e.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_NC)
+        )
+        .select(
+            (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+            as_double_array("embedding").alias("c"),
+        )
+    )
+    subspaces = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("e")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(subspaces))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            dot(
+                F.zip_with(
+                    F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    lambda x, y: x - y,
+                ),
+                F.zip_with(
+                    F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+                    lambda x, y: x - y,
+                ),
+            ).alias("l"),
+        )
+    )
+    luts = [
+        F.broadcast(
+            lut.filter(F.col("m") == i).select(
+                F.col("query_id").alias(f"qid_{i}"),
+                F.col("cid").alias(f"cid_{i}"),
+                F.col("l").alias(f"l{i}"),
+            )
+        )
+        for i in range(_PQ_M)
+    ]
+    scored = (
+        codes.join(luts[0], codes["code_0"] == luts[0]["cid_0"])
+        .join(
+            luts[1],
+            (F.col("code_1") == F.col("cid_1"))
+            & (F.col("qid_1") == F.col("qid_0")),
+        )
+        .join(
+            luts[2],
+            (F.col("code_2") == F.col("cid_2"))
+            & (F.col("qid_2") == F.col("qid_0")),
+        )
+        .join(
+            luts[3],
+            (F.col("code_3") == F.col("cid_3"))
+            & (F.col("qid_3") == F.col("qid_0")),
+        )
+        .filter(F.col("vec_id") != F.col("qid_0"))
+        .select(
+            F.col("qid_0").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("l0") + F.col("l1") + F.col("l2") + F.col("l3")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
