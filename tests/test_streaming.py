@@ -804,3 +804,55 @@ def test_kafka_rebalance_redelivery_dedups_across_restart(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
         (1, "2024-01-01 11:00:00", "2024-01-01 11:20:00", 2),
     }
+
+
+def test_stream_dedup_chunks_against_persisted_chunk_table(spark, tmp_path):
+    """Chunk-level ingest dedup: an arriving doc that shares an aligned
+    64-word window with the corpus contributes only its NEW chunks; a
+    fully-duplicated doc contributes nothing; stream result == batch twin
+    (the kernel is stateless explode + one anti join)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.streaming import stream_dedup_chunks
+
+    base = catalog.load(spark, SF, "documents")
+    base_chunks = (
+        REGISTRY["text_chunk_sliding_window"][0](spark, SF)
+        .select("chunk_md5")
+        .cache()
+    )
+    try:
+        first_text = base.orderBy("doc_id").first()["text"]
+        fresh = " ".join(f"novelword{i}" for i in range(150))
+        rows = [
+            (9_000_001, first_text, "en", "srcs", len(first_text)),  # all dup
+            (9_000_002, fresh, "en", "srcs", len(fresh)),  # all new
+        ]
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        src = str(tmp_path / "chunk_stream_src")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        _drain(stream_dedup_chunks(stream, base_chunks), "t_chunk_dedup")
+        got = spark.sql(
+            "SELECT doc_id, chunk_idx FROM t_chunk_dedup"
+        ).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], set()).add(r["chunk_idx"])
+        # duplicated doc fully suppressed; fresh doc keeps every chunk
+        assert 9_000_001 not in by_doc
+        import math
+
+        n_fresh_chunks = max(1, math.ceil(150 / 48))
+        assert by_doc[9_000_002] == set(range(n_fresh_chunks))
+        # batch twin equality
+        twin = stream_dedup_chunks(
+            spark.createDataFrame(rows, schema), base_chunks
+        ).collect()
+        assert {(r["doc_id"], r["chunk_idx"]) for r in twin} == {
+            (r["doc_id"], r["chunk_idx"]) for r in got
+        }
+    finally:
+        base_chunks.unpersist()

@@ -13,6 +13,7 @@ from xmlstreamprocessor_spark.streaming.windows import (
 from xmlstreamprocessor_spark.streaming.dedup import (
     dedup_kafka_offsets,
     dedup_within_watermark,
+    stream_dedup_chunks,
     stream_dedup_minhash,
 )
 from xmlstreamprocessor_spark.streaming.stateful import (
@@ -44,6 +45,7 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "dedup_kafka_offsets",
+    "stream_dedup_chunks",
     "stream_dedup_minhash",
     "sessionize_stateful",
     "sessionize_event_time",

@@ -109,3 +109,56 @@ def stream_dedup_minhash(docs: DataFrame, base_bands: DataFrame) -> DataFrame:
             .drop("_band_key")
         )
     return out.drop(*[f"mh{i}" for i in range(_N_HASHES)])
+
+
+def stream_dedup_chunks(docs: DataFrame, base_chunk_hashes: DataFrame) -> DataFrame:
+    """Chunk-level exact dedup at streaming ingest: cut each arriving
+    document into the trainer's 64/48 sliding windows (the same geometry
+    as ``operators/textops.text_chunk_sliding_window``) and keep only
+    chunks whose md5 does not already exist in the persisted corpus chunk
+    table — new documents contribute only their genuinely new passages.
+
+    ``base_chunk_hashes`` must expose a ``chunk_md5`` column (e.g. the
+    corpus chunk table a pipeline maintains alongside the MinHash
+    signature table).
+
+    Plan: chunking is a per-row explode inside the micro-batch scan (no
+    aggregation, no state store), and the filter is ONE stateless LEFT
+    ANTI join — broadcast while the hash set fits, shuffle under AQE
+    beyond that.  Append-mode clean; re-runs identically on task retry;
+    the batch twin is the same function applied to a static frame."""
+    from pyspark.sql import functions as F
+
+    reserved = {"_w", "_n", "_s", "chunk_idx", "start_word", "n_words", "chunk_md5"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"stream_dedup_chunks reserves columns {sorted(clash)}; rename "
+            "them on the input frame"
+        )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    chunks = (
+        docs.withColumn("_w", w)
+        .withColumn("_n", F.size("_w"))
+        .withColumn(
+            "_s",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1, F.lit(48))),
+        )
+        .withColumn("chunk_idx", (F.col("_s") / 48).cast("bigint"))
+        .withColumn("start_word", F.col("_s").cast("bigint"))
+        .withColumn(
+            "n_words",
+            F.least(F.col("_n") - F.col("_s"), F.lit(64)).cast("bigint"),
+        )
+        .withColumn(
+            "chunk_md5",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("_w"), F.col("_s") + 1, F.lit(64)), " "
+                ).cast("binary")
+            ),
+        )
+        .drop("_w", "_n", "_s", "text")
+    )
+    side = base_chunk_hashes.select("chunk_md5").distinct()
+    return chunks.join(F.broadcast(side), "chunk_md5", "left_anti")
