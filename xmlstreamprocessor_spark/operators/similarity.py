@@ -554,26 +554,33 @@ def _install_recall_query() -> None:
     exact_sql = REGISTRY["similarity_topk_bruteforce"][1]
     ivf_sql = REGISTRY["similarity_topk_ivf"][1]
     mp_sql = REGISTRY["similarity_topk_ivf_multiprobe"][1]
+    pq_sql = REGISTRY["similarity_topk_pq_adc"][1]
     oracle = f"""
     WITH exact_topk AS ({exact_sql}),
     ivf_topk AS ({ivf_sql}),
-    mp_topk AS ({mp_sql})
+    mp_topk AS ({mp_sql}),
+    pq_topk AS ({pq_sql})
     SELECT e.query_id,
            CAST(count(i.neighbor_id) AS BIGINT) AS ivf_hits,
            round(count(i.neighbor_id) * 1.0 / {_TOP_K}, 6) AS ivf_recall,
            CAST(count(m.neighbor_id) AS BIGINT) AS multiprobe_hits,
-           round(count(m.neighbor_id) * 1.0 / {_TOP_K}, 6) AS multiprobe_recall
+           round(count(m.neighbor_id) * 1.0 / {_TOP_K}, 6) AS multiprobe_recall,
+           CAST(count(p.neighbor_id) AS BIGINT) AS pq_hits,
+           round(count(p.neighbor_id) * 1.0 / {_TOP_K}, 6) AS pq_recall
     FROM exact_topk e
     LEFT JOIN ivf_topk i
       ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
     LEFT JOIN mp_topk m
       ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+    LEFT JOIN pq_topk p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     """
 
     @query("similarity_recall_vs_exact", oracle=oracle)
     def similarity_recall_vs_exact(spark, sf_dir):
-        """MEASURED recall@10 of both approximate indexes against the exact
+        """MEASURED recall@10 of all three approximate indexes (IVF,
+        IVF-multiprobe, PQ-ADC) against the exact
         brute-force ground truth, per query vector — the evaluation a real
         ANN deployment ships with its index choice (the docstring curves in
         OPERATORS.md are analysis; this is evidence).  Each top-k side is
@@ -589,9 +596,13 @@ def _install_recall_query() -> None:
         mp = similarity_topk_ivf_multiprobe(spark, sf_dir).select(
             "query_id", "neighbor_id", F.lit(1).alias("mp_hit")
         )
+        pq = similarity_topk_pq_adc(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("pq_hit")
+        )
         return (
             exact.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
             .join(F.broadcast(mp), ["query_id", "neighbor_id"], "left")
+            .join(F.broadcast(pq), ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(
                 F.count("ivf_hit").cast("bigint").alias("ivf_hits"),
@@ -600,11 +611,11 @@ def _install_recall_query() -> None:
                 F.round(F.count("mp_hit") / F.lit(_TOP_K), 6).alias(
                     "multiprobe_recall"
                 ),
+                F.count("pq_hit").cast("bigint").alias("pq_hits"),
+                F.round(F.count("pq_hit") / F.lit(_TOP_K), 6).alias("pq_recall"),
             )
         )
 
-
-_install_recall_query()
 
 
 # ---------------------------------------------------------------------------
@@ -881,3 +892,6 @@ def similarity_topk_pq_adc(spark, sf_dir):
             "rnk",
         )
     )
+
+
+_install_recall_query()
