@@ -196,3 +196,46 @@ def test_transition_matrix_probabilities_normalize(spark, oracle_sf_dir):
     for prev, rs in by_prev.items():
         assert abs(sum(x["p"] for x in rs) - 1.0) < 1e-4
         assert sum(x["n"] for x in rs) > 0
+
+
+def _executed_plan(df):
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+
+
+def test_round4_plan_shape_claims(spark, oracle_sf_dir):
+    """Pin the scale claims the round-4 docstrings make to the actual
+    physical plans Catalyst picks."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    # bm25: top-k is TakeOrderedAndProject, never a global Sort+Limit
+    p = _executed_plan(REGISTRY["text_bm25_topk"][0](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+    # chunking: shuffle-free except the cosmetic final sort (<= 1 exchange)
+    p = _executed_plan(
+        REGISTRY["text_chunk_sliding_window"][0](spark, oracle_sf_dir)
+    )
+    n_exch = p.count("Exchange ")
+    assert n_exch <= 1
+    if n_exch == 1:
+        assert "rangepartitioning" in p.lower()  # only the cosmetic sort
+
+    # deterministic shuffle: NO range partitioning (no total-order sort)
+    p = _executed_plan(
+        REGISTRY["shuffle_deterministic_order"][0](spark, oracle_sf_dir)
+    )
+    assert "rangepartitioning" not in p.lower()
+
+    # bloom decontaminate: the prefilter is pure JVM — no Python eval
+    p = _executed_plan(
+        REGISTRY["text_decontaminate_bloom"][0](spark, oracle_sf_dir)
+    )
+    assert "EvalPython" not in p and "InPandas" not in p
+
+    # PQ encode: codebook broadcasts; corpus side has no shuffle join
+    p = _executed_plan(REGISTRY["embedding_pq_encode"][0](spark, oracle_sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
