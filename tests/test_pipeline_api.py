@@ -1,0 +1,101 @@
+"""CorpusPipeline: the fluent DataFrame-level composition surface.  Steps
+must equal the verified registry kernels they delegate to, stay
+deterministic, and compose without mutating the input frame."""
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.pipeline import CorpusPipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_dedup_exact_matches_registry_semantics(spark):
+    docs = _docs(spark)
+    out = CorpusPipeline(docs).dedup_exact().df
+    # same number of survivors as distinct normalized hashes
+    norm = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast(
+            "binary"
+        )
+    )
+    assert out.count() == docs.select(norm.alias("h")).distinct().count()
+    # survivors are the min doc_id of each group
+    again = CorpusPipeline(docs).dedup_exact().df
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_dedup_near_drops_same_docs_as_drop_list(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    out = CorpusPipeline(docs).dedup_near(threshold=0.5).df
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    drop_list = {
+        r["drop_doc_id"]
+        for r in REGISTRY["dedup_drop_list"][0](spark, oracle_sf_dir).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - drop_list
+
+
+def test_decontaminate_removes_overlapping_docs(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.textops import _EVAL_DOCS
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") >= _EVAL_DOCS)
+    evald = docs.filter(F.col("doc_id") < _EVAL_DOCS)
+    out = CorpusPipeline(train).decontaminate(evald, n=4).df
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    flagged = {
+        r["doc_id"]
+        for r in REGISTRY["text_decontaminate_overlap"][0](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    train_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert kept == train_ids - flagged
+
+
+def test_mix_split_chunk_compose(spark):
+    docs = _docs(spark)
+    p = CorpusPipeline(docs).mix_by_rate({"en": 1000, "de": 500}, default_rate=800)
+    n_mixed = p.df.count()
+    assert 0 < n_mixed < docs.count()
+    train, val, test = p.split()
+    assert train.df.count() + val.df.count() + test.df.count() == n_mixed
+    chunks = train.chunk(window=64, stride=48).df
+    assert chunks.count() >= train.df.count()
+    row = chunks.first()
+    assert {"chunk_idx", "start_word", "n_words", "chunk_md5"} <= set(
+        chunks.columns
+    )
+    # chunk text really is the window the metadata describes
+    assert len(row["text"].split()) == row["n_words"]
+    # determinism end-to-end
+    again = (
+        CorpusPipeline(docs)
+        .mix_by_rate({"en": 1000, "de": 500}, default_rate=800)
+        .split()[0]
+        .chunk(window=64, stride=48)
+        .df
+    )
+    assert sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_md5"]) for r in again.collect()
+    ) == sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_md5"]) for r in chunks.collect()
+    )
+
+
+def test_pipeline_requires_expected_columns(spark):
+    import pytest
+
+    bad = _docs(spark).drop("text")
+    with pytest.raises(ValueError, match="text"):
+        CorpusPipeline(bad)

@@ -1,0 +1,179 @@
+"""Fluent, DataFrame-level composition of the training-data operators.
+
+The registry queries (``operators/``) are the *verified* forms — each
+bound to the benchmark tables and hash-checked against the DuckDB oracle.
+This module is the *user-facing* form: the same kernels as chainable steps
+over ANY documents DataFrame, so a pipeline reads as its recipe::
+
+    from xmlstreamprocessor_spark.pipeline import CorpusPipeline
+
+    out = (
+        CorpusPipeline(docs)                  # any df with doc_id + text
+        .dedup_exact()                        # normalized-hash groups
+        .dedup_near(threshold=0.5)            # Jaccard pairs -> CC -> keepers
+        .decontaminate(eval_docs, n=4)        # n-gram leakage vs an eval set
+        .mix_by_rate({"en": 700, "de": 400})  # deterministic hash mixing
+        .chunk(window=64, stride=48)          # trainer windows
+        .df                                   # -> chunk-level DataFrame
+    )
+
+Every step is deterministic (hash-derived randomness only), shuffles no
+more than the audited registry twin, and returns a NEW pipeline — the
+input frame is never mutated.  Steps delegate to the exact kernels the
+oracle-checked queries run (``operators/dedup``, ``functions/text``), so
+composition can't drift from the verified semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_MOD = 1000  # hash-rate domain shared with operators/sampling.py
+
+
+def _bucket(key_col, salt: str = ""):
+    key = F.concat(F.lit(salt), key_col.cast("string")) if salt else key_col.cast(
+        "string"
+    )
+    return (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 7), 16, 10).cast("bigint")
+        % _MOD
+    )
+
+
+class CorpusPipeline:
+    """Immutable fluent wrapper; ``.df`` yields the current DataFrame."""
+
+    def __init__(self, docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        for c in (id_col, text_col):
+            if c not in docs.columns:
+                raise ValueError(f"documents frame lacks required column {c!r}")
+        self._docs = docs
+        self._id = id_col
+        self._text = text_col
+
+    # -- plumbing ---------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._docs
+
+    def _next(self, docs: DataFrame) -> "CorpusPipeline":
+        return CorpusPipeline(docs, self._id, self._text)
+
+    # -- dedup ------------------------------------------------------------
+
+    def dedup_exact(self) -> "CorpusPipeline":
+        """Keep one document per normalized-content hash (lower +
+        whitespace collapse + md5; min id wins).  One hash shuffle."""
+        norm = F.regexp_replace(
+            F.lower(F.trim(F.col(self._text))), r"\s+", " "
+        )
+        w = Window.partitionBy(F.md5(norm.cast("binary"))).orderBy(self._id)
+        return self._next(
+            self._docs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    def dedup_near(self, threshold: float = 0.5) -> "CorpusPipeline":
+        """Near-dup removal via the audited exact-Jaccard path: cost-based
+        pair generation (direct postings join when provably linear, else
+        lossless PPJoin prefix filter), connected components over the
+        verified pairs, min-id keeper per component."""
+        from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_auto
+        from xmlstreamprocessor_spark.operators.graph import connected_components
+
+        docs = self._docs
+        spark = docs.sparkSession
+        renamed = docs.select(
+            F.col(self._id).alias("doc_id"), F.col(self._text).alias("text")
+        )
+        pairs = _jaccard_pairs_auto(spark, sf_dir=None, threshold=threshold,
+                                    docs=renamed)
+        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        drops = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(self._id)
+        )
+        return self._next(self._docs.join(drops, self._id, "left_anti"))
+
+    def decontaminate(self, eval_docs: DataFrame, n: int = 4) -> "CorpusPipeline":
+        """Drop documents sharing any word n-gram with ``eval_docs`` —
+        the pre-launch benchmark-leakage filter.  The eval shingle set
+        broadcasts; the corpus streams one explode + anti join."""
+        from xmlstreamprocessor_spark.functions.text import shingles
+
+        eval_sh = (
+            eval_docs.select(
+                F.explode(
+                    shingles(F.lower(F.col(self._text)), n)
+                ).alias("_sh")
+            ).distinct()
+        )
+        contaminated = (
+            self._docs.select(
+                self._id,
+                F.explode(
+                    shingles(F.lower(F.col(self._text)), n)
+                ).alias("_sh"),
+            )
+            .join(F.broadcast(eval_sh), "_sh")
+            .select(self._id)
+            .distinct()
+        )
+        return self._next(self._docs.join(contaminated, self._id, "left_anti"))
+
+    # -- mixing / splitting ----------------------------------------------
+
+    def mix_by_rate(self, rates: dict[str, int], lang_col: str = "lang",
+                    default_rate: int = _MOD) -> "CorpusPipeline":
+        """Deterministic per-language downsampling: keep a doc iff its
+        md5 bucket (0..999) falls under its language's rate.  A pure
+        scan-stage predicate — zero shuffles, identical picks on rerun."""
+        rate = F.lit(default_rate)
+        for k, v in sorted(rates.items(), reverse=True):
+            rate = F.when(F.col(lang_col) == k, F.lit(v)).otherwise(rate)
+        return self._next(
+            self._docs.filter(_bucket(F.col(self._id), salt="mix|") < rate)
+        )
+
+    def split(self, train: int = 850, val: int = 925):
+        """Hash-banded train/val/test assignment (out of 1000): returns
+        three pipelines.  Membership is a property of the row, so adding
+        data later never moves an old document between splits."""
+        b = _bucket(F.col(self._id), salt="split|")
+        return (
+            self._next(self._docs.filter(b < train)),
+            self._next(self._docs.filter((b >= train) & (b < val))),
+            self._next(self._docs.filter(b >= val)),
+        )
+
+    # -- chunking ---------------------------------------------------------
+
+    def chunk(self, window: int = 64, stride: int = 48) -> "CorpusPipeline":
+        """Cut each document into overlapping word windows (one row per
+        chunk, with ``chunk_idx``/``start_word``/``n_words``/``chunk_md5``
+        and the chunk text in the text column).  Shuffle-free."""
+        w = F.split(F.trim(F.col(self._text)), r"\s+")
+        chunk_words = F.slice(F.col("_w"), F.col("_s") + 1, F.lit(window))
+        out = (
+            self._docs.withColumn("_w", w)
+            .withColumn("_n", F.size("_w"))
+            .withColumn(
+                "_s",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+                ),
+            )
+            .withColumn("chunk_idx", (F.col("_s") / stride).cast("bigint"))
+            .withColumn("start_word", F.col("_s").cast("bigint"))
+            .withColumn(
+                "n_words",
+                F.least(F.col("_n") - F.col("_s"), F.lit(window)).cast("bigint"),
+            )
+            .withColumn(self._text, F.array_join(chunk_words, " "))
+            .withColumn("chunk_md5", F.md5(F.col(self._text).cast("binary")))
+            .drop("_w", "_n", "_s")
+        )
+        return self._next(out)
