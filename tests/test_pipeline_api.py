@@ -99,3 +99,21 @@ def test_pipeline_requires_expected_columns(spark):
     bad = _docs(spark).drop("text")
     with pytest.raises(ValueError, match="text"):
         CorpusPipeline(bad)
+
+
+def test_lm_filter_and_pack_plan_compose(spark):
+    docs = _docs(spark)
+    p = CorpusPipeline(docs).lm_filter(keep_threshold=-3.45)
+    n_kept = p.df.count()
+    assert 0 < n_kept <= docs.count()
+    bins = p.chunk(window=64, stride=48).pack_plan(cap=2048)
+    rows = bins.collect()
+    assert rows and [r["bin_id"] for r in rows] == list(range(len(rows)))
+    # conservation: packed words == words of the chunked survivor corpus
+    from pyspark.sql import functions as F
+
+    chunked = CorpusPipeline(docs).lm_filter(-3.45).chunk(64, 48).df
+    total = chunked.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r["total_words"] for r in rows) == total

@@ -1017,7 +1017,14 @@ def text_lm_bigram_score(spark, sf_dir):
     sum.  Nothing quadratic, nothing driver-side; at 100 TB the bigram
     table is the only large intermediate and it shuffles once with
     map-side combine."""
-    d = t(spark, sf_dir, "documents")
+    return lm_bigram_scores(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def lm_bigram_scores(d, keep_threshold: float = _LM_KEEP):
+    """DataFrame-level kernel behind ``text_lm_bigram_score`` (and
+    ``pipeline.CorpusPipeline.lm_filter``): per-doc average bigram
+    logprob + keep flag; see the query docstring for the exactness and
+    scale analysis."""
     ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     pairs = F.expr(
         "transform(sequence(0, size(ws) - 2),"
@@ -1056,5 +1063,5 @@ def text_lm_bigram_score(spark, sf_dir):
         "doc_id",
         "n_bigrams",
         F.round(avg, 6).alias("avg_logprob"),
-        (avg >= _LM_KEEP).alias("keep"),
-    ).orderBy("doc_id")
+        (avg >= keep_threshold).alias("keep"),
+    )

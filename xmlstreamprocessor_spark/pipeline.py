@@ -177,3 +177,72 @@ class CorpusPipeline:
             .drop("_w", "_n", "_s")
         )
         return self._next(out)
+
+    # -- quality ----------------------------------------------------------
+
+    def lm_filter(self, keep_threshold: float = -3.45) -> "CorpusPipeline":
+        """Drop the low-likelihood tail under the corpus-trained add-one
+        bigram LM (CCNet-style perplexity filtering; see
+        ``operators/textops.text_lm_bigram_score`` for the exactness and
+        scale analysis).  The LM is trained on the CURRENT frame, so run
+        this before aggressive subsampling."""
+        from xmlstreamprocessor_spark.operators.textops import lm_bigram_scores
+
+        renamed = self._docs.select(
+            F.col(self._id).alias("doc_id"), F.col(self._text).alias("text")
+        )
+        keep = (
+            lm_bigram_scores(renamed, keep_threshold=keep_threshold)
+            .filter(F.col("keep"))
+            .select(F.col("doc_id").alias(self._id))
+        )
+        return self._next(self._docs.join(keep, self._id, "left_semi"))
+
+    # -- packing ----------------------------------------------------------
+
+    def pack_plan(self, cap: int = 2048, shard: int = 100) -> DataFrame:
+        """TERMINAL step: concat-and-split packing plan over the current
+        rows in id order — (bin_id, n_rows, total_words, first/last id),
+        via the two-level distributed prefix sum (per-shard window in
+        parallel, then an exclusive prefix over the tiny shard totals).
+        Weights are whitespace word counts of the text column, so this
+        composes naturally after ``chunk()``."""
+        d = self._docs.select(
+            F.col(self._id).alias("_pid"),
+            F.size(F.split(F.trim(F.col(self._text)), r"\s+"))
+            .cast("bigint")
+            .alias("_wt"),
+            F.monotonically_increasing_id().alias("_row"),
+        )
+        # deterministic order: id, then arrival order for id ties (chunk
+        # rows share their doc id)
+        w_in = (
+            Window.partitionBy("_shard")
+            .orderBy("_pid", "_row")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        d = d.withColumn("_shard", (F.col("_pid") / shard).cast("bigint"))
+        local = d.withColumn(
+            "_local", F.coalesce(F.sum("_wt").over(w_in), F.lit(0))
+        )
+        totals = d.groupBy("_shard").agg(F.sum("_wt").alias("_tot"))
+        w_sh = Window.orderBy("_shard").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        bases = totals.withColumn(
+            "_base", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0))
+        ).select("_shard", "_base")
+        offs = local.join(F.broadcast(bases), "_shard").withColumn(
+            "_off", F.col("_base") + F.col("_local")
+        )
+        return (
+            offs.withColumn("bin_id", F.floor(F.col("_off") / cap).cast("bigint"))
+            .groupBy("bin_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_wt").cast("bigint").alias("total_words"),
+                F.min("_pid").alias("first_id"),
+                F.max("_pid").alias("last_id"),
+            )
+            .orderBy("bin_id")
+        )
