@@ -94,10 +94,10 @@ _PRIORITY = [
     "analytic_event_transition_matrix",
     "embedding_pq_encode",
     "similarity_topk_pq_adc",
+    "multimodal_frame_dedup",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
-    "dedup_embedding_cosine_pairs_lsh",
     "dedup_minhash_lsh_pairs",
     "graph_components_dup_groups",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);

@@ -42,3 +42,19 @@ def test_decode_rejects_truncated_plane():
 def test_decode_rejects_wide_maxval():
     with pytest.raises(ValueError, match="maxval"):
         decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_frame_dedup_consistent_with_frame_fanout(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    dups = REGISTRY["multimodal_frame_dedup"][0](spark, oracle_sf_dir)
+    rows = dups.collect()
+    assert rows
+    for r in rows:
+        assert r["n_videos"] > 1
+        assert r["n_frames"] >= r["n_videos"]
+    # total duplicated frames never exceeds the full frame fan-out
+    frames = REGISTRY["multimodal_frame_sample"][0](spark, oracle_sf_dir)
+    assert sum(r["n_frames"] for r in rows) <= frames.count()

@@ -81,6 +81,7 @@ EXTRA = [
     "analytic_event_transition_matrix",
     "embedding_pq_encode",
     "similarity_topk_pq_adc",
+    "multimodal_frame_dedup",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -380,3 +380,66 @@ def multimodal_image_resize_plan(spark, sf_dir):
         F.floor(F.col("width") * scale).cast("int").alias("out_w"),
         F.floor(F.col("height") * scale).cast("int").alias("out_h"),
     )
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, greatest(n_chars // 100, 1))) AS INTEGER)
+               AS frame_idx
+      FROM documents
+    ), hashed AS (
+      SELECT f.doc_id, f.frame_idx,
+             md5(substr(d.text, f.frame_idx * 100 + 1, 100)) AS frame_md5
+      FROM frames f JOIN documents d ON d.doc_id = f.doc_id
+    )
+    SELECT frame_md5,
+           count(*) AS n_frames,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+           min(doc_id) AS keeper_video
+    FROM hashed
+    GROUP BY frame_md5
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY frame_md5
+    """,
+)
+def multimodal_frame_dedup(spark, sf_dir):
+    """Cross-video frame-level dedup: hash every sampled frame's payload
+    (here the deterministic 100-char text segment standing in for the
+    decoded frame bytes — the hash-after-decode step a real pipeline runs
+    via the mapInPandas kernel) and report every frame appearing in MORE
+    THAN ONE video, with the keeper a drop pass retains.  Mirrors
+    ``dedup_chunk_exact`` on the multimodal fan-out: intro/outro/logo
+    frames shared across videos are exactly what this catches.
+
+    Scale: the frame explode is JVM-side; the groupBy shuffles only
+    (frame_hash, doc_id) pairs with map-side combine — frame payloads
+    never leave the scan stage."""
+    d = t(spark, sf_dir, "documents")
+    n_frames = F.greatest(F.floor(F.col("n_chars") / 100).cast("long"), F.lit(1))
+    hashed = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("long"))).alias(
+            "frame_idx"
+        ),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.substring(
+                F.col("text"), F.col("frame_idx").cast("int") * 100 + 1, 100
+            ).cast("binary")
+        ).alias("frame_md5"),
+    )
+    return (
+        hashed.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_videos"),
+            F.min("doc_id").alias("keeper_video"),
+        )
+        .filter(F.col("n_videos") > 1)
+        .orderBy("frame_md5")
+    )
