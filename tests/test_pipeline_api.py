@@ -117,3 +117,29 @@ def test_lm_filter_and_pack_plan_compose(spark):
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
     ).collect()[0][0]
     assert sum(r["total_words"] for r in rows) == total
+
+
+def test_pipeline_survives_null_and_empty_text(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [None, "", "   ", "real words here for a document"],
+                "lang": ["en"] * 4,
+            }
+        ),
+        schema="doc_id long, text string, lang string",
+    )
+    # exact dedup groups: NULL, normalized-empty ("" and "   " collapse),
+    # and the real doc
+    assert CorpusPipeline(df).dedup_exact().df.count() == 3
+    # near-dedup: nothing shingles, nothing pairs, all four survive
+    assert CorpusPipeline(df).dedup_near(0.5).df.count() == 4
+    # chunking drops the NULL row (no content), keeps degenerate empties
+    chunks = CorpusPipeline(df).chunk().df
+    assert {r["doc_id"] for r in chunks.collect()} == {2, 3, 4}
+    # lm_filter drops scoreless (<2-word) docs by contract
+    kept = CorpusPipeline(df).lm_filter().df
+    assert {r["doc_id"] for r in kept.collect()} == {4}

@@ -185,7 +185,9 @@ class CorpusPipeline:
         bigram LM (CCNet-style perplexity filtering; see
         ``operators/textops.text_lm_bigram_score`` for the exactness and
         scale analysis).  The LM is trained on the CURRENT frame, so run
-        this before aggressive subsampling."""
+        this before aggressive subsampling.  Documents with fewer than
+        two words have no bigrams, hence no score, and are DROPPED —
+        contentless rows never belong in a training mix anyway."""
         from xmlstreamprocessor_spark.operators.textops import lm_bigram_scores
 
         renamed = self._docs.select(
