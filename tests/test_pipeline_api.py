@@ -143,3 +143,34 @@ def test_pipeline_survives_null_and_empty_text(spark):
     # lm_filter drops scoreless (<2-word) docs by contract
     kept = CorpusPipeline(df).lm_filter().df
     assert {r["doc_id"] for r in kept.collect()} == {4}
+
+
+def test_dedup_near_richest_keeper(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    min_id = CorpusPipeline(docs).dedup_near(0.5, keeper="min_id").df
+    richest = CorpusPipeline(docs).dedup_near(0.5, keeper="richest").df
+    # same number of survivors (one keeper per component either way)
+    assert min_id.count() == richest.count()
+    # the richest keeper set matches dedup_keeper_by_quality's choices
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    quality = REGISTRY["dedup_keeper_by_quality"][0](spark, oracle_sf_dir)
+    expected_keepers = {r["keeper_doc"] for r in quality.collect()}
+    kept = {r["doc_id"] for r in richest.select("doc_id").collect()}
+    assert expected_keepers <= kept
+    # and none of the non-keeper group members survive
+    comps = REGISTRY["graph_components_dup_groups"][0](spark, oracle_sf_dir)
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    by_comp = {}
+    for r in comps.collect():
+        by_comp.setdefault(r["component"], []).append(r["doc_id"])
+    for members in by_comp.values():
+        if len(members) > 1:
+            best = sorted(members, key=lambda d: (-chars[d], d))[0]
+            assert set(members) & kept == {best}
+    import pytest
+
+    with pytest.raises(ValueError, match="keeper"):
+        CorpusPipeline(docs).dedup_near(0.5, keeper="banana")

@@ -77,14 +77,22 @@ class CorpusPipeline:
             .drop("_rk")
         )
 
-    def dedup_near(self, threshold: float = 0.5) -> "CorpusPipeline":
+    def dedup_near(self, threshold: float = 0.5,
+                   keeper: str = "min_id") -> "CorpusPipeline":
         """Near-dup removal via the audited exact-Jaccard path: cost-based
         pair generation (direct postings join when provably linear, else
         lossless PPJoin prefix filter), connected components over the
-        verified pairs, min-id keeper per component."""
+        verified pairs, one keeper per component.
+
+        ``keeper``: ``"min_id"`` (the drop-list convention) or
+        ``"richest"`` (keep the longest variant per group — what
+        ``dedup_keeper_by_quality`` reports; truncated copies lose the
+        least content this way)."""
         from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_auto
         from xmlstreamprocessor_spark.operators.graph import connected_components
 
+        if keeper not in ("min_id", "richest"):
+            raise ValueError(f"unknown keeper strategy {keeper!r}")
         docs = self._docs
         spark = docs.sparkSession
         renamed = docs.select(
@@ -93,9 +101,26 @@ class CorpusPipeline:
         pairs = _jaccard_pairs_auto(spark, sf_dir=None, threshold=threshold,
                                     docs=renamed)
         comp = connected_components(pairs, src="doc_a", dst="doc_b")
-        drops = comp.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias(self._id)
-        )
+        if keeper == "min_id":
+            drops = comp.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias(self._id)
+            )
+        else:
+            sized = comp.join(
+                renamed.select(
+                    F.col("doc_id").alias("node"),
+                    F.length("text").alias("_len"),
+                ),
+                "node",
+            )
+            w = Window.partitionBy("component").orderBy(
+                F.desc("_len"), F.asc("node")
+            )
+            drops = (
+                sized.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > 1)
+                .select(F.col("node").alias(self._id))
+            )
         return self._next(self._docs.join(drops, self._id, "left_anti"))
 
     def decontaminate(self, eval_docs: DataFrame, n: int = 4) -> "CorpusPipeline":
