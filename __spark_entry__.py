@@ -33,9 +33,11 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # one ever-checked-never-green row, r1 `err: no_oracle`, which has an exact
 # oracle since round 2), then every query ADDED in round 4 (incremental
 # MinHash, token-budget mix, semantic groups, DAU/WAU, temperature mixing,
-# deterministic shuffle, sliding-window chunking, chunk-level dedup,
-# bucketized interval join, Bloom decontamination, BM25 retrieval, quality
-# keeper, salted skew join), and the remaining slots re-check queries whose
+# deterministic shuffle, sliding-window chunking, chunk-level + frame-level
+# dedup, bucketized interval join, Bloom decontamination, BM25 retrieval,
+# bigram-LM perplexity filter, quality keeper, salted skew join, chunk->pack
+# pipeline, Markov transition matrix, PQ encode + ADC search), and the
+# remaining slots re-check queries whose
 # code round 4 touched (cosine-pair size guardrail, jaccard lineage-sever,
 # connected-components driver-finisher threshold, streaming source probe).
 # Rotated OUT to make room — all with green driver verdicts from earlier
