@@ -97,11 +97,11 @@ _PRIORITY = [
     "embedding_pq_encode",
     "similarity_topk_pq_adc",
     "multimodal_frame_dedup",
+    "tokenizer_bpe_first_merges",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
     "dedup_minhash_lsh_pairs",
-    "graph_components_dup_groups",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);

@@ -194,3 +194,15 @@ def test_lm_bigram_score_flags_low_likelihood_tail(spark, oracle_sf_dir):
     # deterministic rerun
     again = REGISTRY["text_lm_bigram_score"][0](spark, oracle_sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_bpe_first_merges_ranked_and_plausible(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["tokenizer_bpe_first_merges"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) == 50
+    counts = [r["weighted_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 and r["weighted_count"] > 0 for r in rows)

@@ -82,6 +82,7 @@ EXTRA = [
     "embedding_pq_encode",
     "similarity_topk_pq_adc",
     "multimodal_frame_dedup",
+    "tokenizer_bpe_first_merges",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

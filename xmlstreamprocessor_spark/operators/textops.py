@@ -1065,3 +1065,68 @@ def lm_bigram_scores(d, keep_threshold: float = _LM_KEEP):
         F.round(avg, 6).alias("avg_logprob"),
         (avg >= keep_threshold).alias("keep"),
     )
+
+
+@query(
+    "tokenizer_bpe_first_merges",
+    oracle="""
+    WITH wf AS (
+      SELECT w, count(*) AS freq
+      FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      )
+      WHERE length(w) >= 2
+      GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, i, 2))) AS pair,
+             freq
+      FROM wf
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS weighted_count
+    FROM pairs GROUP BY pair
+    ORDER BY weighted_count DESC, pair
+    LIMIT 50
+    """,
+)
+def tokenizer_bpe_first_merges(spark, sf_dir):
+    """First iteration of BPE tokenizer training on the corpus: the top-50
+    adjacent-character merge candidates, weighted by word frequency —
+    exactly the statistic the classic Sennrich et al. algorithm greedily
+    merges (subsequent iterations re-run this count over the re-segmented
+    vocabulary; the per-iteration shape is identical).
+
+    Scale: this is the textbook two-phase reduction — the corpus token
+    stream collapses to the DISTINCT-word frequency table first (map-side
+    combinable; vocabulary-sized, orders of magnitude smaller than the
+    corpus), and the character-pair explode then runs over the vocabulary
+    only.  A naive per-token pair explode would shuffle corpus-scale
+    data; this shuffles vocab-scale.  The top-k is
+    TakeOrderedAndProject with the pair string as tiebreak."""
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("weighted_count"))
+        .orderBy(F.desc("weighted_count"), F.asc("pair"))
+        .limit(50)
+    )
