@@ -98,6 +98,7 @@ _PRIORITY = [
     "similarity_topk_pq_adc",
     "multimodal_frame_dedup",
     "tokenizer_bpe_first_merges",
+    "analytic_copurchase_part_pairs",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -110,7 +111,6 @@ _PRIORITY = [
     # decontaminate
     "formats_roundtrip_orders",
     "pipeline_dedup_mix_pack",
-    "temporal_rollup_multires",
 ]
 
 

@@ -83,6 +83,7 @@ EXTRA = [
     "similarity_topk_pq_adc",
     "multimodal_frame_dedup",
     "tokenizer_bpe_first_merges",
+    "analytic_copurchase_part_pairs",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -689,3 +689,43 @@ def analytic_event_transition_matrix(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@query(
+    "analytic_copurchase_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def analytic_copurchase_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the top-25 part pairs appearing in the
+    same order (association-rule support counting).  The self-join is on
+    the ORDER key, so its fan-out is items-per-order squared (~7^2 = a few
+    dozen rows per order) — linear in order count, never corpus-quadratic;
+    the distinct collapses duplicate part lines map-side before the join,
+    and the final top-k is TakeOrderedAndProject with (part_a, part_b)
+    tiebreaks for engine-independent determinism."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )
