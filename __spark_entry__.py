@@ -99,6 +99,7 @@ _PRIORITY = [
     "multimodal_frame_dedup",
     "tokenizer_bpe_first_merges",
     "analytic_copurchase_part_pairs",
+    "analytic_rfm_segments",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
@@ -110,7 +111,6 @@ _PRIORITY = [
     # bucketized interval join; asof re-check rotated out for the bloom
     # decontaminate
     "formats_roundtrip_orders",
-    "pipeline_dedup_mix_pack",
 ]
 
 

@@ -84,6 +84,7 @@ EXTRA = [
     "multimodal_frame_dedup",
     "tokenizer_bpe_first_merges",
     "analytic_copurchase_part_pairs",
+    "analytic_rfm_segments",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

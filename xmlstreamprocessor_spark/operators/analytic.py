@@ -729,3 +729,76 @@ def analytic_copurchase_part_pairs(spark, sf_dir):
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(25)
     )
+
+
+@query(
+    "analytic_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+      FROM rfm
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS segment_value
+    FROM scored
+    GROUP BY r_quartile, f_quartile, m_quartile
+    ORDER BY r_quartile, f_quartile, m_quartile
+    """,
+)
+def analytic_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: quartile scores for recency (last order
+    date), frequency (order count), and monetary value, rolled up to
+    segment sizes and value — the classic warehouse cohorting query.
+    Every ntile orders by (metric, customer id) so tie assignment is
+    deterministic and engine-independent; monetary aggregates stay in
+    exact decimals until the final cosmetic round.
+
+    Scale: one shuffle for the per-customer aggregate; the three ntile
+    windows are unpartitioned BY DEFINITION (global quartiles) but run
+    over the customer-level table — orders of magnitude smaller than the
+    fact table; a 100 TB deployment with billions of customers would
+    swap ntile for a two-pass approx-quantile cut, trading exactness for
+    partitioned windows."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        money2(F.sum(dec2("o_totalprice"))).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money2(F.sum(dec2("monetary"))).alias("segment_value"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
