@@ -239,3 +239,39 @@ def test_round4_plan_shape_claims(spark, oracle_sf_dir):
     p = _executed_plan(REGISTRY["embedding_pq_encode"][0](spark, oracle_sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_copurchase_pairs_symmetric_and_bounded(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["analytic_copurchase_part_pairs"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert 0 < len(rows) <= 25
+    li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+    max_orders = li.select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert 0 < r["n_orders"] <= max_orders
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_rfm_segments_partition_every_customer(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["analytic_rfm_segments"][0](spark, oracle_sf_dir).collect()
+    n_customers = (
+        spark.read.parquet(f"{oracle_sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_customers
+    for r in rows:
+        assert 1 <= r["r_quartile"] <= 4
+        assert 1 <= r["f_quartile"] <= 4
+        assert 1 <= r["m_quartile"] <= 4
+        assert r["segment_value"] > 0
