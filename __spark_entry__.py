@@ -100,17 +100,17 @@ _PRIORITY = [
     "tokenizer_bpe_first_merges",
     "analytic_copurchase_part_pairs",
     "analytic_rfm_segments",
+    "dedup_minhash_estimate_accuracy",
+    "analytic_event_pareto_share",
     # code touched this round: cosine guardrail, jaccard lineage-sever,
     # graph finisher threshold, streaming probe/restart work
     "dedup_embedding_cosine_pairs",
-    "dedup_minhash_lsh_pairs",
     # re-checks: oldest-evidence heavy hitters (r1/r2-only verdicts);
     # q1/q3/q9 rotated out this round to make room for the three new
     # training-pipeline queries above (they are r1+r2 double-green);
     # q18/q21 likewise rotated out for dedup_chunk_exact and the
     # bucketized interval join; asof re-check rotated out for the bloom
     # decontaminate
-    "formats_roundtrip_orders",
 ]
 
 

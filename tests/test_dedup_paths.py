@@ -403,3 +403,21 @@ def test_levenshtein_hot_block_splits_losslessly(spark):
         names.withColumn("blk", F.regexp_extract("p_name", "[a-z]+$", 0))
         .select("blk").distinct().count() == 1
     )
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["dedup_minhash_estimate_accuracy"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert rows
+    # every verified pair is >= 0.8 Jaccard; the 20-hash estimator has
+    # granularity 0.05 and stdev ~ sqrt(j(1-j)/20) ~ 0.09 at j=0.8 —
+    # errors beyond ~4 sigma mean the estimator is broken
+    for r in rows:
+        assert r["jaccard"] >= 0.8
+        assert 0.0 <= r["mh_estimate"] <= 1.0
+        assert r["abs_err"] <= 0.4
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 0.15

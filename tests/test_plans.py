@@ -275,3 +275,17 @@ def test_rfm_segments_partition_every_customer(spark, oracle_sf_dir):
         assert 1 <= r["f_quartile"] <= 4
         assert 1 <= r["m_quartile"] <= 4
         assert r["segment_value"] > 0
+
+
+def test_pareto_share_monotone_and_complete(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["analytic_event_pareto_share"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_events_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # most-active decile holds at least its proportional share
+    assert shares[0] >= 0.1

@@ -85,6 +85,8 @@ EXTRA = [
     "tokenizer_bpe_first_merges",
     "analytic_copurchase_part_pairs",
     "analytic_rfm_segments",
+    "dedup_minhash_estimate_accuracy",
+    "analytic_event_pareto_share",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

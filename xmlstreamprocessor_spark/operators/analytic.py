@@ -802,3 +802,63 @@ def analytic_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
+
+
+@query(
+    "analytic_event_pareto_share",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ), ranked AS (
+      SELECT n, ntile(10) OVER (ORDER BY n DESC, user_id) AS decile
+      FROM per_user
+    ), agg AS (
+      SELECT decile, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_users, n_events,
+           round(CAST(sum(n_events) OVER (ORDER BY decile) AS DOUBLE)
+                 / (SELECT sum(n) FROM per_user), 6) AS cum_events_share
+    FROM agg
+    ORDER BY decile
+    """,
+)
+def analytic_event_pareto_share(spark, sf_dir):
+    """Activity concentration (Pareto/Lorenz): split users into activity
+    deciles (most-active first; user_id breaks count ties
+    deterministically) and report each decile's cumulative share of all
+    events — the "do 20% of users generate 80% of traffic" curve.
+
+    Scale: the per-user aggregate is the only fact-table shuffle; the
+    decile ntile and cumulative window then run over the user-level
+    table.  The grand total rides along as a broadcast scalar."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_user.select(
+        "n",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    total = per_user.agg(F.sum("n").cast("bigint").alias("_tot"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(
+                F.sum("n_events").over(wcum).cast("double") / F.col("_tot"), 6
+            ).alias("cum_events_share"),
+        )
+        .orderBy("decile")
+    )
