@@ -87,6 +87,7 @@ EXTRA = [
     "analytic_rfm_segments",
     "dedup_minhash_estimate_accuracy",
     "analytic_event_pareto_share",
+    "analytic_time_to_convert",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

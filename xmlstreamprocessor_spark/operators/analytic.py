@@ -862,3 +862,61 @@ def analytic_event_pareto_share(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "analytic_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(CASE WHEN event_type = 'view' THEN ts END)))
+                  AS BIGINT) AS t_view,
+             CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END)))
+                  AS BIGINT) AS t_purchase
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), converts AS (
+      SELECT t_purchase - t_view AS secs
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY secs), 6) AS p50_secs,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY secs), 6) AS p90_secs,
+           CAST(min(secs) AS BIGINT) AS min_secs,
+           CAST(max(secs) AS BIGINT) AS max_secs
+    FROM converts
+    """,
+)
+def analytic_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: seconds between each user's first
+    view and first purchase (converters only), summarized as exact
+    interpolated p50/p90 with min/max — the latency companion to the
+    conversion funnel.
+
+    Scale: one user-key aggregate over the fact table (conditional mins
+    combine map-side); the percentile runs over the converter deltas —
+    user-level, not event-level.  At 100 TB swap the exact percentile
+    for approx_percentile; the exact form is the oracle-able contract."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firsts = e.groupBy("user_id").agg(
+        F.unix_timestamp(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        ).alias("t_view"),
+        F.unix_timestamp(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("t_purchase"),
+    )
+    converts = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_view"))
+    ).select((F.col("t_purchase") - F.col("t_view")).alias("secs"))
+    ps = F.expr("percentile(secs, array(0.5D, 0.9D))")
+    return converts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.round(F.element_at(ps, 1), 6).alias("p50_secs"),
+        F.round(F.element_at(ps, 2), 6).alias("p90_secs"),
+        F.min("secs").cast("bigint").alias("min_secs"),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )
