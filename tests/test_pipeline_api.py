@@ -174,3 +174,68 @@ def test_dedup_near_richest_keeper(spark, oracle_sf_dir):
 
     with pytest.raises(ValueError, match="keeper"):
         CorpusPipeline(docs).dedup_near(0.5, keeper="banana")
+
+
+def test_chunk_geometry_invariants_across_lengths(spark):
+    """Chunk geometry over documents of every length 1..200 words: full
+    coverage, correct chunk count, stride positioning, and tail sizing —
+    the closed-form contract checked in one Spark job."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 201)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    chunks = CorpusPipeline(df).chunk(window=64, stride=48).df
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.col("start_word") + F.col("n_words")).alias("covered"),
+            F.min("n_words").alias("min_words"),
+        )
+        .collect()
+    )
+    assert len(per_doc) == 200
+    for r in per_doc:
+        n = r["doc_id"]
+        assert r["n_chunks"] == max(1, math.ceil(n / 48)), n
+        assert r["covered"] == n, n
+        assert r["min_words"] >= 1
+
+
+def test_salted_join_correct_under_total_skew(spark):
+    """Adversarial skew: EVERY fact row carries the same key.  The salted
+    join must still equal the plain join and spread the key across all 8
+    salt values."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": range(4000),
+                "user_id": [7] * 4000,
+                "value": [1.25] * 4000,
+            }
+        ),
+        schema="event_id long, user_id long, value double",
+    )
+    c = spark.createDataFrame(
+        [(7, "HOT"), (8, "COLD")], schema="c_custkey long, c_mktsegment string"
+    )
+    S = 8
+    es = e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(S)))
+    cs = c.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+    salted = (
+        es.join(cs, (es["user_id"] == cs["c_custkey"]) & (es["salt"] == cs["salt"]))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert salted == [("HOT", 4000)] or [tuple(r) for r in salted] == [
+        ("HOT", 4000)
+    ]
+    spread = es.select("salt").distinct().count()
+    assert spread == S
