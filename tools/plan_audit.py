@@ -88,6 +88,7 @@ EXTRA = [
     "dedup_minhash_estimate_accuracy",
     "analytic_event_pareto_share",
     "analytic_time_to_convert",
+    "temporal_seasonality_dow_hour",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

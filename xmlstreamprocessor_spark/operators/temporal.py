@@ -632,3 +632,49 @@ def interval_join_bucketized_incidents(spark, sf_dir):
         )
         .orderBy("window_id")
     )
+
+
+@query(
+    "temporal_seasonality_dow_hour",
+    oracle="""
+    WITH keyed AS (
+      SELECT CAST((floor(floor(epoch(ts)) / 86400) + 4) % 7 AS BIGINT) AS dow,
+             CAST(floor(floor(epoch(ts)) % 86400 / 3600) AS BIGINT) AS hour,
+             value
+      FROM events
+    )
+    SELECT dow, hour,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM keyed
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+)
+def temporal_seasonality_dow_hour(spark, sf_dir):
+    """Seasonality heatmap: event count and value by (day-of-week, hour)
+    — the weekly activity fingerprint behind load planning and anomaly
+    baselines.  Day-of-week computes from epoch days with the explicit
+    1970-01-01-was-Thursday formula ((days + 4) % 7, 0 = Sunday) instead
+    of engine dayofweek() builtins, whose numbering conventions differ
+    (Spark 1=Sunday, DuckDB 0=Sunday) — the formula is identical integer
+    arithmetic on both sides.
+
+    Scale: a pure scan-stage projection into a 7x24-key aggregate —
+    map-side combine collapses everything before one tiny shuffle."""
+    e = t(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    keyed = e.select(
+        ((F.floor(es / 86400) + 4) % 7).cast("bigint").alias("dow"),
+        F.floor(es % 86400 / 3600).cast("bigint").alias("hour"),
+        "value",
+    )
+    return (
+        keyed.groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money2(F.sum(dec2("value"))).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
