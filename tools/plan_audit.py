@@ -89,6 +89,7 @@ EXTRA = [
     "analytic_event_pareto_share",
     "analytic_time_to_convert",
     "temporal_seasonality_dow_hour",
+    "dedup_group_size_histogram",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

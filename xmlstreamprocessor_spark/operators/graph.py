@@ -424,3 +424,44 @@ def dedup_keeper_by_quality(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+def _install_dup_histogram_query() -> None:
+    """Composes graph_dup_group_sizes' oracle verbatim as a CTE (the
+    recursive closure), then histograms the group sizes."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    sizes_sql = REGISTRY["graph_dup_group_sizes"][1]
+    oracle = f"""
+    WITH sizes AS ({sizes_sql})
+    SELECT group_size,
+           count(*) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs,
+           CAST(sum(n_discarded) AS BIGINT) AS n_discarded
+    FROM sizes GROUP BY group_size
+    ORDER BY group_size
+    """
+
+    @query("dedup_group_size_histogram", oracle=oracle)
+    def dedup_group_size_histogram(spark, sf_dir):
+        """The headline of a dedup report: how many duplicate groups of
+        each size exist, how many documents they hold, and how many a
+        drop pass discards.  A spike at large sizes means template/spam
+        clusters; a long size-2 tail means near-miss duplicates — the
+        two shapes call for different upstream fixes.
+
+        Scale: one extra |groups|-sized aggregate on top of the audited
+        CC path — the histogram itself is at most max-group-size rows."""
+        sizes = graph_dup_group_sizes(spark, sf_dir)
+        return (
+            sizes.groupBy("group_size")
+            .agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("group_size").cast("bigint").alias("n_docs"),
+                F.sum("n_discarded").cast("bigint").alias("n_discarded"),
+            )
+            .orderBy("group_size")
+        )
+
+
+_install_dup_histogram_query()
