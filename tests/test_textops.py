@@ -206,3 +206,21 @@ def test_bpe_first_merges_ranked_and_plausible(spark, oracle_sf_dir):
     counts = [r["weighted_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(len(r["pair"]) == 2 and r["weighted_count"] > 0 for r in rows)
+
+
+def test_unigram_entropy_bounds(spark, oracle_sf_dir):
+    import math
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["text_unigram_entropy"][0](spark, oracle_sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # entropy of an n-word doc lies in [0, ln(n_words)]; the
+        # fixed-point floor biases each (negative) term down by < 1
+        # micro-nat, so the negated sum can exceed the bound by at most
+        # n_words quantization steps
+        slack = (r["n_words"] + 1) / 1_000_000 + 1e-6
+        assert -slack <= r["entropy_nats"] <= math.log(r["n_words"]) + slack
+    # corpus has variation: not all docs share one entropy value
+    assert len({r["entropy_nats"] for r in rows}) > 10

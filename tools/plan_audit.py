@@ -90,6 +90,7 @@ EXTRA = [
     "analytic_time_to_convert",
     "temporal_seasonality_dow_hour",
     "dedup_group_size_histogram",
+    "text_unigram_entropy",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

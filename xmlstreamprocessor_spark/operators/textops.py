@@ -1130,3 +1130,66 @@ def tokenizer_bpe_first_merges(spark, sf_dir):
         .orderBy(F.desc("weighted_count"), F.asc("pair"))
         .limit(50)
     )
+
+
+@query(
+    "text_unigram_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+    ), dl AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id
+    ), terms AS (
+      SELECT tf.doc_id, dl.n,
+             CAST(floor({_LM_SCALE} *
+                  (CAST(tf.c AS DOUBLE) / dl.n)
+                  * ln(CAST(tf.c AS DOUBLE) / dl.n)) AS BIGINT) AS t_int
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_words,
+           round(-CAST(CAST(sum(t_int) AS BIGINT) AS DOUBLE)
+                 / {_LM_SCALE}, 6) AS entropy_nats
+    FROM terms GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the unigram distribution (nats) —
+    low entropy flags repetitive/boilerplate text, high entropy flags
+    noise; quality pipelines band-pass on it next to the Gopher
+    repetition fractions.
+
+    Same exactness engineering as the bigram-LM score: term frequencies
+    are exact integers; each DISTINCT word's p*ln(p) contribution
+    quantizes to fixed-point micro-nats (the transcendental applied to a
+    bit-identical ratio of integers); the per-document accumulation is
+    an order-independent INTEGER sum, immune to the engine's float-sum
+    ordering.  Scale: one (doc, word) map-side-combined aggregate and a
+    per-doc reduce — linear, shuffle carries distinct terms only."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = tf.join(dl, "doc_id").select(
+        "doc_id",
+        "n",
+        F.floor(_LM_SCALE * p * F.log(p)).cast("bigint").alias("t_int"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_words"),
+            F.round(
+                -F.sum("t_int").cast("bigint").cast("double") / _LM_SCALE, 6
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
