@@ -289,3 +289,31 @@ def test_pareto_share_monotone_and_complete(spark, oracle_sf_dir):
     assert abs(shares[-1] - 1.0) < 1e-6
     # most-active decile holds at least its proportional share
     assert shares[0] >= 0.1
+
+
+def test_burst_outliers_match_recount(spark, oracle_sf_dir):
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["analytic_burst_rate_outliers"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert rows  # threshold tuned to the corpus: non-vacuous
+    e = spark.read.parquet(f"{oracle_sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    peaks = {
+        r["user_id"]: r["pk"]
+        for r in e.groupBy(
+            "user_id", F.floor(F.unix_timestamp("ts") / 60).alias("m")
+        )
+        .count()
+        .groupBy("user_id")
+        .agg(F.max("count").alias("pk"))
+        .collect()
+    }
+    flagged = {r["user_id"] for r in rows}
+    assert flagged == {u for u, p in peaks.items() if p >= 2}
+    for r in rows:
+        assert r["peak_per_min"] == peaks[r["user_id"]]

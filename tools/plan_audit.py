@@ -91,6 +91,8 @@ EXTRA = [
     "temporal_seasonality_dow_hour",
     "dedup_group_size_histogram",
     "text_unigram_entropy",
+    "analytic_burst_rate_outliers",
+    "embedding_unitnorm_check",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

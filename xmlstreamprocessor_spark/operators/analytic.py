@@ -920,3 +920,52 @@ def analytic_time_to_convert(spark, sf_dir):
         F.min("secs").cast("bigint").alias("min_secs"),
         F.max("secs").cast("bigint").alias("max_secs"),
     )
+
+
+@query(
+    "analytic_burst_rate_outliers",
+    oracle="""
+    WITH per_min AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 60) AS BIGINT) AS minute,
+             count(*) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, 2
+    ), peaks AS (
+      SELECT user_id,
+             CAST(max(n) AS BIGINT) AS peak_per_min,
+             CAST(sum(n) AS BIGINT) AS total_events,
+             CAST(count(*) AS BIGINT) AS active_minutes
+      FROM per_min GROUP BY user_id
+    )
+    SELECT user_id, peak_per_min, total_events, active_minutes
+    FROM peaks
+    WHERE peak_per_min >= 2
+    ORDER BY peak_per_min DESC, user_id
+    """,
+)
+def analytic_burst_rate_outliers(spark, sf_dir):
+    """Bot/abuse screening: users whose PEAK per-minute event rate crosses
+    a threshold, with their totals for triage — the rate-limit violation
+    report (threshold 2 fits this sparse synthetic corpus, whose observed
+    max is 2/min; production sets it from the rate-limit policy).  Epoch-minute bucketing uses explicit integer
+    arithmetic (floor(epoch/60)), identical on both engines.
+
+    Scale: the minute-bucket aggregate combines map-side (a user's burst
+    lands in few buckets); the per-user peak is a second tiny aggregate.
+    No windows over raw events, no self-joins — two groupBys, both
+    partial-aggregated."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_min = e.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("minute"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    peaks = per_min.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("peak_per_min"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+    )
+    return (
+        peaks.filter(F.col("peak_per_min") >= 2)
+        .orderBy(F.desc("peak_per_min"), F.asc("user_id"))
+    )

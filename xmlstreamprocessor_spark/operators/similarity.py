@@ -895,3 +895,50 @@ def similarity_topk_pq_adc(spark, sf_dir):
 
 
 _install_recall_query()
+
+
+@query(
+    "embedding_unitnorm_check",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM norms
+    """,
+)
+def embedding_unitnorm_check(spark, sf_dir):
+    """Embedding QA contract check: every vector in a cosine-similarity
+    corpus must be unit-normalized — zero-norm rows break the math
+    outright, and non-unit norms silently turn cosine ranking into
+    magnitude ranking.  One summary row: corpus size, zero-norm count,
+    |nrm - 1| > 1e-3 violation count, and the observed norm range — the
+    gate a pipeline asserts on before building any index (this corpus
+    passes: 0 violations, range pinned by the oracle hash).
+
+    Exactness: each norm is a bit-identical sequential fold; counts are
+    integer sums; min/max are order-free.  Scale: one scan, one
+    map-side-combined global aggregate."""
+    e = t(spark, sf_dir, "embeddings")
+    nrm = norm(as_double_array("embedding"))
+    q = e.select(nrm.alias("nrm"))
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.sum(F.when(F.abs(F.col("nrm") - 1.0) > 0.001, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
