@@ -93,6 +93,9 @@ EXTRA = [
     "text_unigram_entropy",
     "analytic_burst_rate_outliers",
     "embedding_unitnorm_check",
+    "profile_documents_table",
+    "text_length_histogram",
+    "mix_epoch_plan",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

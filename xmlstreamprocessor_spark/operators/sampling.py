@@ -254,3 +254,44 @@ def shuffle_deterministic_order(spark, sf_dir):
         # barrier this operator exists to avoid
         .select("doc_id", "lang", "shard_id", "pos_in_shard")
     )
+
+
+def _install_epoch_plan_query() -> None:
+    """Composes mix_temperature_rates' oracle verbatim as a CTE."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rates_sql = REGISTRY["mix_temperature_rates"][1]
+    oracle = f"""
+    WITH rates AS ({rates_sql})
+    SELECT lang, n_tokens, sample_factor,
+           CAST(round(sample_factor * 1000) AS BIGINT) // 1000
+             AS full_epochs,
+           CAST(round(sample_factor * 1000) AS BIGINT) % 1000
+             AS tail_rate_per_mille
+    FROM rates
+    ORDER BY lang
+    """
+
+    @query("mix_epoch_plan", oracle=oracle)
+    def mix_epoch_plan(spark, sf_dir):
+        """Realize the temperature-sampling factors as an executable
+        schedule: factor 2.35 means 2 FULL passes over the language plus
+        a 35% deterministic hash-rate pass (bucket < 350 of 1000) — the
+        per-language epoch plan a dataloader actually runs.  Both fields
+        derive from one rounded integer (round(factor * 1000)), so the
+        decomposition cannot disagree between engines even when the
+        factor's binary representation sits just under a boundary.
+
+        Scale: a 5-row projection over the temperature-rates aggregate."""
+        rates = mix_temperature_rates(spark, sf_dir)
+        mille = F.round(F.col("sample_factor") * 1000, 0).cast("bigint")
+        return rates.select(
+            "lang",
+            "n_tokens",
+            "sample_factor",
+            F.floor(mille / 1000).cast("bigint").alias("full_epochs"),
+            (mille % 1000).alias("tail_rate_per_mille"),
+        ).orderBy("lang")
+
+
+_install_epoch_plan_query()

@@ -1193,3 +1193,85 @@ def text_unigram_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "profile_documents_table",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT doc_id) AS doc_id_distinct,
+           count(*) - count(text) AS text_nulls,
+           count(DISTINCT lang) AS lang_distinct,
+           count(DISTINCT source) AS source_distinct,
+           CAST(min(n_chars) AS BIGINT) AS chars_min,
+           CAST(max(n_chars) AS BIGINT) AS chars_max,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS tokens_total
+    FROM documents
+    """,
+)
+def profile_documents_table(spark, sf_dir):
+    """Corpus datacard header: the single-pass profile a pipeline records
+    for every new drop of documents — row/identity/null counts, language
+    and source cardinalities, character and (BPE-proxy) token totals.
+    Scale: one scan, one partial+final aggregate; the exact distincts are
+    low-cardinality columns (swap approx_count_distinct for doc_id at
+    planetary cardinalities)."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("doc_id_distinct"),
+        (F.count(F.lit(1)) - F.count("text")).alias("text_nulls"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").cast("bigint").alias("chars_min"),
+        F.max("n_chars").cast("bigint").alias("chars_max"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")))
+        .cast("bigint")
+        .alias("tokens_total"),
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(ln(greatest(n_chars, 1)) / ln(2)) AS BIGINT)
+               AS log2_bucket
+      FROM documents
+    )
+    SELECT log2_bucket,
+           CAST(power(2, log2_bucket) AS BIGINT) AS bucket_min_chars,
+           count(*) AS n_docs
+    FROM b GROUP BY log2_bucket
+    ORDER BY log2_bucket
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Document length distribution in power-of-two buckets — the corpus
+    report that catches truncation cliffs and length outliers at a
+    glance.  log2 bucketing via ln(x)/ln(2): identical IEEE double ops on
+    both engines, floored to an integer bucket far from any boundary tie
+    for realistic char counts.  Scale: scan-stage projection into a
+    ~32-key aggregate."""
+    d = t(spark, sf_dir, "documents")
+    b = F.floor(
+        F.log(F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+        / F.log(F.lit(2.0))
+    ).cast("bigint")
+    return (
+        d.select(b.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "log2_bucket",
+            F.pow(F.lit(2.0), F.col("log2_bucket"))
+            .cast("bigint")
+            .alias("bucket_min_chars"),
+            "n_docs",
+        )
+        .orderBy("log2_bucket")
+    )
