@@ -96,6 +96,7 @@ EXTRA = [
     "profile_documents_table",
     "text_length_histogram",
     "mix_epoch_plan",
+    "dedup_source_overlap_matrix",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

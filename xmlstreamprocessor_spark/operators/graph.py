@@ -465,3 +465,59 @@ def _install_dup_histogram_query() -> None:
 
 
 _install_dup_histogram_query()
+
+
+def _install_source_overlap_query() -> None:
+    """Composes the verified >=0.5-Jaccard pair SQL as a CTE."""
+    from xmlstreamprocessor_spark.operators.dedup import _DUCK_JACCARD_PAIRS
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY  # noqa: F401
+
+    oracle = f"""
+    WITH pairs AS ({_DUCK_JACCARD_PAIRS.format(thr=0.5)})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """
+
+    @query("dedup_source_overlap_matrix", oracle=oracle)
+    def dedup_source_overlap_matrix(spark, sf_dir):
+        """Which sources duplicate EACH OTHER: the verified near-dup
+        pairs bucketed by their (unordered) source pair.  A heavy
+        off-diagonal cell means two crawls re-collect the same content
+        (fix upstream: dedup at fetch time); a heavy diagonal means a
+        source re-publishes itself (fix with per-source canonicalization).
+
+        Scale: the pair table is the audited cost-based Jaccard output;
+        two broadcast-able joins attach sources; the matrix is
+        |sources|^2 at most."""
+        from xmlstreamprocessor_spark.operators.dedup import (
+            dedup_ngram_jaccard_pairs,
+        )
+
+        pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+        src = t(spark, sf_dir, "documents").select("doc_id", "source")
+        a = src.select(
+            F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+        )
+        b = src.select(
+            F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+        )
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                F.least("sa", "sb").alias("source_a"),
+                F.greatest("sa", "sb").alias("source_b"),
+            )
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("source_a", "source_b")
+        )
+
+
+_install_source_overlap_query()
