@@ -97,6 +97,8 @@ EXTRA = [
     "text_length_histogram",
     "mix_epoch_plan",
     "dedup_source_overlap_matrix",
+    "similarity_pq_distortion",
+    "analytic_cohort_ltv_triangle",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

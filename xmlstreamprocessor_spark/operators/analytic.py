@@ -969,3 +969,55 @@ def analytic_burst_rate_outliers(spark, sf_dir):
         peaks.filter(F.col("peak_per_min") >= 2)
         .orderBy(F.desc("peak_per_min"), F.asc("user_id"))
     )
+
+
+@query(
+    "analytic_cohort_ltv_triangle",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(year(min(o_orderdate)) AS BIGINT) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ), spend AS (
+      SELECT f.cohort_year,
+             CAST(year(o.o_orderdate) AS BIGINT) - f.cohort_year AS order_age,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cohort_year, order_age,
+           count(*) AS n_orders,
+           round(CAST(sum(price) AS DOUBLE), 2) AS revenue
+    FROM spend
+    GROUP BY cohort_year, order_age
+    ORDER BY cohort_year, order_age
+    """,
+)
+def analytic_cohort_ltv_triangle(spark, sf_dir):
+    """Customer-lifetime-value triangle: revenue by acquisition-year
+    cohort x years-since-acquisition — the table LTV curves and payback
+    analyses read off.  The orders-based twin of the events-based weekly
+    retention cohorts.
+
+    Scale: one customer-key aggregate finds cohort years; the fact table
+    then joins that (broadcast-able, one row per customer) and
+    re-aggregates on the tiny (cohort, age) key — exact decimal revenue
+    throughout."""
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("bigint").alias("cohort_year")
+    )
+    spend = o.join(firsts, "o_custkey").select(
+        "cohort_year",
+        (F.year("o_orderdate").cast("bigint") - F.col("cohort_year")).alias(
+            "order_age"
+        ),
+        dec2("o_totalprice").alias("price"),
+    )
+    return (
+        spend.groupBy("cohort_year", "order_age")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money2(F.sum("price")).alias("revenue"),
+        )
+        .orderBy("cohort_year", "order_age")
+    )

@@ -942,3 +942,88 @@ def embedding_unitnorm_check(spark, sf_dir):
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+_PQ_ERR_SCALE = 1_000_000  # fixed-point micro-units for distortion sums
+
+
+@query(
+    "similarity_pq_distortion",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id - {_PQ_SEED_LO} AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings
+      WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_NC}
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+      SELECT v.vec_id, g.m, s.cid,
+             list_dot_product({_duck_pq_diff()}, {_duck_pq_diff()}) AS dist
+      FROM v
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN seeds s
+    ), best AS (
+      SELECT vec_id, m, min(dist) AS best_dist
+      FROM d GROUP BY vec_id, m
+    )
+    SELECT m AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(CAST(sum(CAST(floor(best_dist * {_PQ_ERR_SCALE})
+                                    AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / {_PQ_ERR_SCALE} / count(*), 6) AS mean_sq_err,
+           round(max(best_dist), 6) AS max_sq_err
+    FROM best GROUP BY m
+    ORDER BY subspace
+    """,
+)
+def similarity_pq_distortion(spark, sf_dir):
+    """PQ codebook quality report: per-subspace mean and max squared
+    reconstruction error (distance to the assigned centroid) — the
+    distortion number that tells you whether to grow the codebook or
+    refine it with k-means before trusting ADC rankings.
+
+    Exactness: per-(vector, subspace) best distances are bit-identical
+    sequential folds minimized exactly; the MEAN accumulates fixed-point
+    micro-units as an integer sum (order-independent), and max is
+    order-free.  Scale: same broadcast-codebook scan as the encoder,
+    plus two tiny aggregates."""
+    e = t(spark, sf_dir, "embeddings")
+    seeds = (
+        e.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_NC)
+        )
+        .select(
+            (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+            as_double_array("embedding").alias("c"),
+        )
+    )
+    subspaces = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    v = e.select("vec_id", as_double_array("embedding").alias("e"))
+    diff = lambda: F.zip_with(  # noqa: E731
+        F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+        F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+        lambda x, y: x - y,
+    )
+    d = (
+        v.crossJoin(F.broadcast(subspaces))
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", "m", dot(diff(), diff()).alias("dist"))
+    )
+    best = d.groupBy("vec_id", "m").agg(F.min("dist").alias("best_dist"))
+    return (
+        best.groupBy(F.col("m").cast("bigint").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.floor(F.col("best_dist") * _PQ_ERR_SCALE).cast("bigint"))
+                .cast("bigint")
+                .cast("double")
+                / _PQ_ERR_SCALE
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sq_err"),
+            F.round(F.max("best_dist"), 6).alias("max_sq_err"),
+        )
+        .orderBy("subspace")
+    )
