@@ -421,3 +421,31 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, oracle_sf_dir):
         assert r["abs_err"] <= 0.4
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err <= 0.15
+
+
+def test_threshold_sweep_cumulative_consistent(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["dedup_threshold_sweep"][0](spark, oracle_sf_dir).collect()
+    assert rows
+    pairs = REGISTRY["dedup_ngram_jaccard_pairs"][0](spark, oracle_sf_dir)
+    assert sum(r["n_pairs"] for r in rows) == pairs.count()
+    # cumulative column really is the suffix sum (descending bands)
+    by_band = sorted(rows, key=lambda r: -r["jaccard_band"])
+    run = 0
+    for r in by_band:
+        run += r["n_pairs"]
+        assert r["n_pairs_at_or_above"] == run
+
+
+def test_jsd_by_source_bounds(spark, oracle_sf_dir):
+    import math
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["text_jsd_by_source"][0](spark, oracle_sf_dir).collect()
+    assert rows
+    for r in rows:
+        # JSD lies in [0, ln 2]; quantization bias < vocab nano-nats
+        assert -1e-3 <= r["jsd_nats"] <= math.log(2) + 1e-3
+        assert 0 < r["vocab_shared"] <= r["n_words"]

@@ -99,6 +99,8 @@ EXTRA = [
     "dedup_source_overlap_matrix",
     "similarity_pq_distortion",
     "analytic_cohort_ltv_triangle",
+    "dedup_threshold_sweep",
+    "text_jsd_by_source",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1275,3 +1275,106 @@ def text_length_histogram(spark, sf_dir):
         )
         .orderBy("log2_bucket")
     )
+
+
+_JSD_SCALE = 1_000_000_000  # nano-nats: JSD <= ln 2, so sums fit bigint
+
+
+@query(
+    "text_jsd_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), sw AS (
+      SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w
+    ), cw AS (
+      SELECT w, count(*) AS c_w FROM tok GROUP BY w
+    ), ns AS (
+      SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source
+    ), n AS (
+      SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw
+    ), grid AS (
+      SELECT ns.source, ns.n_s, cw.w, cw.c_w, n.n,
+             COALESCE(sw.c_sw, 0) AS c_sw
+      FROM ns CROSS JOIN cw CROSS JOIN n
+      LEFT JOIN sw ON sw.source = ns.source AND sw.w = cw.w
+    ), terms AS (
+      SELECT source, n_s,
+             CAST(floor({_JSD_SCALE} * (
+               (CASE WHEN c_sw = 0 THEN 0.0
+                     ELSE 0.5 * (CAST(c_sw AS DOUBLE) / n_s)
+                          * ln((CAST(c_sw AS DOUBLE) / n_s)
+                               / ((CAST(c_sw AS DOUBLE) / n_s
+                                   + CAST(c_w AS DOUBLE) / n) / 2)) END)
+               + 0.5 * (CAST(c_w AS DOUBLE) / n)
+                 * ln((CAST(c_w AS DOUBLE) / n)
+                      / ((CAST(c_sw AS DOUBLE) / n_s
+                          + CAST(c_w AS DOUBLE) / n) / 2))
+             )) AS BIGINT) AS t_int,
+             CASE WHEN c_sw > 0 THEN 1 ELSE 0 END AS shared
+      FROM grid
+    )
+    SELECT source,
+           CAST(any_value(n_s) AS BIGINT) AS n_words,
+           CAST(sum(shared) AS BIGINT) AS vocab_shared,
+           round(CAST(CAST(sum(t_int) AS BIGINT) AS DOUBLE)
+                 / {_JSD_SCALE}, 6) AS jsd_nats
+    FROM terms GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_jsd_by_source(spark, sf_dir):
+    """Distribution-shift monitor: Jensen-Shannon divergence (nats)
+    between each source's unigram distribution and the whole corpus —
+    the number a mixing pipeline tracks so one drifting crawl doesn't
+    silently reshape the training distribution (0 = identical,
+    ln 2 ~ 0.693 = disjoint).
+
+    Exactness: every count is an exact BIGINT; each (source, word)
+    contribution runs an IDENTICALLY-SPELLED double op chain on both
+    engines and quantizes to nano-nats; per-source accumulation is an
+    order-independent integer sum.  Scale: the grid is vocabulary x
+    sources (vocab-bounded, never corpus-bounded); everything else is
+    map-side-combined aggregation."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").cast("bigint").alias("n_s"))
+    n = cw.agg(F.sum("c_w").cast("bigint").alias("n"))
+    grid = (
+        ns.crossJoin(F.broadcast(cw))
+        .crossJoin(F.broadcast(n))
+        .join(sw, ["source", "w"], "left")
+        .withColumn("c_sw", F.coalesce(F.col("c_sw"), F.lit(0)))
+    )
+    p = F.col("c_sw").cast("double") / F.col("n_s")
+    q = F.col("c_w").cast("double") / F.col("n")
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("c_sw") == 0, F.lit(0.0)).otherwise(
+            F.lit(0.5) * p * F.log(p / m)
+        )
+        + F.lit(0.5) * q * F.log(q / m)
+    )
+    terms = grid.select(
+        "source",
+        "n_s",
+        F.floor(_JSD_SCALE * term).cast("bigint").alias("t_int"),
+        F.when(F.col("c_sw") > 0, 1).otherwise(0).alias("shared"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_words"),
+            F.sum("shared").cast("bigint").alias("vocab_shared"),
+            F.round(
+                F.sum("t_int").cast("bigint").cast("double") / _JSD_SCALE, 6
+            ).alias("jsd_nats"),
+        )
+        .orderBy("source")
+    )
