@@ -101,6 +101,8 @@ EXTRA = [
     "analytic_cohort_ltv_triangle",
     "dedup_threshold_sweep",
     "text_jsd_by_source",
+    "similarity_knn_mutual_degree",
+    "text_zipf_slope",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1027,3 +1027,104 @@ def similarity_pq_distortion(spark, sf_dir):
         )
         .orderBy("subspace")
     )
+
+
+_KNN_COHORT = 100  # mutual-kNN graph over vec_id < 100
+
+
+@query(
+    "similarity_knn_mutual_degree",
+    oracle=f"""
+    WITH cohort AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < {_KNN_COHORT}
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+      FROM cohort a JOIN cohort b
+        ON b.label = a.label AND b.vec_id <> a.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ), topk AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {_TOP_K}
+    ), mutual AS (
+      SELECT a.query_id AS u, a.neighbor_id AS v
+      FROM topk a JOIN topk b
+        ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+      WHERE a.query_id < a.neighbor_id
+    ), deg AS (
+      SELECT u AS node, count(*) AS degree FROM (
+        SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
+      ) GROUP BY u
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    ORDER BY degree
+    """,
+)
+def similarity_knn_mutual_degree(spark, sf_dir):
+    """Mutual-kNN graph degree distribution over a 100-vector cohort: an
+    edge exists when BOTH vectors rank each other in their top-10 within
+    their coarse cell — the graph semantic-clustering and graph-dedup
+    pipelines build first, with the degree histogram as its sanity
+    report (mutuality prunes asymmetric hub edges).
+
+    Scale: candidate generation is the IVF shape — an equi-join on the
+    cell key, never all-pairs across cells; the mutuality join runs on
+    the (cohort x k)-row top-k table.  Growing the cohort to the corpus
+    keeps both properties."""
+    e = t(spark, sf_dir, "embeddings")
+    cohort = e.filter(F.col("vec_id") < _KNN_COHORT).select(
+        "vec_id", "label", as_double_array("embedding").alias("e")
+    )
+    a = cohort.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("la"),
+        F.col("e").alias("ea"),
+    )
+    b = cohort.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("lb"),
+        F.col("e").alias("eb"),
+    )
+    scored = (
+        a.join(F.broadcast(b), (F.col("la") == F.col("lb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine6(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    rev = topk.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    mutual = (
+        topk.join(F.broadcast(rev), ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(F.col("query_id").alias("u"), F.col("neighbor_id").alias("v"))
+    )
+    deg = (
+        mutual.select(F.col("u").alias("node"))
+        .union(mutual.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )

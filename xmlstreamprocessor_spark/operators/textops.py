@@ -1378,3 +1378,102 @@ def text_jsd_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_ZIPF_TOP = 100
+_ZIPF_SCALE = 1_000_000  # micro-nats: keeps all regression moments in BIGINT
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, w) AS rnk, c
+      FROM tf
+    ), pts AS (
+      SELECT CAST(floor({_ZIPF_SCALE} * ln(rnk)) AS BIGINT) AS x,
+             CAST(floor({_ZIPF_SCALE} * ln(c)) AS BIGINT) AS y
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * syy - sy * sy AS DOUBLE), 6) AS r_squared
+    FROM mom
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the top-{top} word frequencies: the log-log
+    rank-frequency slope (natural text sits near -1; a flat slope flags
+    templated/synthetic content, a cliff flags truncated vocabularies)
+    and the fit's r-squared.
+
+    Exactness: both regression coordinates quantize to micro-nat
+    integers, so every moment (sums, squares, cross-products) is an
+    exact BIGINT on both engines — the entire least-squares fit reduces
+    to ONE integer-arithmetic row and two final IEEE divisions.  Scale:
+    vocabulary aggregate + a 100-row top-k; the moments are one tiny
+    aggregate."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    ranked = tf.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .alias("rnk"),
+        "c",
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.floor(_ZIPF_SCALE * F.log(F.col("rnk").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(_ZIPF_SCALE * F.log(F.col("c").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        F.col("n").alias("n_terms"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
+        F.round(
+            num.cast("double")
+            * num.cast("double")
+            / den.cast("double")
+            / deny.cast("double"),
+            6,
+        ).alias("r_squared"),
+    )
