@@ -103,6 +103,8 @@ EXTRA = [
     "text_jsd_by_source",
     "similarity_knn_mutual_degree",
     "text_zipf_slope",
+    "analytic_interpurchase_gaps",
+    "dedup_group_lang_purity",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

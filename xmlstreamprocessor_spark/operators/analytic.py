@@ -1021,3 +1021,60 @@ def analytic_cohort_ltv_triangle(spark, sf_dir):
         )
         .orderBy("cohort_year", "order_age")
     )
+
+
+@query(
+    "analytic_interpurchase_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ), gaps AS (
+      SELECT CAST(gap_days AS BIGINT) AS gap_days
+      FROM seq WHERE gap_days IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_days), 6)
+             AS p50_days,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_days), 6)
+             AS p90_days,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM gaps
+    """,
+)
+def analytic_interpurchase_gaps(spark, sf_dir):
+    """Inter-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders (exact interpolated p50/p90 + range) —
+    the re-order clock behind churn models and replenishment campaigns.
+    (o_orderdate, o_orderkey) ordering pins same-day orders
+    deterministically; DuckDB date subtraction yields integer days and
+    Spark datediff matches it exactly.
+
+    Scale: one customer-key window pass over the fact table (partitions
+    are per-customer order counts), then a percentile over the gap
+    deltas."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days")
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .select(F.col("gap_days").cast("bigint").alias("gap_days"))
+    )
+    ps = F.expr("percentile(gap_days, array(0.5D, 0.9D))")
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.element_at(ps, 1), 6).alias("p50_days"),
+        F.round(F.element_at(ps, 2), 6).alias("p90_days"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )

@@ -521,3 +521,60 @@ def _install_source_overlap_query() -> None:
 
 
 _install_source_overlap_query()
+
+
+def _install_group_purity_query() -> None:
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY  # noqa: F401
+
+    oracle = f"""
+    WITH comp AS ({_DUCK_CC_DUP_GROUPS}),
+    labeled AS (
+      SELECT c.component, d.lang
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ), per_group AS (
+      SELECT component,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM labeled GROUP BY component
+    )
+    SELECT n_langs,
+           count(*) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs
+    FROM per_group
+    WHERE group_size > 1
+    GROUP BY n_langs
+    ORDER BY n_langs
+    """
+
+    @query("dedup_group_lang_purity", oracle=oracle)
+    def dedup_group_lang_purity(spark, sf_dir):
+        """Language purity of near-dup groups: multi-doc components
+        bucketed by how many distinct languages they span.  Monolingual
+        groups are ordinary re-posts; CROSS-language groups are either
+        translations (keep both!) or language-ID noise — each n_langs > 1
+        bucket is a review queue before the drop list ships.
+
+        Scale: the audited CC path plus one broadcast-able lang join and
+        two tiny aggregates."""
+        comp = graph_components_dup_groups(spark, sf_dir)
+        langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+        per_group = (
+            comp.join(langs, "doc_id")
+            .groupBy("component")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("group_size"),
+                F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            )
+            .filter(F.col("group_size") > 1)
+        )
+        return (
+            per_group.groupBy("n_langs")
+            .agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("group_size").cast("bigint").alias("n_docs"),
+            )
+            .orderBy("n_langs")
+        )
+
+
+_install_group_purity_query()
