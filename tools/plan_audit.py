@@ -105,6 +105,8 @@ EXTRA = [
     "text_zipf_slope",
     "analytic_interpurchase_gaps",
     "dedup_group_lang_purity",
+    "similarity_ivf_cell_balance",
+    "pack_efficiency_report",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

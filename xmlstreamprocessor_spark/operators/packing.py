@@ -521,3 +521,45 @@ def pipeline_chunk_pack(spark, sf_dir):
         )
         .orderBy("bin_id")
     )
+
+
+def _install_pack_efficiency_query() -> None:
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    plan_sql = REGISTRY["pack_sequences_plan"][1]
+    oracle = f"""
+    WITH bins AS ({plan_sql})
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) * {_CAP} AS BIGINT) AS capacity_tokens,
+           round(CAST(sum(total_tokens) AS DOUBLE) / (count(*) * {_CAP}), 6)
+             AS fill_ratio,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+    FROM bins
+    """
+
+    @query("pack_efficiency_report", oracle=oracle)
+    def pack_efficiency_report(spark, sf_dir):
+        """THE packing metric: fill ratio of the concat-and-split plan —
+        the fraction of trainer window capacity holding real tokens
+        (1 - fill_ratio is pure padding waste, i.e. wasted FLOPs at
+        training time).  Concat-and-split fills every bin except the last
+        by construction, so a low ratio here means the corpus simply ran
+        out mid-window; the greedy document-boundary packer trades some
+        fill for intact documents.  Scale: a 1-row reduce over the
+        prefix-sum plan."""
+        bins = pack_sequences_plan(spark, sf_dir)
+        return bins.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+            (F.count(F.lit(1)) * _CAP).cast("bigint").alias("capacity_tokens"),
+            F.round(
+                F.sum("total_tokens").cast("double")
+                / (F.count(F.lit(1)) * _CAP),
+                6,
+            ).alias("fill_ratio"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+
+
+_install_pack_efficiency_query()

@@ -1128,3 +1128,50 @@ def similarity_knn_mutual_degree(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+def _install_cell_balance_query() -> None:
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    assign_sql = REGISTRY["similarity_ivf_assign_cells"][1]
+    oracle = f"""
+    WITH assigned AS ({assign_sql}),
+    cells AS (
+      SELECT cell, count(*) AS n FROM assigned GROUP BY cell
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(n) AS BIGINT) AS min_cell,
+           CAST(max(n) AS BIGINT) AS max_cell,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_cell,
+           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6)
+             AS imbalance_factor
+    FROM cells
+    """
+
+    @query("similarity_ivf_cell_balance", oracle=oracle)
+    def similarity_ivf_cell_balance(spark, sf_dir):
+        """IVF index health: cell-size distribution and the imbalance
+        factor (max cell / mean cell).  A factor near 1 means probes cost
+        uniformly; a hot cell means its centroid under-fits and every
+        probe touching it pays — the signal to re-train centroids or
+        split the cell.  Scale: composes the broadcast nearest-centroid
+        assignment, then one |cells|-sized aggregate."""
+        assigned = similarity_ivf_assign_cells(spark, sf_dir)
+        cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        return cells.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.min("n").cast("bigint").alias("min_cell"),
+            F.max("n").cast("bigint").alias("max_cell"),
+            F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_cell"
+            ),
+            F.round(
+                F.max("n").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("n"),
+                6,
+            ).alias("imbalance_factor"),
+        )
+
+
+_install_cell_balance_query()
