@@ -107,6 +107,7 @@ EXTRA = [
     "dedup_group_lang_purity",
     "similarity_ivf_cell_balance",
     "pack_efficiency_report",
+    "dedup_winnowing_pairs",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
