@@ -449,3 +449,20 @@ def test_jsd_by_source_bounds(spark, oracle_sf_dir):
         # JSD lies in [0, ln 2]; quantization bias < vocab nano-nats
         assert -1e-3 <= r["jsd_nats"] <= math.log(2) + 1e-3
         assert 0 < r["vocab_shared"] <= r["n_words"]
+
+
+def test_winnowing_pairs_subset_of_exact(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    win = REGISTRY["dedup_winnowing_pairs"][0](spark, oracle_sf_dir).collect()
+    exact = REGISTRY["dedup_ngram_jaccard_pairs"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    w = {(r["doc_a"], r["doc_b"]) for r in win}
+    e = {(r["doc_a"], r["doc_b"]) for r in exact}
+    assert w and w <= e  # verified candidates are true pairs
+    # winnowing is the cheap LOW-recall pass; it must find a nontrivial
+    # fraction but is expected to miss pairs the band families catch
+    assert len(w) >= 0.05 * len(e)
+    for r in win:
+        assert r["jaccard"] >= 0.5

@@ -154,3 +154,17 @@ def test_chunk_pack_conserves_words_and_caps_bins(spark, oracle_sf_dir):
     assert ids == list(range(len(ids)))
     for r in bins[:-1]:
         assert r["total_words"] >= _CAP - 64  # bins are filled, not sparse
+
+
+def test_pack_efficiency_consistent_with_plan(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.packing import _CAP
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rep = REGISTRY["pack_efficiency_report"][0](spark, oracle_sf_dir).collect()[0]
+    bins = REGISTRY["pack_sequences_plan"][0](spark, oracle_sf_dir).collect()
+    assert rep["n_bins"] == len(bins)
+    assert rep["total_tokens"] == sum(r["total_tokens"] for r in bins)
+    assert rep["capacity_tokens"] == len(bins) * _CAP
+    # concat-and-split: every bin except possibly the last is full, so
+    # fill approaches 1 with many bins
+    assert 0.8 < rep["fill_ratio"] <= 1.0 + 1e-9

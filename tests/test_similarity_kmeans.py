@@ -99,3 +99,17 @@ def test_pq_adc_approximates_exact_neighbors(spark, oracle_sf_dir):
     # per-query output is a full top-10 with ranks 1..10
     for q, rows in by_q_adc.items():
         assert len(rows) == 10
+
+
+def test_ivf_cell_balance_consistent(spark, oracle_sf_dir):
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    rep = REGISTRY["similarity_ivf_cell_balance"][0](
+        spark, oracle_sf_dir
+    ).collect()[0]
+    assigned = REGISTRY["similarity_ivf_assign_cells"][0](spark, oracle_sf_dir)
+    sizes = [r["count"] for r in assigned.groupBy("cell").count().collect()]
+    assert rep["n_cells"] == len(sizes)
+    assert rep["min_cell"] == min(sizes)
+    assert rep["max_cell"] == max(sizes)
+    assert rep["imbalance_factor"] >= 1.0
