@@ -46,7 +46,14 @@ def main() -> None:
         "order-of-magnitude only: ambient VM load swings single runs "
         "±50% (observed totals 134–197 s for identical code), hitting "
         "the iterative/multi-job chains hardest; BASELINE.md's "
-        "median-of-3 protocol is the regression reference.",
+        "median-of-3 protocol is the regression reference.  The TOTAL "
+        "also grows super-linearly with registry size by design: every "
+        "queries() entry is self-contained per the driver contract, so "
+        "each dedup/graph REPORT query (drop list, keeper, histogram, "
+        "purity, overlap, sweep) independently recomputes the shared "
+        "Jaccard-edge + connected-components chain it aggregates "
+        "(~4-5 s each at sf0.1); a production pipeline computes that "
+        "chain once and derives every report from it.",
         "",
         "| query | sec | rows | error |",
         "|---|---|---|---|",
