@@ -113,6 +113,19 @@ _PRIORITY = [
     # decontaminate
 ]
 
+# QUEUED FOR THE ROUND-5 WINDOW — the 27 queries added after the round-4
+# window froze, all strict-gate green locally but never driver-checked:
+# analytic_{time_to_convert, burst_rate_outliers, cohort_ltv_triangle,
+# interpurchase_gaps, event_path_top3, user_survival_weeks},
+# temporal_seasonality_dow_hour, window_sliding_24h_distinct_users,
+# embedding_unitnorm_check, similarity_{pq_distortion, knn_mutual_degree,
+# ivf_cell_balance, triplet_hardest}, dedup_{threshold_sweep,
+# winnowing_pairs, group_size_histogram, source_overlap_matrix,
+# group_lang_purity}, mix_epoch_plan, text_{unigram_entropy,
+# length_histogram, jsd_by_source, zipf_slope}, profile_documents_table,
+# tokenizer_vocab_coverage, agg_mode_status_by_priority,
+# pack_efficiency_report.
+
 
 def _ordered() -> list[str]:
     missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,129 @@
+"""Invariant tests for the round-4 late additions: sliding-24h distinct
+users, event-path mining, survival curve, group mode, vocab coverage, and
+hard-triplet mining — properties beyond the oracle value match."""
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF)
+
+
+def test_sliding_24h_distinct_dominates_hourly(spark):
+    """Trailing-24h distinct >= that hour's own distinct count, and is
+    monotone-bounded by the global distinct user count."""
+    out = _run(spark, "window_sliding_24h_distinct_users").collect()
+    assert len(out) > 0
+    e = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    hourly = {
+        r["h"]: r["n"]
+        for r in e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    global_users = e.select("user_id").distinct().count()
+    for r in out:
+        h = r["hour_epoch_s"] // 3600
+        assert r["distinct_users_24h"] >= hourly[h]
+        assert r["distinct_users_24h"] <= global_users
+    # every active hour is reported, no empty-hour rows
+    assert {r["hour_epoch_s"] // 3600 for r in out} == set(hourly)
+
+
+def test_event_paths_are_ranked_and_counted(spark):
+    rows = _run(spark, "analytic_event_path_top3").collect()
+    assert 0 < len(rows) <= 10
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n_paths"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r["path"].split(">")) == 3 for r in rows)
+    # total trigram count == sum over users of max(0, n_events - 2)
+    e = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = e.groupBy("user_id").count().collect()
+    total_trigrams = sum(max(0, r["count"] - 2) for r in per_user)
+    fn, _ = REGISTRY["analytic_event_path_top3"]
+    # top-10 can only undercount the total
+    assert sum(ns) <= total_trigrams
+
+
+def test_survival_curve_is_monotone_and_complete(spark):
+    rows = _run(spark, "analytic_user_survival_weeks").collect()
+    assert len(rows) >= 1
+    weeks = [r["weeks"] for r in rows]
+    assert weeks == sorted(weeks)
+    surv = [r["n_survivors"] for r in rows]
+    assert surv == sorted(surv, reverse=True)  # survival never increases
+    total_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # the shortest observed lifespan row carries the full base
+    assert rows[0]["n_survivors"] == total_users
+    assert abs(rows[0]["survival_rate"] - 1.0) < 1e-9
+    # n_survivors is the suffix sum of n_users
+    for i, r in enumerate(rows):
+        assert r["n_survivors"] == sum(x["n_users"] for x in rows[i:])
+
+
+def test_mode_is_the_argmax_of_counts(spark):
+    rows = _run(spark, "agg_mode_status_by_priority").collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    counts = (
+        o.groupBy("o_orderpriority", "o_orderstatus").count().collect()
+    )
+    by_prio = {}
+    for r in counts:
+        by_prio.setdefault(r["o_orderpriority"], []).append(
+            (r["o_orderstatus"], r["count"])
+        )
+    assert {r["o_orderpriority"] for r in rows} == set(by_prio)
+    for r in rows:
+        best = max(by_prio[r["o_orderpriority"]], key=lambda t: (t[1], ))
+        # the reported mode's count equals the max count (tie-break aside)
+        assert r["n_orders"] == best[1]
+
+
+def test_vocab_coverage_rates_are_consistent(spark):
+    rows = _run(spark, "tokenizer_vocab_coverage").collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 <= r["oov_tokens"] <= r["total_tokens"]
+        assert abs(r["oov_rate"] - round(r["oov_tokens"] / r["total_tokens"], 6)) < 1e-9
+    # corpus-wide OOV mass is what the top-1000 vocab leaves uncovered
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    n_total = tok.count()
+    assert sum(r["total_tokens"] for r in rows) == n_total
+
+
+def test_triplets_mine_hardest_pos_and_neg(spark):
+    rows = _run(spark, "similarity_triplet_hardest").collect()
+    assert len(rows) > 0
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    for r in rows:
+        # positive shares the anchor's label, negative does not
+        assert labels[r["pos_id"]] == labels[r["anchor_id"]]
+        assert labels[r["neg_id"]] != labels[r["anchor_id"]]
+        assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 6)) < 1e-9
+        assert r["pos_id"] != r["anchor_id"]
+        assert r["neg_id"] != r["anchor_id"]

@@ -108,6 +108,13 @@ EXTRA = [
     "similarity_ivf_cell_balance",
     "pack_efficiency_report",
     "dedup_winnowing_pairs",
+    # round-4 late batch
+    "window_sliding_24h_distinct_users",
+    "analytic_event_path_top3",
+    "analytic_user_survival_weeks",
+    "agg_mode_status_by_priority",
+    "tokenizer_vocab_coverage",
+    "similarity_triplet_hardest",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1078,3 +1078,121 @@ def analytic_interpurchase_gaps(spark, sf_dir):
         F.min("gap_days").cast("bigint").alias("min_days"),
         F.max("gap_days").cast("bigint").alias("max_days"),
     )
+
+
+@query(
+    "analytic_event_path_top3",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type)    OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(count(*) AS BIGINT) AS n_paths
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n_paths, rnk FROM (
+      SELECT path, n_paths,
+             CAST(row_number() OVER (ORDER BY n_paths DESC, path) AS BIGINT)
+               AS rnk
+      FROM paths
+    ) WHERE rnk <= 10
+    """,
+)
+def analytic_event_path_top3(spark, sf_dir):
+    """Top-10 most common 3-event paths (behavioral trigrams) across user
+    sessions — the path-mining report behind funnel discovery.  Sequences
+    order by (ts, event_id) so simultaneous events rank deterministically.
+
+    Scale: one shuffle on user_id for the lead window (per-user state is
+    two lookahead rows), then a map-side-combined count on the trigram
+    string and a global top-10 — the final rank runs on the tiny
+    aggregated path table, never on raw events."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    rw = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        paths.withColumn("rnk", big(F.row_number().over(rw)))
+        .filter(F.col("rnk") <= 10)
+        .select("path", "n_paths", "rnk")
+    )
+
+
+@query(
+    "analytic_user_survival_weeks",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(floor((floor(epoch(max(ts))) - floor(epoch(min(ts))))
+                        / 604800) + 1 AS BIGINT) AS weeks
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), dist AS (
+      SELECT weeks, CAST(count(*) AS BIGINT) AS n_users
+      FROM spans GROUP BY weeks
+    )
+    SELECT weeks, n_users,
+           CAST(sum(n_users) OVER (ORDER BY weeks DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_survivors,
+           round(CAST(sum(n_users) OVER (ORDER BY weeks DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(sum(n_users) OVER () AS DOUBLE), 6) AS survival_rate
+    FROM dist ORDER BY weeks
+    """,
+)
+def analytic_user_survival_weeks(spark, sf_dir):
+    """Discrete survival curve: for each observed lifespan k (weeks between
+    a user's first and last event, inclusive), how many users survived AT
+    LEAST k weeks and what fraction of the base that is — the
+    Kaplan-Meier-style retention view (no censoring: the synthetic corpus
+    has a closed observation window).
+
+    Scale: per-user span is one map-side-combined min/max aggregate over
+    raw events; everything after runs on the tiny lifespan-distribution
+    table (one row per distinct lifespan), where the unpartitioned windows
+    are benign by construction — the same justification as the shard-total
+    prefix sum in packing.py."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    spans = e.groupBy("user_id").agg(
+        (
+            F.floor(
+                (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+                / 604800
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("weeks")
+    )
+    dist = spans.groupBy("weeks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    cum = (
+        Window.orderBy(F.desc("weeks"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dist.select(
+        "weeks",
+        "n_users",
+        F.sum("n_users").over(cum).cast("bigint").alias("n_survivors"),
+        F.round(
+            F.sum("n_users").over(cum).cast("double")
+            / F.sum("n_users").over(total).cast("double"),
+            6,
+        ).alias("survival_rate"),
+    ).orderBy("weeks")

@@ -2218,3 +2218,43 @@ def scalar_map_functions(spark, sf_dir):
         F.size(m).cast("int").alias("n_keys"),
         F.array_join(F.map_keys(m), ",").alias("key_list"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "agg_mode_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n_orders FROM (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY count(*) DESC, o_orderstatus) AS rk
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rk = 1 ORDER BY o_orderpriority
+    """,
+)
+def agg_mode_status_by_priority(spark, sf_dir):
+    """Statistical MODE per group (most frequent order status for each
+    priority), with a deterministic status tiebreak.  Spark's ``mode()``
+    aggregate leaves ties implementation-ordered, so the portable form is
+    count + rank — which is also the scalable form: the heavy shuffle is a
+    map-side-combined count on (priority, status); the rank window then
+    runs on the tiny counts table, one row per key pair."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n_orders"), F.asc("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )

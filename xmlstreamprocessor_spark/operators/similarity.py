@@ -1175,3 +1175,104 @@ def _install_cell_balance_query() -> None:
 
 
 _install_cell_balance_query()
+
+
+_N_ANCHORS = 50
+
+
+@query(
+    "similarity_triplet_hardest",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+             (a.label = c.label) AS same_label,
+             {duck_cosine6('a.embedding', 'c.embedding')} AS cos_sim
+      FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
+      WHERE a.vec_id < {_N_ANCHORS}
+    ), pos AS (
+      SELECT anchor_id, cand_id AS pos_id, cos_sim AS pos_sim FROM (
+        SELECT anchor_id, cand_id, cos_sim,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos_sim ASC, cand_id) AS rk
+        FROM scored WHERE same_label
+      ) WHERE rk = 1
+    ), neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cos_sim AS neg_sim FROM (
+        SELECT anchor_id, cand_id, cos_sim,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rk
+        FROM scored WHERE NOT same_label
+      ) WHERE rk = 1
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           round(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    ORDER BY p.anchor_id
+    """,
+)
+def similarity_triplet_hardest(spark, sf_dir):
+    """Hard-triplet mining for contrastive / metric-learning training data:
+    for each anchor, the HARDEST positive (least-similar same-label vector)
+    and HARDEST negative (most-similar different-label vector), plus the
+    triplet margin — the batch-mining step behind triplet-loss pipelines.
+
+    Scale: anchors are broadcast (small by contract — mining runs over a
+    batch of anchors, not all-pairs over the corpus); the corpus is scanned
+    once, never shuffled — only the per-anchor candidate ranks shuffle on
+    anchor_id.  For corpus-scale mining, restrict candidates to the
+    anchor's IVF cell first (similarity_topk_ivf's equi-join shape) and
+    mine within the cell — semi-hard mining inside a quantizer cell is the
+    standard large-scale practice."""
+    e = t(spark, sf_dir, "embeddings")
+    a = F.broadcast(
+        e.filter(F.col("vec_id") < _N_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            as_double_array("embedding").alias("ae"),
+            F.col("label").alias("alabel"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        as_double_array("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    scored = a.join(c, F.col("anchor_id") != F.col("cand_id")).select(
+        "anchor_id",
+        "cand_id",
+        (F.col("alabel") == F.col("clabel")).alias("same_label"),
+        cosine6(F.col("ae"), F.col("ce")).alias("cos_sim"),
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.asc("cos_sim"), F.asc("cand_id"))
+    wn = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    pos = (
+        scored.filter(F.col("same_label"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(~F.col("same_label"))
+        .withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -678,3 +678,54 @@ def temporal_seasonality_dow_hour(spark, sf_dir):
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "window_sliding_24h_distinct_users",
+    oracle="""
+    WITH hu AS (
+      SELECT DISTINCT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+                      user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), hours AS (SELECT DISTINCT h FROM hu)
+    SELECT hours.h * 3600 AS hour_epoch_s,
+           CAST(count(DISTINCT hu.user_id) AS BIGINT) AS distinct_users_24h
+    FROM hours JOIN hu ON hu.h BETWEEN hours.h - 23 AND hours.h
+    GROUP BY hours.h
+    ORDER BY hour_epoch_s
+    """,
+)
+def window_sliding_24h_distinct_users(spark, sf_dir):
+    """Trailing-24h distinct active users per hour — the classic sliding
+    COUNT(DISTINCT) that resists both plain windows (no DISTINCT over a
+    RANGE frame) and range joins (Spark executes a BETWEEN join as a
+    broadcast nested loop).
+
+    Spark-first shape: (1) pre-dedup raw events to (hour, user) pairs —
+    at 100 TB this is the big shrink, |users| x |active hours| rows
+    instead of |events|; (2) fan each pair out to the 24 target hours it
+    contributes to with a constant-width ``sequence``+``explode`` (bounded
+    24x blow-up of the ALREADY-deduped set); (3) dedup (target, user) and
+    count per target — all equi-key shuffles with map-side combine, no
+    non-equi join anywhere; (4) semi-join to hours that actually have
+    events so the report has no empty-hour rows."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hu = e.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        "user_id",
+    ).distinct()
+    contrib = hu.select(
+        F.explode(F.sequence(F.col("h"), F.col("h") + 23)).alias("th"),
+        "user_id",
+    ).distinct()
+    hours = hu.select(F.col("h").alias("th")).distinct()
+    return (
+        contrib.join(hours, "th", "left_semi")
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users_24h"))
+        .select(
+            (F.col("th") * 3600).cast("bigint").alias("hour_epoch_s"),
+            "distinct_users_24h",
+        )
+        .orderBy("hour_epoch_s")
+    )

@@ -1477,3 +1477,73 @@ def text_zipf_slope(spark, sf_dir):
             6,
         ).alias("r_squared"),
     )
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tok2 AS (SELECT source, term FROM tok WHERE term <> ''),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS n
+        FROM tok2 GROUP BY term
+        ORDER BY n DESC, term
+        LIMIT 1000
+      )
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS oov_tokens,
+           round(CAST(count(*) FILTER (WHERE v.term IS NULL) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok2 t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def tokenizer_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage audit: build a top-1000 corpus vocabulary (by
+    raw frequency, alphabetical tiebreak) and report each source's
+    out-of-vocabulary token rate — the "will my tokenizer fragment this
+    slice of the corpus" question asked before committing a vocab size.
+
+    Scale: the vocab is a top-k over a map-side-combined term count
+    (frequency ranking never sees raw tokens twice); coverage is then a
+    broadcast LEFT join of the 1000-term vocab against the token stream —
+    no shuffle of the corpus side, the aggregate combines per-partition.
+    Both tokenizations drop the empty token that splitting all-whitespace
+    text produces, so degenerate docs can't skew the denominator."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(1000)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
