@@ -127,3 +127,58 @@ def test_triplets_mine_hardest_pos_and_neg(spark):
         assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 6)) < 1e-9
         assert r["pos_id"] != r["anchor_id"]
         assert r["neg_id"] != r["anchor_id"]
+
+
+def test_soft_dedup_weights_sum_to_distinct_mass(spark):
+    rows = _run(spark, "mix_soft_dedup_weights").collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(rows) == d.count()  # every copy kept
+    n_distinct = d.select("text").distinct().count()
+    # per-group weight mass is ~1, so total mass ~ distinct texts
+    assert abs(sum(r["weight"] for r in rows) - n_distinct) < 1e-3
+    for r in rows:
+        assert r["n_copies"] >= 1
+        assert 0 < r["weight"] <= 1.0
+
+
+def test_yoy_growth_matches_revenue_ratio(spark):
+    rows = _run(spark, "analytic_yoy_revenue_growth").collect()
+    assert len(rows) > 12
+    by_key = {(r["yr"], r["mo"]): r for r in rows}
+    first_year = min(r["yr"] for r in rows)
+    for r in rows:
+        assert r["revenue"] > 0
+        prev = by_key.get((r["yr"] - 1, r["mo"]))
+        if prev is None:
+            assert r["prev_year_revenue"] is None and r["yoy_growth"] is None
+            assert r["yr"] == first_year or (r["yr"], r["mo"]) == (first_year, r["mo"])
+        else:
+            assert r["prev_year_revenue"] == prev["revenue"]
+            assert abs(r["yoy_growth"] - round(r["revenue"] / prev["revenue"] - 1, 6)) < 1e-9
+
+
+def test_referential_audit_zero_on_healthy_and_detects_orphans(spark, tmp_path):
+    rows = _run(spark, "dq_referential_orphans").collect()
+    assert {r["fk"] for r in rows} == {
+        "lineitem->orders", "orders->customer",
+        "customer->nation", "supplier->nation",
+    }
+    assert all(r["n_orphans"] == 0 for r in rows)  # healthy TPC-H data
+    # corrupt a copy: one lineitem pointing at a nonexistent order
+    import shutil, os
+    broken = str(tmp_path / "sf_broken")
+    os.makedirs(broken)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"]:
+        os.symlink(f"{SF}/{t}.parquet", f"{broken}/{t}.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orphan = li.limit(1).withColumn("l_orderkey", F.lit(-999_999_999))
+    li.unionByName(orphan).write.parquet(f"{broken}/lineitem.parquet")
+    got = {r["fk"]: r["n_orphans"] for r in _run_dir(spark, "dq_referential_orphans", broken)}
+    assert got["lineitem->orders"] == 1
+    assert got["orders->customer"] == 0
+
+
+def _run_dir(spark, name, sf_dir):
+    fn, _ = REGISTRY[name]
+    return fn(spark, sf_dir).collect()

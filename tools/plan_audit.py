@@ -115,6 +115,9 @@ EXTRA = [
     "agg_mode_status_by_priority",
     "tokenizer_vocab_coverage",
     "similarity_triplet_hardest",
+    "mix_soft_dedup_weights",
+    "analytic_yoy_revenue_growth",
+    "dq_referential_orphans",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1196,3 +1196,54 @@ def analytic_user_survival_weeks(spark, sf_dir):
             6,
         ).alias("survival_rate"),
     ).orderBy("weeks")
+
+
+@query(
+    "analytic_yoy_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT c.yr, c.mo, c.revenue,
+           p.revenue AS prev_year_revenue,
+           round(c.revenue / p.revenue - 1, 6) AS yoy_growth
+    FROM monthly c LEFT JOIN monthly p ON p.yr = c.yr - 1 AND p.mo = c.mo
+    ORDER BY c.yr, c.mo
+    """,
+)
+def analytic_yoy_revenue_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth.  The prior-year month comes
+    from a KEY join (yr-1, mo), not ``lag(12)`` — a 12-row lag silently
+    reads the wrong month whenever a month is missing from the series,
+    and key arithmetic is engine-independent.
+
+    Scale: the monthly aggregate map-side combines raw orders into a
+    <=84-row series; the self-join and sort run on that tiny table (AQE
+    broadcasts it), so raw facts shuffle exactly once."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(money2(F.sum(dec2("o_totalprice"))).alias("revenue"))
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo").alias("mo"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    return (
+        monthly.join(prev, ["yr", "mo"], "left")
+        .select(
+            "yr",
+            "mo",
+            "revenue",
+            "prev_year_revenue",
+            F.round(F.col("revenue") / F.col("prev_year_revenue") - 1, 6).alias(
+                "yoy_growth"
+            ),
+        )
+        .orderBy("yr", "mo")
+    )

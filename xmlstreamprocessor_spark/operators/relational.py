@@ -2258,3 +2258,57 @@ def agg_mode_status_by_priority(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier->nation', CAST(count(*) AS BIGINT)
+    FROM supplier s WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    ORDER BY fk
+    """,
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Data-quality gate: orphan counts for each foreign-key edge of the
+    schema — the referential-integrity audit a pipeline runs before
+    trusting a day's ingest (all zeros on healthy TPC-H data; any nonzero
+    is a broken ingest partition).
+
+    Scale: each edge is one LEFT ANTI join on the key.  The dimension
+    sides (nation, customer, orders-keys) broadcast when small; the big
+    fact side streams through without materializing matches — an anti
+    join is the cheapest possible existence check, no row multiplication
+    ever."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+
+    def orphans(fact, dim, fk, pk, label):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionAll(orphans(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
+        .unionAll(orphans(s, n, "s_nationkey", "n_nationkey", "supplier->nation"))
+        .orderBy("fk")
+    )

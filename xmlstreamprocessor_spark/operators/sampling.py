@@ -295,3 +295,41 @@ def _install_epoch_plan_query() -> None:
 
 
 _install_epoch_plan_query()
+
+
+@query(
+    "mix_soft_dedup_weights",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+           round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6) AS weight
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mix_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup for loss weighting: instead of DROPPING exact duplicates,
+    keep every copy and weight it 1/n_copies, so each distinct content
+    contributes unit mass to training — the gentler alternative when near
+    the data wall (duplicate counts carry signal you may not want to
+    discard).
+
+    Scale: one shuffle on the content hash (the same key exact dedup
+    shuffles on); the count window's per-group state is a single counter.
+    No join back — window beats groupBy+join here because the group table
+    (distinct texts) is corpus-sized and could never broadcast."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    return (
+        d.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+        )
+        .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn(
+            "weight", F.round(F.lit(1.0) / F.col("n_copies").cast("double"), 6)
+        )
+        .orderBy("doc_id")
+    )
