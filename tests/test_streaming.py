@@ -856,3 +856,53 @@ def test_stream_dedup_chunks_against_persisted_chunk_table(spark, tmp_path):
         }
     finally:
         base_chunks.unpersist()
+
+
+def test_stream_sliding_distinct_users_equals_batch_fanout(spark):
+    from xmlstreamprocessor_spark.streaming import sliding_distinct_users
+
+    ev = stream_events(spark, SF)
+    _drain(sliding_distinct_users(ev), "t_slide_distinct", mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_slide_distinct").collect()}
+
+    # batch twin of the fan-out WITHOUT the active-hour semi-join (the
+    # stream reports every hour within 23h of activity, by design)
+    batch = catalog.load(spark, SF, "events").filter(F.col("user_id").isNotNull())
+    h = F.floor(F.unix_timestamp("ts") / 3600)
+    expected = {
+        tuple(r)
+        for r in batch.select(
+            F.explode(F.sequence(h, h + F.lit(23))).alias("th"), "user_id"
+        )
+        .distinct()
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("th") * 3600), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            F.col("n").alias("distinct_users_24h"),
+        )
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; each must be exact
+    assert got.issubset(expected)
+    assert len(got) >= 0.8 * len(expected)
+    # the trailing-distinct values must dominate the plain hourly distinct
+    hourly = {
+        r["window_start"]: r["n"]
+        for r in batch.select(h.alias("th"), "user_id")
+        .distinct()
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("th") * 3600), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "n",
+        )
+        .collect()
+    }
+    for ws, n in got:
+        if ws in hourly:
+            assert n >= hourly[ws]

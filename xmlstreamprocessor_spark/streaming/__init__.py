@@ -8,6 +8,7 @@ from xmlstreamprocessor_spark.streaming.sources import (
 from xmlstreamprocessor_spark.streaming.windows import (
     session_counts,
     sliding_counts,
+    sliding_distinct_users,
     tumbling_counts,
 )
 from xmlstreamprocessor_spark.streaming.dedup import (
@@ -42,6 +43,7 @@ __all__ = [
     "stream_xml",
     "tumbling_counts",
     "sliding_counts",
+    "sliding_distinct_users",
     "session_counts",
     "dedup_within_watermark",
     "dedup_kafka_offsets",

@@ -96,3 +96,45 @@ def rollup_counts(
             "total_value",
         )
     )
+
+
+def sliding_distinct_users(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Trailing-24h DISTINCT active users per hour, streaming — the twin of
+    the batch ``window_sliding_24h_distinct_users`` operator, built from
+    the same bounded fan-out because streaming aggregation supports no
+    exact COUNT(DISTINCT):
+
+    1. stateless fan-out: each event contributes its user to the 24 hourly
+       report points it influences (``sequence``+``explode``, constant 24x);
+    2. watermark-scoped ``dropDuplicates`` on (report hour, user) — the
+       event-time column is in the dedup key, so closed hours drop their
+       state; per-hour state is the distinct-user set size, exactly what
+       any trailing-distinct operator must hold;
+    3. a windowed count of the deduped pairs — chained stateful operators
+       in one append-mode query (dedup -> window agg), the supported shape.
+
+    Unlike the batch twin (which semi-joins to hours that HAVE events),
+    the stream emits every report hour within 23h after activity — a
+    streaming job cannot know "no later event will land in this hour"
+    except through the watermark, and a trailing-window report point with
+    zero fresh events is still a correct report.  Tests compare against
+    the batch fan-out without the active-hour filter."""
+    h = F.floor(F.unix_timestamp("ts") / 3600)
+    contrib = events.filter(F.col("user_id").isNotNull()).select(
+        F.explode(F.sequence(h, h + F.lit(23))).alias("th"), "user_id"
+    ).select(
+        F.timestamp_seconds(F.col("th") * 3600).alias("target_ts"), "user_id"
+    )
+    deduped = contrib.withWatermark("target_ts", watermark).dropDuplicates(
+        ["target_ts", "user_id"]
+    )
+    return (
+        deduped.groupBy(F.window("target_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("distinct_users_24h"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "distinct_users_24h",
+        )
+    )
