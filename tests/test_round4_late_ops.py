@@ -182,3 +182,17 @@ def test_referential_audit_zero_on_healthy_and_detects_orphans(spark, tmp_path):
 def _run_dir(spark, name, sf_dir):
     fn, _ = REGISTRY[name]
     return fn(spark, sf_dir).collect()
+
+
+def test_lsh_negative_mining_is_dominated_by_exact(spark):
+    lsh = {r["anchor_id"]: r for r in _run(spark, "similarity_triplet_lsh_negatives").collect()}
+    exact = {r["anchor_id"]: r for r in _run(spark, "similarity_triplet_hardest").collect()}
+    assert len(lsh) > 0
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    for aid, r in lsh.items():
+        assert labels[r["neg_id"]] != labels[aid]  # a true cross-label negative
+        assert r["n_candidates"] >= 1
+        if aid in exact:
+            # the exact all-pairs miner can only find an equal-or-harder negative
+            assert r["neg_sim"] <= exact[aid]["neg_sim"] + 1e-9

@@ -118,6 +118,7 @@ EXTRA = [
     "mix_soft_dedup_weights",
     "analytic_yoy_revenue_growth",
     "dq_referential_orphans",
+    "similarity_triplet_lsh_negatives",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1276,3 +1276,117 @@ def similarity_triplet_hardest(spark, sf_dir):
         )
         .orderBy("anchor_id")
     )
+
+
+@query(
+    "similarity_triplet_lsh_negatives",
+    oracle=f"""
+    WITH sig AS ({_DUCK_RPLSH_SIGS}),
+    e AS (
+      SELECT s.vec_id, s.band0, s.band1, s.band2, s.band3, emb.label
+      FROM sig s JOIN embeddings emb USING (vec_id)
+    ), bands AS (
+      SELECT vec_id, label, u.b AS band_idx,
+             CASE u.b WHEN 0 THEN band0 WHEN 1 THEN band1
+                      WHEN 2 THEN band2 ELSE band3 END AS key
+      FROM e, (SELECT unnest(range(0, 4)) AS b) u
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS cand_id
+      FROM bands a JOIN bands c ON a.band_idx = c.band_idx AND a.key = c.key
+      WHERE a.vec_id < {_N_ANCHORS} AND a.vec_id <> c.vec_id
+    ), negs AS (
+      SELECT cand.anchor_id, cand.cand_id,
+             {duck_cosine6('ea.embedding', 'ec.embedding')} AS cos_sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.anchor_id
+      JOIN embeddings ec ON ec.vec_id = cand.cand_id
+      WHERE ea.label <> ec.label
+    ), stats AS (
+      SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM negs GROUP BY anchor_id
+    ), ranked AS (
+      SELECT anchor_id, cand_id, cos_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, cand_id) AS rk
+      FROM negs
+    )
+    SELECT r.anchor_id, r.cand_id AS neg_id, r.cos_sim AS neg_sim,
+           s.n_candidates
+    FROM ranked r JOIN stats s USING (anchor_id)
+    WHERE rk = 1 ORDER BY r.anchor_id
+    """,
+)
+def similarity_triplet_lsh_negatives(spark, sf_dir):
+    """Hard-negative mining AT SCALE: candidates come from the rp-LSH band
+    buckets (vectors sharing >=1 of the 4 band keys with the anchor), so
+    the mining join is an equi-join on (band, key) instead of the
+    anchors x corpus product that ``similarity_triplet_hardest`` uses —
+    the same all-pairs -> bucketed rewrite the dedup family applies.
+    High-cosine pairs collide in bands with high probability, and those
+    are exactly the hard negatives worth mining; ``n_candidates`` reports
+    each anchor's actual (cross-label) candidate pool so a training
+    pipeline can see when the buckets run too sparse and add band tables.
+
+    Anchors whose buckets contain no cross-label candidate drop out — the
+    documented recall trade of every LSH path (the exact twin is the
+    fallback for those)."""
+    sigs = similarity_rplsh_signatures(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    labeled = sigs.join(e.select("vec_id", "label"), "vec_id")
+    bands = labeled.selectExpr(
+        "vec_id",
+        "label",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, key)",
+    )
+    a = bands.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        "band_idx",
+        "key",
+    )
+    cand = (
+        a.join(
+            bands.select(
+                F.col("vec_id").alias("cand_id"), "band_idx", "key"
+            ),
+            ["band_idx", "key"],
+        )
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select("anchor_id", "cand_id")
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        as_double_array("embedding").alias("ae"),
+        F.col("label").alias("alabel"),
+    )
+    ec = e.select(
+        F.col("vec_id").alias("cand_id"),
+        as_double_array("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    negs = (
+        cand.join(F.broadcast(ea), "anchor_id")
+        .join(ec, "cand_id")
+        .filter(F.col("alabel") != F.col("clabel"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            cosine6(F.col("ae"), F.col("ce")).alias("cos_sim"),
+        )
+    )
+    stats = negs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        negs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(stats, "anchor_id")
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+            "n_candidates",
+        )
+        .orderBy("anchor_id")
+    )
