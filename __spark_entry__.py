@@ -113,7 +113,7 @@ _PRIORITY = [
     # decontaminate
 ]
 
-# QUEUED FOR THE ROUND-5 WINDOW — the 31 queries added after the round-4
+# QUEUED FOR THE ROUND-5 WINDOW — the 33 queries added after the round-4
 # window froze, all strict-gate green locally but never driver-checked:
 # analytic_{time_to_convert, burst_rate_outliers, cohort_ltv_triangle,
 # interpurchase_gaps, event_path_top3, user_survival_weeks},
@@ -125,7 +125,8 @@ _PRIORITY = [
 # length_histogram, jsd_by_source, zipf_slope}, profile_documents_table,
 # tokenizer_vocab_coverage, agg_mode_status_by_priority,
 # pack_efficiency_report, mix_soft_dedup_weights, analytic_yoy_revenue_growth,
-# dq_referential_orphans, similarity_triplet_lsh_negatives.
+# dq_referential_orphans, similarity_triplet_lsh_negatives,
+# text_cms_heavy_hitters, analytic_order_backlog_sweep.
 
 
 def _ordered() -> list[str]:

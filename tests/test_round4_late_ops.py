@@ -196,3 +196,34 @@ def test_lsh_negative_mining_is_dominated_by_exact(spark):
         if aid in exact:
             # the exact all-pairs miner can only find an equal-or-harder negative
             assert r["neg_sim"] <= exact[aid]["neg_sim"] + 1e-9
+
+
+def test_cms_overestimates_never_negative_and_often_tight(spark):
+    rows = _run(spark, "text_cms_heavy_hitters").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overestimate"] >= 0  # CMS one-sided error guarantee
+        assert r["cms_estimate"] == r["exact_n"] + r["overestimate"]
+    # with 4x1024 cells over a small vocab, most top terms estimate exactly
+    tight = sum(1 for r in rows if r["overestimate"] == 0)
+    assert tight >= 10
+
+
+def test_backlog_sweep_balances_to_zero(spark):
+    rows = _run(spark, "analytic_order_backlog_sweep").collect()
+    assert len(rows) > 12
+    assert all(r["open_backlog"] >= 0 for r in rows)
+    # the sweep's residual is exactly the orders that never ship (orders
+    # with no lineitem rows in this scale factor's sample)
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    never_shipped = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti").count()
+    )
+    assert rows[-1]["open_backlog"] == never_shipped
+    assert sum(r["net_change"] for r in rows) == never_shipped
+    # running sum is internally consistent
+    acc = 0
+    for r in rows:
+        acc += r["net_change"]
+        assert r["open_backlog"] == acc

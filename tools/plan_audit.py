@@ -119,6 +119,8 @@ EXTRA = [
     "analytic_yoy_revenue_growth",
     "dq_referential_orphans",
     "similarity_triplet_lsh_negatives",
+    "text_cms_heavy_hitters",
+    "analytic_order_backlog_sweep",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

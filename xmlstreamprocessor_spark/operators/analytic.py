@@ -1247,3 +1247,65 @@ def analytic_yoy_revenue_growth(spark, sf_dir):
         )
         .orderBy("yr", "mo")
     )
+
+
+@query(
+    "analytic_order_backlog_sweep",
+    oracle="""
+    WITH completion AS (
+      SELECT l_orderkey, max(l_shipdate) AS done_d FROM lineitem
+      GROUP BY l_orderkey
+    ), deltas AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_key,
+             1 AS delta
+      FROM orders
+      UNION ALL
+      SELECT CAST(EXTRACT(year FROM done_d) * 100
+                  + EXTRACT(month FROM done_d) AS BIGINT), -1
+      FROM completion
+    ), monthly AS (
+      SELECT month_key, CAST(sum(delta) AS BIGINT) AS net_change
+      FROM deltas GROUP BY month_key
+    )
+    SELECT month_key, net_change,
+           CAST(sum(net_change) OVER (ORDER BY month_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_backlog
+    FROM monthly ORDER BY month_key
+    """,
+)
+def analytic_order_backlog_sweep(spark, sf_dir):
+    """Open-order backlog over time by SWEEP LINE: +1 when an order is
+    placed, -1 when its last lineitem ships, cumulative-summed over months
+    — interval counting with NO range join (the naive "orders active in
+    month m" formulation is a months x orders non-equi join that Spark
+    executes as a nested loop).
+
+    Scale: the completion date is one map-side-combined max per order; the
+    delta stream aggregates to one row per month BEFORE the cumulative
+    window, so the unpartitioned running sum touches ~84 rows — the
+    packing.py shard-totals justification again.  Sweep line turns any
+    interval-overlap count into two linear aggregates at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    mk = lambda c: (F.year(c) * 100 + F.month(c)).cast("bigint")
+    completion = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_d"))
+    deltas = o.select(
+        mk(F.col("o_orderdate")).alias("month_key"), F.lit(1).alias("delta")
+    ).unionAll(
+        completion.select(
+            mk(F.col("done_d")).alias("month_key"), F.lit(-1).alias("delta")
+        )
+    )
+    monthly = deltas.groupBy("month_key").agg(
+        F.sum("delta").cast("bigint").alias("net_change")
+    )
+    w = Window.orderBy("month_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        "month_key",
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("open_backlog"),
+    ).orderBy("month_key")

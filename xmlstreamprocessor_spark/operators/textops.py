@@ -1547,3 +1547,110 @@ def tokenizer_vocab_coverage(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# Count-Min sketch geometry: d hash rows x w cells.  Hashes are md5-prefix
+# buckets salted per row — the same deterministic cross-engine idiom the
+# sampling operators use, so sketch cells are bit-identical in both engines.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_cell_spark(term_col, k: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{k}:"), term_col).cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def _cms_cell_duck(term_sql: str, k: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{k}:' || {term_sql}), 1, 7)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tok2 AS (SELECT term FROM tok WHERE term <> ''),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_n
+      FROM tok2 GROUP BY term
+    ), sketch AS (
+      {" UNION ALL ".join(
+        f"SELECT {k} AS k, {_cms_cell_duck('term', k)} AS cell,"
+        f" CAST(count(*) AS BIGINT) AS n FROM tok2 GROUP BY 1, 2"
+        for k in range(_CMS_D)
+      )}
+    ), top20 AS (
+      SELECT term, exact_n FROM exact
+      ORDER BY exact_n DESC, term LIMIT 20
+    ), probes AS (
+      {" UNION ALL ".join(
+        f"SELECT term, exact_n, {k} AS k, {_cms_cell_duck('term', k)} AS cell"
+        f" FROM top20"
+        for k in range(_CMS_D)
+      )}
+    )
+    SELECT p.term, any_value(p.exact_n) AS exact_n,
+           CAST(min(s.n) AS BIGINT) AS cms_estimate,
+           CAST(min(s.n) - any_value(p.exact_n) AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s ON s.k = p.k AND s.cell = p.cell
+    GROUP BY p.term
+    ORDER BY exact_n DESC, term
+    """,
+)
+def text_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch accuracy report: build a 4x1024 CMS over the token
+    stream, then compare its estimate against the exact count for the exact
+    top-20 terms.  ``overestimate = min_k sketch[k][h_k(term)] - exact`` is
+    >= 0 by the CMS one-sided error guarantee — the measurement a pipeline
+    makes before trusting sketched counts at corpus scale.
+
+    Scale: THE point of the sketch — per-partition state is a fixed
+    d x w = 4096-cell grid regardless of vocabulary size, and cells merge
+    by addition (map-side combine does the merging here; on a cluster the
+    same grid merges across executors).  The exact side exists only to
+    measure error and is itself a map-side-combined count; the probe join
+    touches 20 x 4 sketch cells."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    sketch = None
+    for k in range(_CMS_D):
+        part = tok.groupBy(
+            F.lit(k).alias("k"), _cms_cell_spark(F.col("term"), k).alias("cell")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        sketch = part if sketch is None else sketch.unionAll(part)
+    top20 = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(20)
+    probes = None
+    for k in range(_CMS_D):
+        p = top20.select(
+            "term",
+            "exact_n",
+            F.lit(k).alias("k"),
+            _cms_cell_spark(F.col("term"), k).alias("cell"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(sketch), ["k", "cell"])
+        .groupBy("term")
+        .agg(
+            F.first("exact_n").alias("exact_n"),
+            F.min("n").cast("bigint").alias("cms_estimate"),
+            (F.min("n") - F.first("exact_n")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+    )
