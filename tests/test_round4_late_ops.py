@@ -227,3 +227,28 @@ def test_backlog_sweep_balances_to_zero(spark):
     for r in rows:
         acc += r["net_change"]
         assert r["open_backlog"] == acc
+
+
+def test_late_ops_are_parallelism_invariant(spark):
+    """Same rows regardless of shuffle partitioning — the determinism a
+    re-run on a differently-sized cluster relies on."""
+    names = [
+        "window_sliding_24h_distinct_users",
+        "analytic_user_survival_weeks",
+        "text_cms_heavy_hitters",
+        "analytic_order_backlog_sweep",
+        "mix_soft_dedup_weights",
+        "similarity_triplet_lsh_negatives",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = frozenset(tuple(r) for r in _run(spark, n).collect())
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
