@@ -88,6 +88,7 @@ _PRIORITY = [
     "dedup_keeper_by_quality",
     "dedup_embedding_cosine_pairs",
     # new queries this round are appended here as they land
+    "multimodal_image_features_png",
 ]
 
 
