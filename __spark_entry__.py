@@ -89,6 +89,7 @@ _PRIORITY = [
     "dedup_embedding_cosine_pairs",
     # new queries this round are appended here as they land
     "multimodal_image_features_png",
+    "similarity_index_delta_assign",
 ]
 
 

@@ -113,3 +113,79 @@ def test_ivf_cell_balance_consistent(spark, oracle_sf_dir):
     assert rep["min_cell"] == min(sizes)
     assert rep["max_cell"] == max(sizes)
     assert rep["imbalance_factor"] >= 1.0
+
+
+def test_index_delta_assign_union_base_equals_full_rebuild(spark, oracle_sf_dir):
+    """Incremental IVF-PQ maintenance loses nothing: base-split assignments
+    UNION the delta batch's assignments must equal a full index rebuild —
+    cells, sims, AND PQ codes — and the merged per-cell occupancies must
+    match the rebuild's posting-list sizes (the encode-at-ingest
+    invariant: codebooks are fixed, so assignment is batch-independent)."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import (
+        _IDX_DELTA_MOD,
+        _IDX_DELTA_REM,
+    )
+
+    full_assign = {
+        r["vec_id"]: (r["cell"], r["sim"])
+        for r in REGISTRY["similarity_ivf_assign_cells"][0](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    full_codes = {
+        r["vec_id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in REGISTRY["embedding_pq_encode"][0](spark, oracle_sf_dir).collect()
+    }
+    delta_rows = REGISTRY["similarity_index_delta_assign"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert delta_rows
+
+    # every delta vector's cell/sim/codes match the full rebuild bit-for-bit
+    for r in delta_rows:
+        assert full_assign[r["vec_id"]] == (r["cell"], r["sim"])
+        assert full_codes[r["vec_id"]] == (
+            r["code_0"], r["code_1"], r["code_2"], r["code_3"],
+        )
+    # the delta split covers exactly the vec_id % MOD == REM slice
+    assert {r["vec_id"] % _IDX_DELTA_MOD for r in delta_rows} == {_IDX_DELTA_REM}
+    n_delta = sum(
+        1 for v in full_assign if v % _IDX_DELTA_MOD == _IDX_DELTA_REM
+    )
+    assert len(delta_rows) == n_delta
+
+    # merged occupancy == the rebuild's posting-list size per cell
+    from collections import Counter
+
+    rebuild_occ = Counter(cell for cell, _ in full_assign.values())
+    for r in delta_rows:
+        assert r["n_cell_after"] == rebuild_occ[r["cell"]]
+
+
+def test_index_delta_assign_against_persisted_index(spark, oracle_sf_dir, tmp_path):
+    """The production path: base assignments persisted to parquet, the
+    delta batch assigned against the STORED index — identical output to
+    the self-computed registered query."""
+    from pyspark.sql import functions as FF
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import (
+        _IDX_DELTA_MOD,
+        _IDX_DELTA_REM,
+        similarity_index_delta_assign,
+    )
+
+    base_idx = (
+        REGISTRY["similarity_ivf_assign_cells"][0](spark, oracle_sf_dir)
+        .filter(FF.col("vec_id") % _IDX_DELTA_MOD != _IDX_DELTA_REM)
+        .select("vec_id", "cell")
+    )
+    path = str(tmp_path / "ivf_index")
+    base_idx.write.parquet(path)
+
+    stored = similarity_index_delta_assign(
+        spark, oracle_sf_dir, base_index=spark.read.parquet(path)
+    ).collect()
+    self_computed = similarity_index_delta_assign(spark, oracle_sf_dir).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in self_computed]
