@@ -90,6 +90,9 @@ _PRIORITY = [
     # new queries this round are appended here as they land
     "multimodal_image_features_png",
     "similarity_index_delta_assign",
+    "embedding_pq_residual_encode",
+    "similarity_pq_residual_distortion",
+    "text_ngram_novelty",
 ]
 
 

@@ -1591,3 +1591,250 @@ def _install_delta_assign() -> None:
 
 
 _install_delta_assign()
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ (true IVFADC): quantize v - centroid(cell(v)), not v
+# ---------------------------------------------------------------------------
+
+_DUCK_RESID_COMMON = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+      WHERE vec_id < {_N_CELLS}
+    ), scored AS (
+      SELECT v.vec_id, c.cell,
+             {duck_cosine6('v.embedding', 'c.ce')} AS sim
+      FROM embeddings v CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cell
+      FROM (SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell) AS rk
+            FROM scored)
+      WHERE rk = 1
+    ), resid AS (
+      SELECT v.vec_id, a.cell,
+             list_transform(range(1, {_PQ_M * _PQ_K + 1}),
+                            j -> CAST(v.embedding[j] AS DOUBLE) - c.ce[j]) AS e
+      FROM embeddings v
+      JOIN assigned a ON a.vec_id = v.vec_id
+      JOIN cents c ON c.cell = a.cell
+    ), rseeds AS (
+      SELECT vec_id - {_PQ_SEED_LO} AS cid, e AS c FROM resid
+      WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_NC}
+    ), rd AS (
+      SELECT r.vec_id, r.cell, g.m, s.cid,
+             list_dot_product({_duck_pq_diff()}, {_duck_pq_diff()}) AS dist
+      FROM resid r
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN rseeds s
+    )
+"""
+
+
+def _resid_frames(spark, sf_dir):
+    """Shared subtrees for the residual-PQ queries: cell-assign every
+    vector, subtract its cell centroid, and build the residual codebook
+    from the SAME seed ids the plain PQ uses — so plain vs residual
+    distortion is an apples-to-apples codebook comparison.  All joins are
+    broadcast (8 centroids, 16 seeds); the corpus stays map-side."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _N_CELLS).select(
+            F.col("vec_id").alias("cell"), as_double_array("embedding").alias("ce")
+        )
+    )
+    v = e.select("vec_id", as_double_array("embedding").alias("ve"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = (
+        v.crossJoin(cents)
+        .select(
+            "vec_id", "cell", "ce", F.col("ve").alias("raw"),
+            cosine6(F.col("ve"), F.col("ce")).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    resid = assigned.select(
+        "vec_id",
+        "cell",
+        F.zip_with(F.col("raw"), F.col("ce"), lambda x, y: x - y).alias("e"),
+    ).localCheckpoint(eager=False)
+    rseeds = F.broadcast(
+        resid.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_NC)
+        ).select((F.col("vec_id") - _PQ_SEED_LO).alias("cid"), F.col("e").alias("c"))
+    )
+    subspaces = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    diff = lambda: F.zip_with(  # noqa: E731
+        F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+        F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+        lambda x, y: x - y,
+    )
+    rd = (
+        resid.crossJoin(F.broadcast(subspaces))
+        .crossJoin(rseeds)
+        .select("vec_id", "cell", "m", "cid", dot(diff(), diff()).alias("dist"))
+    )
+    return rd
+
+
+@query(
+    "embedding_pq_residual_encode",
+    oracle=_DUCK_RESID_COMMON + f""",
+    r AS (
+      SELECT vec_id, cell, m, cid,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, cid) AS rk
+      FROM rd
+    )
+    SELECT vec_id,
+           CAST(max(cell) AS BIGINT) AS cell,
+           CAST(max(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS rcode_0,
+           CAST(max(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS rcode_1,
+           CAST(max(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS rcode_2,
+           CAST(max(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS rcode_3
+    FROM r WHERE rk = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_pq_residual_encode(spark, sf_dir):
+    """TRUE IVFADC encoding: PQ-quantize the RESIDUAL ``v - centroid(cell
+    (v))`` instead of the raw vector — the composition FAISS's IVF-PQ
+    actually stores (coarse cell id + residual codes), because residuals
+    concentrate near the origin where a small codebook spends its
+    precision best.  The residual codebook is built from the residuals of
+    the SAME seed ids plain PQ uses, making the two schemes directly
+    comparable (similarity_pq_residual_distortion reports the measured
+    difference).
+
+    Exactness: residual subtraction is element-wise double arithmetic over
+    identical index order; argmin ties break on centroid id.  Scale: cells
+    (8 rows) and the residual codebook (16 rows) broadcast; the corpus
+    never shuffles — assignment, subtraction, and encoding all run inside
+    the scan stage, exactly how a 100 TB ingest encodes at write time."""
+    rd = _resid_frames(spark, sf_dir)
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    best = rd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.max("cell").cast("bigint").alias("cell"),
+            *[
+                F.max(F.when(F.col("m") == i, F.col("cid")))
+                .cast("bigint")
+                .alias(f"rcode_{i}")
+                for i in range(_PQ_M)
+            ],
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "similarity_pq_residual_distortion",
+    oracle=_DUCK_RESID_COMMON + f""",
+    rbest AS (
+      SELECT vec_id, m, min(dist) AS rdist FROM rd GROUP BY vec_id, m
+    ), seeds AS (
+      SELECT vec_id - {_PQ_SEED_LO} AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings
+      WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_NC}
+    ), pv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), pd AS (
+      SELECT pv.vec_id, g.m,
+             min(list_dot_product({_duck_pq_diff('g.m')}, {_duck_pq_diff('g.m')}))
+               AS pdist
+      FROM pv
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN seeds s
+      GROUP BY pv.vec_id, g.m
+    ), fp AS (
+      SELECT b.m,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(CAST(floor(p.pdist * {_PQ_ERR_SCALE}) AS BIGINT))
+               AS BIGINT) AS plain_fp,
+             CAST(sum(CAST(floor(b.rdist * {_PQ_ERR_SCALE}) AS BIGINT))
+               AS BIGINT) AS resid_fp
+      FROM rbest b JOIN pd p ON p.vec_id = b.vec_id AND p.m = b.m
+      GROUP BY b.m
+    )
+    SELECT m AS subspace, n_vectors,
+           round(CAST(plain_fp AS DOUBLE) / {_PQ_ERR_SCALE} / n_vectors, 6)
+             AS plain_mse,
+           round(CAST(resid_fp AS DOUBLE) / {_PQ_ERR_SCALE} / n_vectors, 6)
+             AS resid_mse,
+           round(1.0 - CAST(resid_fp AS DOUBLE) / plain_fp, 6) AS gain
+    FROM fp ORDER BY subspace
+    """,
+)
+def similarity_pq_residual_distortion(spark, sf_dir):
+    """The residual-coding DECISION report: per-subspace mean squared
+    reconstruction error of plain PQ vs residual PQ (same seed ids for
+    both codebooks) and the relative gain.  On real clustered corpora
+    residual coding wins — that is why IVFADC exists; on this synthetic
+    near-isotropic corpus the measured gain is small or negative, and
+    reporting that honestly is the point: this query IS the check a
+    pipeline runs before choosing its encoding.
+
+    Exactness: both MSE sums accumulate fixed-point micro-units as
+    integers (order-independent); the gain ratio divides those same two
+    integers.  Scale: two broadcast-codebook linear passes joined on
+    (vec_id, m) — at 100 TB run it on a sample, the statistic converges
+    long before the full corpus."""
+    rd = _resid_frames(spark, sf_dir)
+    rbest = rd.groupBy("vec_id", "m").agg(F.min("dist").alias("rdist"))
+
+    e = t(spark, sf_dir, "embeddings")
+    seeds = F.broadcast(
+        e.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_NC)
+        ).select(
+            (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+            as_double_array("embedding").alias("c"),
+        )
+    )
+    subspaces = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    v = e.select("vec_id", as_double_array("embedding").alias("e"))
+    diff = lambda: F.zip_with(  # noqa: E731
+        F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+        F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+        lambda x, y: x - y,
+    )
+    pbest = (
+        v.crossJoin(F.broadcast(subspaces))
+        .crossJoin(seeds)
+        .select("vec_id", "m", dot(diff(), diff()).alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dist").alias("pdist"))
+    )
+    fp = (
+        rbest.join(pbest, ["vec_id", "m"])
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.floor(F.col("pdist") * _PQ_ERR_SCALE).cast("bigint"))
+            .cast("bigint")
+            .alias("plain_fp"),
+            F.sum(F.floor(F.col("rdist") * _PQ_ERR_SCALE).cast("bigint"))
+            .cast("bigint")
+            .alias("resid_fp"),
+        )
+    )
+    return fp.select(
+        F.col("m").cast("bigint").alias("subspace"),
+        "n_vectors",
+        F.round(
+            F.col("plain_fp").cast("double") / _PQ_ERR_SCALE / F.col("n_vectors"), 6
+        ).alias("plain_mse"),
+        F.round(
+            F.col("resid_fp").cast("double") / _PQ_ERR_SCALE / F.col("n_vectors"), 6
+        ).alias("resid_mse"),
+        F.round(
+            F.lit(1.0) - F.col("resid_fp").cast("double") / F.col("plain_fp"), 6
+        ).alias("gain"),
+    ).orderBy("subspace")

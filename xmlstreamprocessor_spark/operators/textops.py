@@ -1654,3 +1654,66 @@ def text_cms_heavy_hitters(spark, sf_dir):
         )
         .orderBy(F.desc("exact_n"), F.asc("term"))
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({duck_shingles('text', 3)}) AS s FROM documents
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY doc_id
+    ), firsts AS (
+      SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s
+    ), nov AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_shingles, 6)
+             AS novelty
+    FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document NOVELTY score: the fraction of a doc's distinct 3-word
+    shingles whose corpus-wide FIRST occurrence (min doc_id — the ingest
+    order stand-in) is this document.  The standard curation signal behind
+    'unique data fraction' / deduped token counting: boilerplate-heavy and
+    late near-duplicate docs score near 0, fresh content near 1, and
+    training mixers weight or drop on it (cf. mix_soft_dedup_weights,
+    which reweights by duplicate-group size instead of shingle overlap).
+
+    Scale: no shingle-level self-join anywhere — one groupBy(shingle)
+    computes each shingle's first doc, and BOTH per-doc counts (total and
+    novel) are plain aggregates whose outputs are |docs|-sized; the final
+    join is between those two small per-doc tables.  Shingle postings
+    shuffle once, with map-side combine."""
+    d = t(spark, sf_dir, "documents")
+    from xmlstreamprocessor_spark.functions.text import shingles
+
+    p = d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    tot = p.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    nov = (
+        p.groupBy("s")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        tot.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
