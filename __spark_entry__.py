@@ -93,6 +93,8 @@ _PRIORITY = [
     "embedding_pq_residual_encode",
     "similarity_pq_residual_distortion",
     "text_ngram_novelty",
+    "dedup_containment_pairs",
+    "analytic_basket_lift",
 ]
 
 

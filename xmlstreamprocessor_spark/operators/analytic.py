@@ -1309,3 +1309,86 @@ def analytic_order_backlog_sweep(spark, sf_dir):
         "net_change",
         F.sum("net_change").over(w).cast("bigint").alias("open_backlog"),
     ).orderBy("month_key")
+
+
+@query(
+    "analytic_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), nord AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM items
+    ), part_n AS (
+      SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           pa.n_part AS n_a, pb.n_part AS n_b,
+           round(CAST(p.n_both * nord.n AS DOUBLE)
+                 / (pa.n_part * pb.n_part), 6) AS lift
+    FROM pairs p
+    JOIN part_n pa ON pa.l_partkey = p.part_a
+    JOIN part_n pb ON pb.l_partkey = p.part_b
+    CROSS JOIN nord
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def analytic_basket_lift(spark, sf_dir):
+    """Association-rule LIFT: for part pairs co-occurring in >= 3 orders,
+    ``lift = P(a,b) / (P(a) P(b)) = n_both * N / (n_a * n_b)`` — the
+    normalization that separates genuinely associated items from merely
+    popular ones (analytic_copurchase_part_pairs ranks raw support, which
+    top-ranks whatever sells most; lift surfaces the surprising pairs).
+
+    Exactness: the ratio divides two exact integer products, rounded once.
+    Scale: the pair fan-out is the same order-key self-join bounded by
+    items-per-order squared; part marginals are one map-side-combined
+    aggregate; N is a 1-row broadcast; the support floor (>= 3) keeps the
+    pair table sparse before the marginal joins (broadcast here; at huge
+    part cardinality they become co-partitioned shuffle joins on the part
+    key), and the final top-k is TakeOrderedAndProject with
+    (part_a, part_b) tiebreaks."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_a"),
+                                      F.col("n_part").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_b"),
+                                      F.col("n_part").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_both", "n_a", "n_b",
+            F.round(
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )
