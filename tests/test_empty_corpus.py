@@ -28,6 +28,11 @@ _OPS_EMPTY = [
     "dedup_exact_documents", "dedup_minhash_lsh_pairs",
     "sample_stratified_quota", "pack_greedy_shardlocal",
     "text_quality_filter",
+    # round-5 additions
+    "dedup_containment_pairs", "dedup_winnowing_pairs",
+    "text_ngram_novelty", "analytic_basket_lift",
+    "embedding_pq_residual_encode", "similarity_pq_residual_distortion",
+    "similarity_index_delta_assign", "multimodal_image_features_png",
 ]
 
 

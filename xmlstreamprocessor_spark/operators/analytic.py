@@ -1370,14 +1370,18 @@ def analytic_basket_lift(spark, sf_dir):
         .filter(F.col("n_both") >= 3)
     )
     return (
+        # NO broadcast hint on the marginals: Catalyst/AQE auto-broadcasts
+        # them at this scale, and at huge part cardinality the same plan
+        # correctly degrades to co-partitioned shuffle joins on the part
+        # key — a forced hint would OOM there instead
         pairs.join(
-            F.broadcast(part_n.select(F.col("l_partkey").alias("part_a"),
-                                      F.col("n_part").alias("n_a"))),
+            part_n.select(F.col("l_partkey").alias("part_a"),
+                          F.col("n_part").alias("n_a")),
             "part_a",
         )
         .join(
-            F.broadcast(part_n.select(F.col("l_partkey").alias("part_b"),
-                                      F.col("n_part").alias("n_b"))),
+            part_n.select(F.col("l_partkey").alias("part_b"),
+                          F.col("n_part").alias("n_b")),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
