@@ -920,3 +920,113 @@ def test_sliding_distinct_users_rejects_sub_horizon_watermark(spark):
         sliding_distinct_users(ev, watermark="2 hours")
     # >= 24h + lateness budget is accepted (plan builds; no execution)
     sliding_distinct_users(ev, watermark="25 hours")
+
+
+def test_stream_index_assign_equals_batch_twin(spark, tmp_path):
+    """Streaming IVF-PQ ingest (stream_index_assign: stateless per-row
+    encode against literal codebooks) must emit the SAME cell, sim, and
+    PQ codes as the batch rebuild — the codebook-invariance contract that
+    makes encode-at-ingest sound, checked bit-for-bit across the whole
+    corpus streamed through a file source."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import (
+        _N_CELLS,
+        _PQ_NC,
+        _PQ_SEED_LO,
+    )
+    from xmlstreamprocessor_spark.streaming import (
+        stream_embeddings,
+        stream_index_assign,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    )
+    seeds = e.filter(
+        (F.col("vec_id") >= _PQ_SEED_LO) & (F.col("vec_id") < _PQ_SEED_LO + _PQ_NC)
+    ).select(
+        (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+
+    sv = stream_embeddings(spark, SF)
+    assert sv.isStreaming
+    assigned = stream_index_assign(sv, cents, seeds)
+    _drain(assigned, "t_index_assign")
+    got = {
+        r["vec_id"]: (r["cell"], r["sim"], r["code_0"], r["code_1"],
+                      r["code_2"], r["code_3"])
+        for r in spark.sql("SELECT * FROM t_index_assign").collect()
+    }
+
+    cells = {
+        r["vec_id"]: (r["cell"], r["sim"])
+        for r in REGISTRY["similarity_ivf_assign_cells"][0](spark, SF).collect()
+    }
+    codes = {
+        r["vec_id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in REGISTRY["embedding_pq_encode"][0](spark, SF).collect()
+    }
+    assert len(got) == len(cells) > 0
+    for vid, (cell, sim, *cs) in got.items():
+        assert cells[vid] == (cell, sim), f"cell/sim mismatch at {vid}"
+        assert codes[vid] == tuple(cs), f"PQ codes mismatch at {vid}"
+
+
+def test_stream_index_posting_merge_exactly_once(spark, tmp_path):
+    """The sink half of streaming index maintenance: foreachBatch merges
+    per-batch posting-list counts into a stored index table; a restart on
+    the same checkpoint must NOT double-count (file source + checkpoint =
+    exactly-once batch replay)."""
+    from xmlstreamprocessor_spark.operators.similarity import (
+        _N_CELLS,
+        _PQ_NC,
+        _PQ_SEED_LO,
+    )
+    from xmlstreamprocessor_spark.streaming import (
+        stream_embeddings,
+        stream_index_assign,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    )
+    seeds = e.filter(
+        (F.col("vec_id") >= _PQ_SEED_LO) & (F.col("vec_id") < _PQ_SEED_LO + _PQ_NC)
+    ).select(
+        (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+
+    stored: dict[int, int] = {}
+
+    def merge(batch_df, batch_id):
+        for r in batch_df.groupBy("cell").count().collect():
+            stored[r["cell"]] = stored.get(r["cell"], 0) + r["count"]
+
+    def run_once():
+        q = (
+            stream_index_assign(stream_embeddings(spark, SF), cents, seeds)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", str(tmp_path / "idx_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    after_first = dict(stored)
+    run_once()  # restart on the same checkpoint: nothing new to process
+    assert stored == after_first
+
+    # occupancies must equal the batch assignment's per-cell counts
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    batch_occ = {}
+    for r in REGISTRY["similarity_ivf_assign_cells"][0](spark, SF).collect():
+        batch_occ[r["cell"]] = batch_occ.get(r["cell"], 0) + 1
+    assert stored == batch_occ

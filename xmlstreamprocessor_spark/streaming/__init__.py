@@ -1,6 +1,7 @@
 from xmlstreamprocessor_spark.streaming.sources import (
     KAFKA_SOURCE_SCHEMA,
     stream_documents,
+    stream_embeddings,
     stream_events,
     stream_kafka_xml,
     stream_xml,
@@ -34,6 +35,9 @@ from xmlstreamprocessor_spark.streaming.joins import (
     enrich_stream_static,
     join_purchases_to_views,
 )
+from xmlstreamprocessor_spark.streaming.index import (
+    stream_index_assign,
+)
 
 __all__ = [
     "KAFKA_SOURCE_SCHEMA",
@@ -58,4 +62,6 @@ __all__ = [
     "keeper_set",
     "mix_predicate",
     "pipeline_stream_dedup_mix_pack",
+    "stream_index_assign",
+    "stream_embeddings",
 ]

@@ -149,3 +149,10 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )
     return spark.readStream.schema(schema).parquet(f"{sf_dir}/documents*")
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet replayed as a file-source stream (input to the
+    streaming ANN-index ingest, streaming/index.py)."""
+    schema = "vec_id bigint, embedding array<float>, label int"
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/embeddings*")
