@@ -132,11 +132,7 @@ def test_png_rejects_truncated_pixels():
     w, h = 3, 3
     data = encode_png(w, h, _plane(w, h))
     # re-deflate one scanline short
-    raw = zlib.decompress(
-        data[8 + 12 + 25 + 8 : -12 - 4]  # fragile slicing avoided below
-        if False
-        else _idat(data)
-    )
+    raw = zlib.decompress(_idat(data))
     short = zlib.compress(raw[: -(1 + 3 * w)], 6)
     rebuilt = _replace_idat(data, short)
     with pytest.raises(ValueError, match="length mismatch"):
@@ -200,3 +196,24 @@ def test_frame_dedup_consistent_with_frame_fanout(spark, oracle_sf_dir):
     # total duplicated frames never exceeds the full frame fan-out
     frames = REGISTRY["multimodal_frame_sample"][0](spark, oracle_sf_dir)
     assert sum(r["n_frames"] for r in rows) <= frames.count()
+
+
+def test_png_roundtrip_property():
+    """Property check over the full filter matrix: any plane, any
+    geometry, encode->decode is the identity (hypothesis-driven)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        plane = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_png(encode_png(w, h, plane)) == (w, h, plane)
+
+    run()

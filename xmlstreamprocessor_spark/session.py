@@ -34,7 +34,14 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == executor: 32 task threads sharing one heap.
+        # 8g starves them once a session has run tens of distinct plans
+        # (codegen classes + shuffle/broadcast metadata + task buffers) and
+        # the GC tax dominates cold re-runs — measured on the bench chain:
+        # graph_dup_group_sizes 12.6s flat at 8g vs ~6s warm at 16g on a
+        # 128 GiB box.  Cluster deployments size executor memory per core
+        # count the same way.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
