@@ -79,15 +79,15 @@ _PRIORITY = [
     "agg_mode_status_by_priority",
     "pack_efficiency_report",
     "dq_referential_orphans",
-    # re-checks: code round 5 touched — pair-memo rekeying + bounded dict
-    # (jaccard chain), triplet-LSH anchor-only broadcast (listed above),
-    # cosine count-cache clear hook
+    # re-checks: code round 5 touched the pair-memo keying + bounded dict
+    # (jaccard chain) and the cosine count-cache clear hook; these three
+    # consume that memo path (drop_list/rate_by_source, also memo
+    # consumers, already have r2/r3 green verdicts and yielded their
+    # slots to the never-checked round-5 queries below)
     "dedup_ngram_jaccard_pairs",
-    "dedup_drop_list",
-    "dedup_rate_by_source",
     "dedup_keeper_by_quality",
     "dedup_embedding_cosine_pairs",
-    # new queries this round are appended here as they land
+    # new queries this round (never driver-checked)
     "multimodal_image_features_png",
     "similarity_index_delta_assign",
     "embedding_pq_residual_encode",
@@ -95,6 +95,8 @@ _PRIORITY = [
     "text_ngram_novelty",
     "dedup_containment_pairs",
     "analytic_basket_lift",
+    "dq_contract_orders",
+    "text_dedup_effective_tokens",
 ]
 
 

@@ -2312,3 +2312,83 @@ def dq_referential_orphans(spark, sf_dir):
         .unionAll(orphans(s, n, "s_nationkey", "n_nationkey", "supplier->nation"))
         .orderBy("fk")
     )
+
+
+@query(
+    "dq_contract_orders",
+    oracle="""
+    SELECT 'date_in_range' AS rule,
+           CAST(count(*) FILTER (WHERE o_orderdate < DATE '1995-01-01'
+                                    OR o_orderdate > DATE '2002-12-31')
+             AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'nonneg_totalprice',
+           CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'notnull_custkey',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+             AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_orderkey',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def dq_contract_orders(spark, sf_dir):
+    """Declarative data-contract gate over the orders table: one row per
+    rule (domain membership, range, non-null, non-negative, key
+    uniqueness) with its violation count — the check an ingest job runs
+    before publishing a partition, and the complement of
+    ``dq_referential_orphans`` (cross-table edges) on the single-table
+    axis.  All zeros on healthy testdata (the date contract matches the
+    generator's 1995..2001 span); any nonzero names the broken rule.
+
+    Scale: ALL five rules evaluate in ONE scan — each is a conditional
+    counter in the same partial aggregate (the oracle's five-scan UNION
+    is the readable spec; Spark folds them into one pass) — then a 5-row
+    stack/unpivot produces the report.  Adding a rule costs one more
+    counter, never another scan; at 100 TB that difference is the whole
+    game."""
+    o = t(spark, sf_dir, "orders")
+    viol = o.agg(
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2002-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("date_in_range"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "nonneg_totalprice"
+        ),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "notnull_custkey"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("status_domain"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "unique_orderkey"
+        ),
+    )
+    rules = [
+        "date_in_range",
+        "nonneg_totalprice",
+        "notnull_custkey",
+        "status_domain",
+        "unique_orderkey",
+    ]
+    stack = ", ".join(f"'{r}', {r}" for r in rules)
+    return (
+        viol.selectExpr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)")
+        .select("rule", F.col("n_violations").cast("bigint").alias("n_violations"))
+        .orderBy("rule")
+    )

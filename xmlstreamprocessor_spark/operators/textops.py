@@ -1717,3 +1717,97 @@ def text_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+from xmlstreamprocessor_spark.operators.graph import (  # noqa: E402
+    _DUCK_CC_DUP_GROUPS as _CC_DUP_GROUPS_SQL,
+)
+
+
+@query(
+    "text_dedup_effective_tokens",
+    oracle="""
+    WITH comp AS ({cc}
+    ), gsz AS (
+      SELECT component, count(*) AS n_copies FROM comp GROUP BY component
+    ), percopy AS (
+      SELECT c.doc_id, g.n_copies
+      FROM comp c JOIN gsz g ON g.component = c.component
+    ), w AS (
+      SELECT d.source,
+             len(string_split_regex(trim(d.text), '\\s+')) AS tokens,
+             COALESCE(p.n_copies, 1) AS n_copies
+      FROM documents d LEFT JOIN percopy p ON p.doc_id = d.doc_id
+    ), m AS (
+      SELECT source, tokens,
+             (2000000 + n_copies) // (2 * n_copies) AS micro_w
+      FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS raw_tokens,
+           round(CAST(sum(tokens * micro_w) AS DOUBLE) / 1000000, 6)
+             AS effective_tokens,
+           round(CAST(sum(tokens * micro_w) AS DOUBLE) / 1000000
+                 / sum(tokens), 6) AS dedup_ratio
+    FROM m GROUP BY source ORDER BY source
+    """.format(cc=_CC_DUP_GROUPS_SQL),
+)
+def text_dedup_effective_tokens(spark, sf_dir):
+    """Training-data accounting AFTER soft dedup: per source, the raw
+    whitespace-token count and the EFFECTIVE token count where every
+    member of a NEAR-dup group (connected components over the >=0.5
+    exact-Jaccard pair graph — the graph_components_dup_groups chain)
+    contributes 1/group_size of its tokens; singletons count in full.
+    This is mix_soft_dedup_weights' weighting applied to the token
+    ledger at near-dup rather than exact-hash granularity — the number a
+    data-mixture designer actually budgets against, since raw counts
+    overstate a dup-heavy source's real contribution.  dedup_ratio =
+    effective/raw is the per-source redundancy factor.
+
+    Exactness: the per-copy micro-weight is the exact integer
+    round-half-up of 1e6/n_copies ((2e6 + n) div 2n), so both sums are
+    order-independent BIGINT folds and the reported ratios divide the
+    same integers in both engines.  Scale: the group table is dup-docs
+    sized (small by construction), so its join back to the corpus
+    broadcasts; token counting stays in the scan stage; the heavy lifting
+    is the pair+CC chain this REUSES (memoized in-session, cost-based,
+    never postings^2)."""
+    from xmlstreamprocessor_spark.operators.graph import (
+        graph_components_dup_groups,
+    )
+
+    comp = graph_components_dup_groups(spark, sf_dir)
+    gsz = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies")
+    )
+    percopy = comp.join(gsz, "component").select("doc_id", "n_copies")
+    d = t(spark, sf_dir, "documents")
+    base = d.join(percopy, "doc_id", "left").select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("tokens"),
+        F.coalesce(F.col("n_copies"), F.lit(1)).cast("bigint").alias("n_copies"),
+    ).withColumn(
+        "micro_w",
+        F.expr("CAST((2000000 + n_copies) DIV (2 * n_copies) AS BIGINT)"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("raw_tokens"),
+            F.sum(F.col("tokens") * F.col("micro_w")).alias("micro_eff"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            F.round(F.col("micro_eff").cast("double") / 1e6, 6).alias(
+                "effective_tokens"
+            ),
+            F.round(
+                F.col("micro_eff").cast("double") / 1e6 / F.col("raw_tokens"), 6
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("source")
+    )
