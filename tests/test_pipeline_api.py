@@ -239,3 +239,49 @@ def test_salted_join_correct_under_total_skew(spark):
     ]
     spread = es.select("salt").distinct().count()
     assert spread == S
+
+
+def test_drop_contained_removes_excerpts_keeps_containers(spark):
+    """A paragraph fully quoted inside a longer page is dropped; the page
+    and unrelated docs survive; exact-dup (mutually contained) pairs keep
+    their min-id member."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    page = base + " plus much more wrapper content around the quote " * 3
+    rows = [
+        (1, page),                 # container — survives
+        (2, base),                 # fully contained excerpt — dropped
+        (3, "совершенно unrelated text having nothing shared at all here ok"),
+        (10, "dup dup words equal equal content content here here now now"),
+        (11, "dup dup words equal equal content content here here now now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in CorpusPipeline(docs).drop_contained(threshold=0.8).df.collect()
+    )
+    assert kept == [1, 3, 10]
+
+
+def test_drop_contained_matches_registry_pairs(spark, oracle_sf_dir):
+    """Pipeline drops == distinct contained_ids of the registered query
+    (minus mutual-containment keepers) on the benchmark corpus."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    kept = {
+        r["doc_id"]
+        for r in CorpusPipeline(docs).drop_contained(threshold=0.8).df.collect()
+    }
+    pairs = REGISTRY["dedup_containment_pairs"][0](spark, oracle_sf_dir)
+    rows = pairs.collect()
+    contained = {r["contained_id"] for r in rows}
+    mutual = {(r["contained_id"], r["container_id"]) for r in rows}
+    keepers = {
+        a for (a, b) in mutual if (b, a) in mutual and a < b
+    }
+    expected_dropped = contained - keepers
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - expected_dropped
+    assert expected_dropped  # non-vacuous on this corpus

@@ -123,6 +123,49 @@ class CorpusPipeline:
             )
         return self._next(self._docs.join(drops, self._id, "left_anti"))
 
+    def drop_contained(self, threshold: float = 0.8) -> "CorpusPipeline":
+        """Drop every document whose shingle set is >= ``threshold``
+        contained in ANOTHER document (the quote/excerpt/boilerplate-
+        wrapper relation Jaccard misses — Broder's containment).  The
+        containing documents survive, so content is never lost, only its
+        redundant sub-copies.  Delegates to the audited
+        ``operators/dedup.containment_pairs`` kernel (one-sided
+        rarest-first prefix filter; see it for the scale analysis).
+
+        Mutual containment (two docs each >= threshold contained in the
+        other, e.g. exact duplicates) would drop BOTH; the min-id member
+        of such a pair is retained as the keeper."""
+        from xmlstreamprocessor_spark.operators.dedup import containment_pairs
+
+        renamed = self._docs.select(
+            F.col(self._id).alias("doc_id"), F.col(self._text).alias("text")
+        )
+        pairs = containment_pairs(
+            self._docs.sparkSession, sf_dir=None, docs=renamed,
+            threshold=threshold,
+        )
+        # mutual pairs: keep the min id (drop only the larger one)
+        mutual_keep = (
+            pairs.alias("p")
+            .join(
+                pairs.alias("q"),
+                (F.col("p.contained_id") == F.col("q.container_id"))
+                & (F.col("p.container_id") == F.col("q.contained_id")),
+            )
+            .filter(F.col("p.contained_id") < F.col("p.container_id"))
+            .select(F.col("p.contained_id").alias("_keep"))
+        )
+        drops = (
+            pairs.select(F.col("contained_id").alias(self._id))
+            .distinct()
+            .join(
+                mutual_keep.select(F.col("_keep").alias(self._id)),
+                self._id,
+                "left_anti",
+            )
+        )
+        return self._next(self._docs.join(drops, self._id, "left_anti"))
+
     def decontaminate(self, eval_docs: DataFrame, n: int = 4) -> "CorpusPipeline":
         """Drop documents sharing any word n-gram with ``eval_docs`` —
         the pre-launch benchmark-leakage filter.  The eval shingle set
