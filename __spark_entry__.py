@@ -97,6 +97,7 @@ _PRIORITY = [
     "analytic_basket_lift",
     "dq_contract_orders",
     "text_dedup_effective_tokens",
+    "similarity_topk_ivfpq_residual_adc",
 ]
 
 

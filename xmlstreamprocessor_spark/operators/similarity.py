@@ -1677,7 +1677,7 @@ def _resid_frames(spark, sf_dir):
         .crossJoin(rseeds)
         .select("vec_id", "cell", "m", "cid", dot(diff(), diff()).alias("dist"))
     )
-    return rd
+    return resid, rseeds, rd
 
 
 @query(
@@ -1715,7 +1715,7 @@ def embedding_pq_residual_encode(spark, sf_dir):
     (8 rows) and the residual codebook (16 rows) broadcast; the corpus
     never shuffles — assignment, subtraction, and encoding all run inside
     the scan stage, exactly how a 100 TB ingest encodes at write time."""
-    rd = _resid_frames(spark, sf_dir)
+    _resid, _rseeds, rd = _resid_frames(spark, sf_dir)
     w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
     best = rd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (
@@ -1785,7 +1785,7 @@ def similarity_pq_residual_distortion(spark, sf_dir):
     integers.  Scale: two broadcast-codebook linear passes joined on
     (vec_id, m) — at 100 TB run it on a sample, the statistic converges
     long before the full corpus."""
-    rd = _resid_frames(spark, sf_dir)
+    _resid, _rseeds, rd = _resid_frames(spark, sf_dir)
     rbest = rd.groupBy("vec_id", "m").agg(F.min("dist").alias("rdist"))
 
     e = t(spark, sf_dir, "embeddings")
@@ -1838,3 +1838,145 @@ def similarity_pq_residual_distortion(spark, sf_dir):
             F.lit(1.0) - F.col("resid_fp").cast("double") / F.col("plain_fp"), 6
         ).alias("gain"),
     ).orderBy("subspace")
+
+
+@query(
+    "similarity_topk_ivfpq_residual_adc",
+    oracle=_DUCK_RESID_COMMON + f""",
+    r AS (
+      SELECT vec_id, cell, m, cid,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, cid) AS rk
+      FROM rd
+    ), codes AS (
+      SELECT vec_id, max(cell) AS cell,
+             max(CASE WHEN m = 0 THEN cid END) AS code_0,
+             max(CASE WHEN m = 1 THEN cid END) AS code_1,
+             max(CASE WHEN m = 2 THEN cid END) AS code_2,
+             max(CASE WHEN m = 3 THEN cid END) AS code_3
+      FROM r WHERE rk = 1 GROUP BY vec_id
+    ), lut AS (
+      SELECT q.vec_id AS query_id, q.cell, g.m, s.cid,
+             list_dot_product({_duck_pq_diff('g.m').replace('e[', 'q.e[').replace('c[', 's.c[')},
+                              {_duck_pq_diff('g.m').replace('e[', 'q.e[').replace('c[', 's.c[')}) AS l
+      FROM resid q
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN rseeds s
+      WHERE q.vec_id < {_N_QUERIES}
+    ), adc_scored AS (
+      SELECT l0.query_id, cd.vec_id AS neighbor_id,
+             l0.l + l1.l + l2.l + l3.l AS adc
+      FROM codes cd
+      JOIN lut l0 ON l0.m = 0 AND l0.cid = cd.code_0 AND l0.cell = cd.cell
+      JOIN lut l1 ON l1.m = 1 AND l1.cid = cd.code_1
+                 AND l1.query_id = l0.query_id
+      JOIN lut l2 ON l2.m = 2 AND l2.cid = cd.code_2
+                 AND l2.query_id = l0.query_id
+      JOIN lut l3 ON l3.m = 3 AND l3.cid = cd.code_3
+                 AND l3.query_id = l0.query_id
+      WHERE cd.vec_id <> l0.query_id
+    ), adc_ranked AS (
+      SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rnk
+      FROM adc_scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rnk
+    FROM adc_ranked WHERE rnk <= {_TOP_K}
+    """,
+)
+def similarity_topk_ivfpq_residual_adc(spark, sf_dir):
+    """The COMPLETE IVF-PQ probe (Jegou et al. 2011, the faiss IVFADC
+    index): restrict candidates to the query's coarse cell (the IVF
+    half), then rank them by asymmetric distance over RESIDUAL codes —
+    each query builds a 4 x 16 LUT of subspace distances from its OWN
+    residual to the residual codebook, and every candidate costs four
+    lookups + three adds.  Composes the three ingest queries end-to-end:
+    cells from similarity_ivf_assign_cells' rule, codes from
+    embedding_pq_residual_encode, search semantics from
+    similarity_topk_pq_adc — now with the cell restriction that makes
+    the scan touch ~1/k of the codes.
+
+    Because the candidate set shares the query's cell, the centroid term
+    cancels: ||q - (ce + r_c)||^2 over the subspace equals
+    ||qresid - r_c||^2 with qresid = q - ce — so the LUT is built from
+    the query's residual directly, and the join carries an equi-condition
+    on the cell (cd.cell == lut.cell), which is exactly the posting-list
+    lookup a real IVF index does.
+
+    Exactness: LUT entries are the encoder's bit-identical sequential
+    folds; the 4-term sum is explicit ordered addition on both engines;
+    ranking ties break on neighbor_id.  Scale: LUTs are (queries x 64)
+    rows and broadcast; codes are 4 bytes + 1 cell id per vector and
+    never shuffle; the cell equi-join IS the IVF posting-list pruning."""
+    resid, rseeds, rd = _resid_frames(spark, sf_dir)
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    best = rd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    codes = best.groupBy("vec_id").agg(
+        F.max("cell").alias("cell"),
+        *[
+            F.max(F.when(F.col("m") == i, F.col("cid"))).alias(f"code_{i}")
+            for i in range(_PQ_M)
+        ],
+    )
+    subspaces = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    q = resid.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell", F.col("e")
+    )
+    diff = lambda: F.zip_with(  # noqa: E731
+        F.slice(F.col("e"), F.col("m") * _PQ_K + 1, _PQ_K),
+        F.slice(F.col("c"), F.col("m") * _PQ_K + 1, _PQ_K),
+        lambda x, y: x - y,
+    )
+    lut = (
+        q.crossJoin(F.broadcast(subspaces))
+        .crossJoin(rseeds)
+        .select("query_id", "cell", "m", "cid", dot(diff(), diff()).alias("l"))
+    )
+    luts = [
+        F.broadcast(
+            lut.filter(F.col("m") == i).select(
+                F.col("query_id").alias(f"qid_{i}"),
+                *([F.col("cell").alias("qcell")] if i == 0 else []),
+                F.col("cid").alias(f"cid_{i}"),
+                F.col("l").alias(f"l{i}"),
+            )
+        )
+        for i in range(_PQ_M)
+    ]
+    scored = (
+        codes.join(
+            luts[0],
+            (codes["code_0"] == luts[0]["cid_0"])
+            & (codes["cell"] == luts[0]["qcell"]),
+        )
+        .join(
+            luts[1],
+            (F.col("code_1") == F.col("cid_1")) & (F.col("qid_1") == F.col("qid_0")),
+        )
+        .join(
+            luts[2],
+            (F.col("code_2") == F.col("cid_2")) & (F.col("qid_2") == F.col("qid_0")),
+        )
+        .join(
+            luts[3],
+            (F.col("code_3") == F.col("cid_3")) & (F.col("qid_3") == F.col("qid_0")),
+        )
+        .filter(F.col("vec_id") != F.col("qid_0"))
+        .select(
+            F.col("qid_0").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("l0") + F.col("l1") + F.col("l2") + F.col("l3")).alias("adc"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
