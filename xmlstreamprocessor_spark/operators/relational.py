@@ -2392,3 +2392,86 @@ def dq_contract_orders(spark, sf_dir):
         .select("rule", F.col("n_violations").cast("bigint").alias("n_violations"))
         .orderBy("rule")
     )
+
+
+@query(
+    "agg_approx_percentile_accuracy",
+    oracle="""
+    SELECT 0.5 AS quantile,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2)
+             AS exact_value,
+           TRUE AS rank_within_bound
+    FROM orders
+    UNION ALL
+    SELECT 0.9,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 0.99,
+           round(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 2), TRUE
+    FROM orders
+    ORDER BY quantile
+    """,
+)
+def agg_approx_percentile_accuracy(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch) accuracy harness —
+    the percentile SCALE path: exact interpolated percentiles need a full
+    sort-or-shuffle of the column, the GK sketch is one mergeable pass.
+    Like agg_approx_distinct, the estimate itself has no SQL oracle, so
+    the oracle-able CONTRACT is emitted instead: per quantile, the exact
+    interpolated value plus a flag that the approx value's RANK is within
+    the sketch's guarantee (|rank(approx) - q*N| <= N/accuracy + 1 —
+    GK's bound is on rank, not value, so this is the honest check; the
+    sketch is deterministic for a given dataset, so the flag is stable).
+    A driver hash mismatch means the sketch broke its own bound."""
+    acc = 10_000
+    o = t(spark, sf_dir, "orders")
+    qs = [0.5, 0.9, 0.99]
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("o_totalprice", F.array(*[F.lit(x) for x in qs])).alias("ex"),
+        F.approx_percentile(
+            "o_totalprice", F.array(*[F.lit(x) for x in qs]), F.lit(acc)
+        ).alias("ap"),
+    )
+    rows = []
+    for i, qv in enumerate(qs):
+        approx = F.col("ap")[i]
+        # rank of the approx value: one conditional counter per quantile
+        # in a SECOND scan (the 1-row sketch result broadcasts onto it);
+        # two linear passes total — the exact path alone already needs a
+        # full sort, so the harness stays cheaper than what it audits
+        rows.append((i, qv))
+    ranked = (
+        o.crossJoin(F.broadcast(stats))
+        .select(
+            *[
+                F.sum(
+                    F.when(F.col("o_totalprice") <= F.col("ap")[i], 1).otherwise(0)
+                ).alias(f"rank_{i}")
+                for i, _ in rows
+            ],
+            F.first("n").alias("n"),
+            F.first("ex").alias("ex"),
+        )
+    )
+    out = ranked.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qv).alias("quantile"),
+                        F.round(F.col("ex")[i], 2).alias("exact_value"),
+                        (
+                            F.abs(F.col(f"rank_{i}") - F.lit(qv) * F.col("n"))
+                            <= F.col("n") / acc + 1
+                        ).alias("rank_within_bound"),
+                    )
+                    for i, qv in rows
+                ]
+            )
+        ).alias("r")
+    )
+    return out.select("r.quantile", "r.exact_value", "r.rank_within_bound").orderBy(
+        "quantile"
+    )
