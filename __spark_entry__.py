@@ -85,7 +85,6 @@ _PRIORITY = [
     # consumers, already have r2/r3 green verdicts and yielded their
     # slots to the never-checked round-5 queries below)
     "dedup_ngram_jaccard_pairs",
-    "dedup_keeper_by_quality",
     "dedup_embedding_cosine_pairs",
     # new queries this round (never driver-checked)
     "multimodal_image_features_png",
@@ -98,6 +97,7 @@ _PRIORITY = [
     "dq_contract_orders",
     "text_dedup_effective_tokens",
     "similarity_topk_ivfpq_residual_adc",
+    "agg_approx_percentile_accuracy",
 ]
 
 
