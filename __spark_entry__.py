@@ -33,8 +33,10 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # the pair-memo path round 5 rekeyed (its other consumers — drop_list,
 # rate_by_source, keeper_by_quality — already hold r2-r4 green verdicts and
 # yielded their slots), and the final 11 slots are every query ADDED in
-# round 5.  A green window therefore gives ALL 215 registry entries >=1
-# driver verdict across rounds 2-5.
+# round 5.  A green window therefore gives every registry entry as of the
+# window freeze >=1 driver verdict across rounds 2-5; queries added after
+# the freeze (formats_partition_pruned_read) are strict-gate green locally
+# and queued for the round-6 window.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)

@@ -82,3 +82,50 @@ def formats_roundtrip_orders(spark, sf_dir):
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "formats_partition_pruned_read",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def formats_partition_pruned_read(spark, sf_dir):
+    """Hive-style partition layout + PARTITION PRUNING, end-to-end: write
+    orders partitioned by order year (``write_partitioned`` —
+    ``partitionBy`` produces one directory per year), read back with a
+    partition-column predicate, and aggregate.  Catalyst prunes the scan
+    to the two matching directories BEFORE any file is opened — at 100 TB
+    with daily partitions this is the difference between reading 2 days
+    and 2,000; the physical plan's scan node lists the surviving
+    partitions, and the plan-audit snapshot records the pushdown.
+
+    The checksum result is materialized eagerly (same private-tempdir
+    protocol as formats_roundtrip_orders), so the returned frame has no
+    lineage into the deleted files."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("bigint")
+    )
+    base = tempfile.mkdtemp(prefix="xsp_formats_part_")
+    try:
+        formats.write_partitioned(o, base, ["order_year"])
+        back = formats.read_parquet(spark, base)
+        out = (
+            back.filter(F.col("order_year").isin(1996, 1997))
+            # partition-column values are directory names; Spark infers
+            # int32 on read-back — pin the contract type explicitly
+            .groupBy(F.col("order_year").cast("bigint").alias("order_year"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            )
+            .orderBy("order_year")
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
