@@ -82,10 +82,10 @@ _PRIORITY = [
     "pack_efficiency_report",
     "dq_referential_orphans",
     # re-checks: code round 5 touched the pair-memo keying + bounded dict
-    # (jaccard chain) and the cosine count-cache clear hook; these three
-    # consume that memo path (drop_list/rate_by_source, also memo
-    # consumers, already have r2/r3 green verdicts and yielded their
-    # slots to the never-checked round-5 queries below)
+    # (jaccard chain) and the cosine count-cache clear hook; these two
+    # consume that memo path (drop_list/rate_by_source/keeper_by_quality,
+    # also memo consumers, already have r2-r4 green verdicts and yielded
+    # their slots to the never-checked round-5 queries below)
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
     # new queries this round (never driver-checked)
