@@ -1396,3 +1396,68 @@ def analytic_basket_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(25)
     )
+
+
+@query(
+    "analytic_new_vs_returning_weekly",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events WHERE user_id IS NOT NULL
+    ), firsts AS (
+      SELECT user_id, min(week) AS first_week FROM wk GROUP BY user_id
+    )
+    SELECT strftime(w.week, '%Y-%m-%d') AS week_start,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (WHERE f.first_week = w.week) AS BIGINT)
+             AS n_new,
+           CAST(count(*) FILTER (WHERE f.first_week < w.week) AS BIGINT)
+             AS n_returning,
+           round(CAST(count(*) FILTER (WHERE f.first_week < w.week)
+                      AS DOUBLE) / count(*), 6) AS returning_share
+    FROM wk w JOIN firsts f ON f.user_id = w.user_id
+    GROUP BY w.week ORDER BY w.week
+    """,
+)
+def analytic_new_vs_returning_weekly(spark, sf_dir):
+    """Weekly NEW vs RETURNING actives — the growth-accounting split every
+    product dashboard leads with (is usage growing by acquisition or by
+    retention?).  A user is "new" in the ISO week (Monday-start, both
+    engines' date_trunc convention) of their first-ever event, "returning"
+    in every later active week.
+
+    Scale: the corpus reduces to distinct (user, week) pairs map-side
+    first; each user's first week is one more partial aggregate on the
+    SAME user-keyed shuffle, and the final join is between two
+    user-partitioned frames Catalyst co-partitions — no event-level data
+    survives past the first aggregate.  returning_share divides the two
+    exact counts."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    j = wk.join(firsts, "user_id")
+    return (
+        j.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("first_week") == F.col("week"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("first_week") < F.col("week"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+            "n_active",
+            "n_new",
+            "n_returning",
+            F.round(
+                F.col("n_returning").cast("double") / F.col("n_active"), 6
+            ).alias("returning_share"),
+        )
+        .orderBy("week_start")
+    )

@@ -129,3 +129,57 @@ def formats_partition_pruned_read(spark, sf_dir):
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "formats_bucketed_join_no_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def formats_bucketed_join_no_shuffle(spark, sf_dir):
+    """CO-BUCKETED join, end-to-end: write orders and lineitem bucketed
+    64-ways on the order key (``write_bucketed``), then join them —
+    Catalyst sees both sides' HashPartitioning as already satisfied and
+    plans a SortMergeJoin with ZERO Exchange on the join keys.  This is
+    the 100 TB pattern for a fact-fact join that runs every day: pay the
+    bucketed write once at ingest, never shuffle either table again (the
+    plan-audit snapshot records the exchange count; the pytest in
+    tests/test_formats.py asserts the no-shuffle plan directly).
+
+    The aggregate result is materialized eagerly and the scratch tables
+    dropped, so the returned frame has no lineage into them."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="xsp_formats_bkt_")
+    tag = os.path.basename(base).rsplit("_", 1)[-1]
+    t_o, t_l = f"xsp_bkt_orders_{tag}", f"xsp_bkt_lineitem_{tag}"
+    try:
+        formats.write_bucketed(
+            o, t_o, "o_orderkey", 64, path=os.path.join(base, "o")
+        )
+        formats.write_bucketed(
+            li.select("l_orderkey", "l_quantity"),
+            t_l, "l_orderkey", 64, path=os.path.join(base, "l"),
+        )
+        bo, bl = spark.table(t_o), spark.table(t_l)
+        out = (
+            bo.join(bl, bl["l_orderkey"] == bo["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("sum_qty"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        for tbl in (t_o, t_l):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(base, ignore_errors=True)
