@@ -94,3 +94,38 @@ def test_shuffle_order_differs_from_id_order(spark):
     out = _run(spark, "shuffle_deterministic_order").collect()
     ids_in_shuffle_order = [r["doc_id"] for r in out]
     assert ids_in_shuffle_order != sorted(ids_in_shuffle_order)
+
+
+def test_leakage_free_split_keeps_dup_groups_together(spark, oracle_sf_dir):
+    """The property the operator exists for: EVERY >=0.5-Jaccard near-dup
+    pair must land in the same split under group-keyed assignment —
+    and the plain per-doc split must demonstrably violate it on this
+    corpus (else the test is vacuous)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_auto
+    from xmlstreamprocessor_spark.operators.graph import (
+        graph_components_dup_groups,
+    )
+    from xmlstreamprocessor_spark.operators.sampling import _hash_bucket
+
+    comp = graph_components_dup_groups(spark, oracle_sf_dir)
+    group = {r["doc_id"]: r["component"] for r in comp.collect()}
+
+    def split_of(key):
+        import hashlib
+        b = int(hashlib.md5(str(key).encode()).hexdigest()[:7], 16) % 1000
+        return "train" if b < 850 else ("val" if b < 925 else "test")
+
+    pairs = _jaccard_pairs_auto(spark, oracle_sf_dir, 0.5).collect()
+    assert pairs
+    leaky_plain = 0
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        ga, gb = group.get(a, a), group.get(b, b)
+        # group-keyed: same component => same key => same split
+        assert ga == gb
+        assert split_of(ga) == split_of(gb)
+        if split_of(a) != split_of(b):
+            leaky_plain += 1
+    assert leaky_plain > 0  # the per-doc split WOULD leak on this corpus

@@ -333,3 +333,74 @@ def mix_soft_dedup_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _install_leakage_free_split() -> None:
+    from xmlstreamprocessor_spark.operators.graph import (
+        _DUCK_CC_DUP_GROUPS as _CC_SQL,
+    )
+
+    @query(
+        "sample_leakage_free_split",
+        oracle=f"""
+        WITH comp AS ({_CC_SQL}
+        ), keyed AS (
+          SELECT d.doc_id, d.lang,
+                 COALESCE(c.component, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        ), assigned AS (
+          SELECT lang, group_key,
+                 CASE WHEN {_duck_bucket('group_key')} < 850 THEN 'train'
+                      WHEN {_duck_bucket('group_key')} < 925 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM keyed
+        )
+        SELECT lang, split, count(*) AS n_docs,
+               CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups
+        FROM assigned GROUP BY lang, split
+        ORDER BY lang, split
+        """,
+    )
+    def sample_leakage_free_split(spark, sf_dir):
+        """LEAKAGE-FREE train/val/test split: hash-band assignment keyed by
+        the NEAR-DUP GROUP (connected components over the >=0.5 exact-
+        Jaccard pair graph; singletons key by their own id), so every
+        member of a dup group lands in the SAME split.  The plain
+        per-document split (sample_train_val_split) silently places near-
+        copies of one document on both sides of the train/eval boundary —
+        the eval simply memorizes training data; group-keyed assignment is
+        the split a curation pipeline must actually run after dedup
+        analysis.  Membership stays a property of the row's group, so
+        later data additions never move an existing group between splits.
+
+        Scale: the group table is dup-docs sized (small by construction)
+        and its join back to the corpus broadcasts; assignment is a
+        projection; only the audit count shuffles.  The heavy lifting is
+        the pair+CC chain this REUSES (memoized in-session, cost-based,
+        never postings^2)."""
+        from xmlstreamprocessor_spark.operators.graph import (
+            graph_components_dup_groups,
+        )
+
+        comp = graph_components_dup_groups(spark, sf_dir).select(
+            "doc_id", "component"
+        )
+        d = t(spark, sf_dir, "documents")
+        keyed = d.join(comp, "doc_id", "left").select(
+            "lang",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_key"),
+        )
+        b = _hash_bucket(F.col("group_key"))
+        split = F.when(b < 850, "train").when(b < 925, "val").otherwise("test")
+        return (
+            keyed.select("lang", "group_key", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("group_key").cast("bigint").alias("n_groups"),
+            )
+            .orderBy("lang", "split")
+        )
+
+
+_install_leakage_free_split()
