@@ -132,10 +132,19 @@ class CorpusPipeline:
         ``operators/dedup.containment_pairs`` kernel (one-sided
         rarest-first prefix filter; see it for the scale analysis).
 
-        Mutual containment (two docs each >= threshold contained in the
-        other, e.g. exact duplicates) would drop BOTH; the min-id member
-        of such a pair is retained as the keeper."""
+        Mutual containment (docs each >= threshold contained in one
+        another, e.g. exact duplicates) would drop the WHOLE group; the
+        global min-id member of each mutual-equivalence GROUP survives as
+        the keeper.  Group-level, not pair-level: a 3-clique of exact
+        duplicates {A, B, C} keeps only A — per-pair min-id logic would
+        keep every doc that wins at least one of its pairs ({A, B} here),
+        letting duplicates through.  Keepers are resolved by connected
+        components over the undirected mutual-pair graph (mutual pairs
+        are the rare symmetric slice of the containment output — ~one
+        edge per duplicate cluster — so the closure is tiny by
+        construction)."""
         from xmlstreamprocessor_spark.operators.dedup import containment_pairs
+        from xmlstreamprocessor_spark.operators.graph import connected_components
 
         renamed = self._docs.select(
             F.col(self._id).alias("doc_id"), F.col(self._text).alias("text")
@@ -144,8 +153,8 @@ class CorpusPipeline:
             self._docs.sparkSession, sf_dir=None, docs=renamed,
             threshold=threshold,
         )
-        # mutual pairs: keep the min id (drop only the larger one)
-        mutual_keep = (
+        # mutual-pair edges (undirected, one row per unordered pair)
+        mutual = (
             pairs.alias("p")
             .join(
                 pairs.alias("q"),
@@ -153,16 +162,21 @@ class CorpusPipeline:
                 & (F.col("p.container_id") == F.col("q.contained_id")),
             )
             .filter(F.col("p.contained_id") < F.col("p.container_id"))
-            .select(F.col("p.contained_id").alias("_keep"))
+            .select(
+                F.col("p.contained_id").alias("src"),
+                F.col("p.container_id").alias("dst"),
+            )
+        )
+        # component label IS the min reachable id -> keepers are the
+        # nodes labelled by themselves
+        comp = connected_components(mutual, src="src", dst="dst")
+        mutual_keep = comp.filter(F.col("node") == F.col("component")).select(
+            F.col("node").alias(self._id)
         )
         drops = (
             pairs.select(F.col("contained_id").alias(self._id))
             .distinct()
-            .join(
-                mutual_keep.select(F.col("_keep").alias(self._id)),
-                self._id,
-                "left_anti",
-            )
+            .join(mutual_keep, self._id, "left_anti")
         )
         return self._next(self._docs.join(drops, self._id, "left_anti"))
 
