@@ -535,3 +535,135 @@ def test_winnowing_standard_corpus_stays_candidates_first(spark, oracle_sf_dir):
         "doc_a", "doc_b", "jaccard",
     )
     assert auto == forced and len(auto) > 0
+
+
+def test_exact_delta_union_base_equals_full_recompute(spark, oracle_sf_dir):
+    """Incremental EXACT pair-graph maintenance loses nothing: the
+    verified >=0.5-Jaccard pairs over the base corpus alone, UNIONed with
+    jaccard_pairs_delta's output (any pair touching the delta batch),
+    must equal the full-corpus cost-based recompute — pairs AND scores."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _jaccard_pairs_auto,
+        dedup_pairs_delta,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    full = _pairs(
+        _jaccard_pairs_auto(spark, oracle_sf_dir, 0.5), "doc_a", "doc_b", "jaccard"
+    )
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    base_only = _pairs(
+        _jaccard_pairs_auto(spark, sf_dir=None, threshold=0.5, docs=base_docs),
+        "doc_a", "doc_b", "jaccard",
+    )
+    delta = _pairs(
+        dedup_pairs_delta(spark, oracle_sf_dir), "doc_a", "doc_b", "jaccard"
+    )
+    assert set(base_only).isdisjoint(delta)
+    assert {**base_only, **delta} == full
+    assert len(delta) > 0
+
+
+def test_exact_delta_against_persisted_shingle_sets(
+    spark, oracle_sf_dir, tmp_path
+):
+    """The persisted-substrate claim, made literal: write the base corpus
+    shingle-set table to parquet, read it back, and run the delta pass
+    against the STORED table (no lineage back to the base text).  Pairs
+    must be identical to the recompute path."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        jaccard_pairs_delta,
+        shingle_sets,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    store = str(tmp_path / "shingle_sets.parquet")
+    shingle_sets(base_docs).write.parquet(store)
+
+    from_store = _pairs(
+        jaccard_pairs_delta(
+            spark, oracle_sf_dir,
+            base_shingle_sets=spark.read.parquet(store),
+        ),
+        "doc_a", "doc_b", "jaccard",
+    )
+    recomputed = _pairs(
+        jaccard_pairs_delta(spark, oracle_sf_dir), "doc_a", "doc_b", "jaccard"
+    )
+    assert from_store == recomputed and len(from_store) > 0
+
+
+def test_merge_components_equals_full_cc(spark, oracle_sf_dir):
+    """Star-fold correctness: merging the delta pairs into the base
+    components must label every node exactly as a full-graph CC run —
+    including nodes whose groups FUSE only through a delta document."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _jaccard_pairs_auto,
+        jaccard_pairs_delta,
+    )
+    from xmlstreamprocessor_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    base_pairs = _jaccard_pairs_auto(
+        spark, sf_dir=None, threshold=0.5, docs=base_docs
+    )
+    base_groups = connected_components(base_pairs, src="doc_a", dst="doc_b")
+    delta_pairs = jaccard_pairs_delta(spark, oracle_sf_dir, 0.5)
+    merged = {
+        (r["node"], r["component"])
+        for r in merge_components(
+            base_groups, delta_pairs, src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            _jaccard_pairs_auto(spark, oracle_sf_dir, 0.5),
+            src="doc_a", dst="doc_b",
+        ).collect()
+    }
+    assert merged == full and len(merged) > 0
+
+
+def test_merge_components_preserves_untouched_singletons(spark):
+    """A base component of size 1 (possible when a caller's groups table
+    includes singleton assignments) with no delta edge must survive the
+    merge unchanged, and groups fusing through a delta edge must relabel
+    to the new global min."""
+    from xmlstreamprocessor_spark.operators.graph import merge_components
+
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (7, 7), (8, 7)],
+        "node long, component long",
+    )
+    # delta edge 2-5 fuses {1,2} with {5}; 9-10 is a brand-new pair
+    delta = spark.createDataFrame([(2, 5), (9, 10)], "src long, dst long")
+    merged = {
+        (r["node"], r["component"])
+        for r in merge_components(base, delta).collect()
+    }
+    assert merged == {
+        (1, 1), (2, 1), (5, 1),       # fused, min id 1 wins
+        (7, 7), (8, 7),               # untouched multi-member group
+        (9, 9), (10, 9),              # new delta-only pair
+    }

@@ -290,6 +290,77 @@ def graph_dup_group_sizes(spark, sf_dir):
     )
 
 
+def merge_components(
+    base_components: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fold a DELTA edge batch into an existing (node, component)
+    assignment without touching the base edge list — incremental
+    connected-components maintenance.
+
+    Correctness: each base component is connectivity-equivalent to its
+    STAR (every member linked to the component label), so
+    CC(base_edges UNION delta_edges) == CC(base_star UNION delta_edges).
+    The star has one edge per non-keeper member — typically orders of
+    magnitude smaller than the pair list it summarizes — and the delta
+    edges are an ingest batch, so the merge closure runs on a graph
+    proportional to GROUP membership + delta, never the historical pair
+    volume.  Base components untouched by any delta edge keep their
+    labels by construction (their star is re-closed to the same min id);
+    singleton assignments (node == component, no star edge) are unioned
+    back in unchanged."""
+    star = base_components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    edges = star.unionByName(
+        delta_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    merged = connected_components(edges, src="src", dst="dst")
+    # a base singleton component with no delta edge contributes no edge
+    # rows, so CC never sees it — restore the self-assignment
+    untouched = base_components.select("node").join(
+        merged.select("node"), "node", "left_anti"
+    )
+    return merged.unionByName(
+        untouched.withColumn("component", F.col("node"))
+    )
+
+
+@query("graph_components_incremental", oracle=_DUCK_CC_DUP_GROUPS)
+def graph_components_incremental(spark, sf_dir):
+    """End-to-end incremental dup-group maintenance: the base corpus
+    (doc_id % 10 != 7) contributes its PERSISTED artifacts — the verified
+    pair table's connected components — while the delta batch runs
+    :func:`dedup.jaccard_pairs_delta` (delta-prefix x postings candidates
+    only) and :func:`merge_components` folds the new pairs in.  The
+    oracle is the recursive-CTE closure of the FULL-corpus exact pair
+    graph, so the driver hash-checks that the incremental path loses
+    nothing vs a full recompute: this is the query that converts the
+    repo's most expensive recurring chain (full pair-graph rebuild per
+    report, ~115 s at sf1) into an ingest-time delta cost.  For oracle
+    determinism the base artifacts are recomputed inline; pytest proves
+    the parquet-persisted path emits identical groups."""
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _jaccard_pairs_auto,
+        jaccard_pairs_delta,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
+    base_pairs = _jaccard_pairs_auto(
+        spark, sf_dir=None, threshold=0.5, docs=d.filter(~is_delta)
+    )
+    base_groups = connected_components(base_pairs, src="doc_a", dst="doc_b")
+    delta_pairs = jaccard_pairs_delta(spark, sf_dir, 0.5)
+    return merge_components(
+        base_groups, delta_pairs, src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), "component")
+
+
 @query(
     "graph_components_minhash_groups",
     oracle=_DUCK_CC_DUP_GROUPS.replace(">= 0.5", ">= 0.8"),
