@@ -150,7 +150,13 @@ def sliding_distinct_users(
     the trailing report hours are silently dropped as late (judge-advice
     r4, high).  The delay MUST exceed the 23h fan-out horizon plus the
     real lateness budget; the default 26h allows 3h of true lateness, and
-    anything below 24h is rejected outright rather than miscounting."""
+    anything below 24h is rejected outright rather than miscounting.
+    Observed enforcement detail (pinned by the multi-micro-batch late
+    tests): Spark filters a batch's late INPUT against the watermark as
+    of the previous batch's planning — one batch behind the eviction
+    watermark — so a late row arriving in the very batch the watermark
+    first advances is still admitted; the budget is exact from the next
+    batch on."""
     if _parse_duration_hours(watermark) < 24.0:
         raise ValueError(
             "sliding_distinct_users: watermark %r is below the 24h fan-out "
