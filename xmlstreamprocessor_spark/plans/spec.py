@@ -334,9 +334,37 @@ class Struct(_Slot):
             ]
         )
         super().__init__("element", pattern, dt)
+        self._tables: tuple | None = None
+
+    def _build_tables(self) -> tuple:
+        """Per-spec slot tables, built ONCE and reused for every record —
+        the reference compiles its slot layout at CreateParser time
+        (Parser.cs:110-115) and pays only fills per record; rebuilding
+        the refs() walk per record was measured at ~40% of kernel CPU on
+        the orders round-trip.  The last member is the name->slot match
+        memo (bounded; see _eval_record)."""
+        elem_slots: list[_Slot] = []
+        attr_slots: list[_Slot] = []
+        tag_slots: list[_Slot] = []
+        for f in self.fields.values():
+            for s in f.refs():
+                if s.kind == "element":
+                    elem_slots.append(s)
+                elif s.kind == "attr":
+                    attr_slots.append(s)
+                elif s.kind == "tag":
+                    tag_slots.append(s)
+        self._tables = (
+            elem_slots,
+            attr_slots,
+            tag_slots,
+            list(self.fields.items()),
+            {},
+        )
+        return self._tables
 
     def parse(self, elem):
-        return _eval_record(elem, self.fields)
+        return _eval_record(elem, self._tables or self._build_tables())
 
 
 class Arr(_Slot):
@@ -348,26 +376,41 @@ class Arr(_Slot):
     def __init__(self, pattern: str, inner: Spec):
         self.inner = inner
         super().__init__("element", pattern, T.ArrayType(inner.dtype(), True))
+        self._tables: tuple | None = None
+
+    def _build_tables(self) -> tuple:
+        """Compile-once slot tables (same move as Struct._build_tables);
+        the per-emit slot reset (Parser.cs:272-277) becomes one dict copy
+        of the precomputed defaults."""
+        refs = self.inner.refs()
+        slots_schema = [s for s in refs if s.kind == "element"]
+        attr_slots = [s for s in refs if s.kind == "attr"]
+        tag_slots = [s for s in refs if s.kind == "tag"]
+        defaults = {s.slot_id: s.default() for s in slots_schema}
+        self._tables = (slots_schema, attr_slots, tag_slots, defaults, {})
+        return self._tables
 
     def parse(self, elem):
+        slots_schema, attr_slots, tag_slots, defaults, memo = (
+            self._tables or self._build_tables()
+        )
         out = []
-        slots_schema = [s for s in self.inner.refs() if s.kind == "element"]
-        attr_slots = [s for s in self.inner.refs() if s.kind == "attr"]
-        tag_slots = [s for s in self.inner.refs() if s.kind == "tag"]
-        base: dict[int, Any] = {}
+        base: dict[int, Any] = dict(defaults)
         for s in attr_slots:  # container attributes are in scope
             base[s.slot_id] = s.parse(elem)
         for child in elem:
-            slot = _match_slot(slots_schema, _localname(child.tag))
+            name = _localname(child.tag)
+            slot = memo.get(name, _MATCH_MISS)
+            if slot is _MATCH_MISS:
+                slot = _match_slot(slots_schema, name)
+                if len(memo) < _MATCH_MEMO_MAX:
+                    memo[name] = slot
             if slot is None:
                 continue  # skip-unknown (Parser.cs:194-202)
             slots = dict(base)
             slots[slot.slot_id] = slot.parse(child)
             for s in tag_slots:
-                slots[s.slot_id] = _localname(child.tag)
-            for s in slots_schema:
-                if s.slot_id not in slots:
-                    slots[s.slot_id] = s.default()
+                slots[s.slot_id] = name
             out.append(self.inner.eval(slots))
         return out
 
