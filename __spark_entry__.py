@@ -24,82 +24,74 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  Rounds 2-4 put a
-# green driver verdict on 171 of the 204 round-4 registry entries (0 red,
-# cumulative).  The ROUND-5 window (exactly 50): the 4 XML round-trips stay
-# pinned (the reference-derived §2A surface must stay checked every round),
-# the next 33 slots are EVERY query that had no driver verdict in rounds
-# 1-4 (the round-4 late additions, per VERDICT r4 gap #1), 2 slots re-check
-# the pair-memo path round 5 rekeyed (its other consumers — drop_list,
-# rate_by_source, keeper_by_quality — already hold r2-r4 green verdicts and
-# yielded their slots), and the final 11 slots are every query ADDED in
-# round 5.  A green window therefore gives every registry entry as of the
-# window freeze >=1 driver verdict across rounds 2-5; queries added after
-# the freeze (formats_partition_pruned_read) are strict-gate green locally
-# and queued for the round-6 window.
+# the head of the ordering is a per-round curated window.  ROUND-7 window
+# (r6 verdict task #3): the 4 XML round-trips stay pinned (the
+# reference-derived §2A surface — round 7 rebuilt the Python kernel's
+# _eval_record, so these four are also this round's re-check targets); the
+# next 7 slots are EVERY query that has never held a driver verdict in any
+# round (4 carried from the un-rotated r6 window + the 3 round-6 additions)
+# — a green window makes cumulative driver coverage 222/222; the remaining
+# 39 slots are the STALEST re-checks (last green r1/r2, computed from
+# CORRECTNESS_r01..r06), freshening the oldest verdicts in the ledger.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
 # before shipping a round.
 _PRIORITY = [
-    # §2A reference surface (pinned every round)
+    # §2A reference surface (pinned every round; kernel rebuilt round 7)
     "xml_roundtrip_orders_struct",
     "xml_roundtrip_orders_struct_jvm",
     "xml_roundtrip_wildcard_tag_events",
     "xml_roundtrip_lineitem_array",
-    # the 33 never-driver-checked round-4 late additions (VERDICT r4 #1)
-    "analytic_time_to_convert",
-    "analytic_burst_rate_outliers",
-    "analytic_cohort_ltv_triangle",
-    "analytic_interpurchase_gaps",
-    "analytic_event_path_top3",
-    "analytic_user_survival_weeks",
-    "analytic_yoy_revenue_growth",
-    "analytic_order_backlog_sweep",
-    "temporal_seasonality_dow_hour",
-    "window_sliding_24h_distinct_users",
-    "embedding_unitnorm_check",
-    "similarity_pq_distortion",
-    "similarity_knn_mutual_degree",
-    "similarity_ivf_cell_balance",
-    "similarity_triplet_hardest",
-    "similarity_triplet_lsh_negatives",
-    "dedup_threshold_sweep",
-    "dedup_winnowing_pairs",
-    "dedup_group_size_histogram",
-    "dedup_source_overlap_matrix",
-    "dedup_group_lang_purity",
-    "mix_epoch_plan",
-    "mix_soft_dedup_weights",
-    "text_unigram_entropy",
-    "text_length_histogram",
-    "text_jsd_by_source",
-    "text_zipf_slope",
-    "text_cms_heavy_hitters",
-    "profile_documents_table",
-    "tokenizer_vocab_coverage",
-    "agg_mode_status_by_priority",
-    "pack_efficiency_report",
-    "dq_referential_orphans",
-    # re-checks: code round 5 touched the pair-memo keying + bounded dict
-    # (jaccard chain) and the cosine count-cache clear hook; these two
-    # consume that memo path (drop_list/rate_by_source/keeper_by_quality,
-    # also memo consumers, already have r2-r4 green verdicts and yielded
-    # their slots to the never-checked round-5 queries below)
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs",
-    # new queries this round (never driver-checked)
-    "multimodal_image_features_png",
-    "similarity_index_delta_assign",
-    "embedding_pq_residual_encode",
-    "similarity_pq_residual_distortion",
-    "text_ngram_novelty",
-    "dedup_containment_pairs",
-    "analytic_basket_lift",
-    "dq_contract_orders",
-    "text_dedup_effective_tokens",
-    "similarity_topk_ivfpq_residual_adc",
-    "agg_approx_percentile_accuracy",
+    # never driver-checked in any round (r6 verdict "What's missing" #1)
+    "formats_partition_pruned_read",
+    "formats_bucketed_join_no_shuffle",
+    "sample_leakage_free_split",
+    "analytic_new_vs_returning_weekly",
+    "dedup_pairs_delta",
+    "graph_components_incremental",
+    "pipeline_drop_contained_stats",
+    # stalest re-checks: last driver green was round 1
+    "agg_distinct_counts",
+    "agg_grouping_sets_mixed",
+    "agg_minmax_stats",
+    "agg_percentiles_price_by_returnflag",
+    "distinct_order_status_priority",
+    "join_anti_customers_without_orders",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_presence",
+    "join_nonequi_price_band",
+    "join_right_orders_customer_segment",
+    "join_salted_skewed_fact_dim",
+    "join_semi_customers_with_high_value_order",
+    "q10_returned_items",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "scalar_array_functions",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "subquery_in_top_nations",
+    "subquery_scalar_above_avg_price",
+    # stalest re-checks: last driver green was round 2
+    "agg_argmax_order_per_customer",
+    "agg_cube_lineitem_flags",
+    "agg_rollup_order_year_priority",
+    "agg_salted_skewed_event_totals",
+    "asof_join_purchase_last_view",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
 ]
 
 

@@ -310,7 +310,13 @@ def merge_components(
     volume.  Base components untouched by any delta edge keep their
     labels by construction (their star is re-closed to the same min id);
     singleton assignments (node == component, no star edge) are unioned
-    back in unchanged."""
+    back in unchanged.
+
+    PRECONDITION: component labels must be MEMBER node ids with min-id
+    labeling, as :func:`connected_components` produces (label == min
+    member id, so ``node == component`` identifies exactly the keeper /
+    singleton rows).  An arbitrary non-member label would enter the star
+    as a phantom node and leak into the output."""
     star = base_components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("src"), F.col("component").alias("dst")
     )

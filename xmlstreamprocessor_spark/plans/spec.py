@@ -427,30 +427,44 @@ def _match_slot(slots: list[_Slot], name: str) -> _Slot | None:
     return None
 
 
-def _eval_record(elem, fields: dict[str, Spec]) -> dict[str, Any]:
-    """TypeParser.Parse (Parser.cs:119-208): walk children once, fill slots
-    first-occurrence-wins, then evaluate every field expression."""
+# Sentinel distinguishing "memo has no entry for this tag name" from a cached
+# no-match (None).  The memo is bounded so adversarial streams of distinct
+# tag names can't grow it without limit; past the cap, unseen names fall
+# back to the linear _match_slot scan with unchanged semantics.
+_MATCH_MISS = object()
+_MATCH_MEMO_MAX = 4096
+
+
+def _eval_record(elem, tables: tuple) -> dict[str, Any]:
+    """TypeParser.Parse (Parser.cs:119-208): fill the precompiled slot
+    tables from one element — attribute/tag slots first, then one pass over
+    the children with first-occurrence-wins (Parser.cs:224-228) — and
+    evaluate every field expression.  ``tables`` is the
+    ``Struct._build_tables()`` product ``(elem_slots, attr_slots,
+    tag_slots, field_items, memo)``; the memo caches localname->slot match
+    results across records (same miss-sentinel pattern as ``Arr.parse``)."""
+    elem_slots, attr_slots, tag_slots, field_items, memo = tables
     slots: dict[int, Any] = {}
-    elem_slots: list[_Slot] = []
-    for f in fields.values():
-        for s in f.refs():
-            if s.kind == "element":
-                elem_slots.append(s)
-            elif s.kind == "attr":
-                slots[s.slot_id] = s.parse(elem)
-            elif s.kind == "tag":
-                slots[s.slot_id] = s.parse(elem)
+    for s in attr_slots:
+        slots[s.slot_id] = s.parse(elem)
+    for s in tag_slots:
+        slots[s.slot_id] = s.parse(elem)
     for child in elem:
-        slot = _match_slot(elem_slots, _localname(child.tag))
+        name = _localname(child.tag)
+        slot = memo.get(name, _MATCH_MISS)
+        if slot is _MATCH_MISS:
+            slot = _match_slot(elem_slots, name)
+            if len(memo) < _MATCH_MEMO_MAX:
+                memo[name] = slot
         if slot is None:
-            continue
+            continue  # skip-unknown (Parser.cs:194-202)
         if slot.slot_id in slots:
             continue  # first-occurrence-wins (Parser.cs:224-228)
         slots[slot.slot_id] = slot.parse(child)
     for s in elem_slots:
         if s.slot_id not in slots:
             slots[s.slot_id] = s.default()
-    return {name: f.eval(slots) for name, f in fields.items()}
+    return {name: f.eval(slots) for name, f in field_items}
 
 
 # ---------------------------------------------------------------------------
