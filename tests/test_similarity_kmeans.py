@@ -189,3 +189,65 @@ def test_index_delta_assign_against_persisted_index(spark, oracle_sf_dir, tmp_pa
     ).collect()
     self_computed = similarity_index_delta_assign(spark, oracle_sf_dir).collect()
     assert [tuple(r) for r in stored] == [tuple(r) for r in self_computed]
+
+
+def test_ivfpq_rerank_invariants(spark, oracle_sf_dir):
+    """Two-stage retrieval sanity: (a) every reranked neighbor came from
+    the ADC shortlist; (b) reranked cos_sim values equal the bruteforce
+    EXACT scores for the same (query, neighbor) pairs — the rerank stage
+    must not re-approximate; (c) per-query recall@10 vs the exact top-10
+    is >= the plain ADC top-10's recall (rerank can only fix ranking
+    errors inside the shortlist, never add new ones)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import (
+        _RERANK_SHORTLIST,
+        _TOP_K,
+        _resid_adc_scored,
+    )
+
+    rerank = REGISTRY["similarity_topk_ivfpq_rerank"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rerank) > 0
+    by_q = {}
+    for r in rerank:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= _TOP_K
+
+    ws = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _resid_adc_scored(spark, oracle_sf_dir)
+        .withColumn("rnk", FF.row_number().over(ws))
+        .filter(FF.col("rnk") <= _RERANK_SHORTLIST)
+        .collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in rerank} <= shortlist
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in REGISTRY["similarity_topk_bruteforce"][0](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    exact_topk = {}
+    for (q, n), _ in exact.items():
+        exact_topk.setdefault(q, set()).add(n)
+    for r in rerank:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:  # overlapping pair: scores must agree exactly
+            assert r["cos_sim"] == exact[key]
+
+    adc = REGISTRY["similarity_topk_ivfpq_residual_adc"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    adc_topk = {}
+    for r in adc:
+        adc_topk.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, truth in exact_topk.items():
+        rr = {r["neighbor_id"] for r in by_q.get(q, [])}
+        assert len(rr & truth) >= len(adc_topk.get(q, set()) & truth)

@@ -1246,3 +1246,91 @@ def test_stream_index_codebook_rollover(spark, tmp_path):
     stale_v1 = as_set(stream_index_assign(batch_b, cents1, seeds1).collect())
     assert got_b == fresh_v2          # post-restart rows follow the NEW books
     assert got_b.isdisjoint(stale_v1)  # and every row relabeled vs the old
+
+
+def test_stream_pair_graph_maintenance_equals_full_recompute(spark, tmp_path):
+    """The streaming face of the incremental exact-pair chain: documents
+    arrive in 3 separate micro-batches; pair_graph_foreach_batch maintains
+    the persisted shingle/pair/component artifacts per batch.  The final
+    pairs table must equal the full-corpus >=0.5-Jaccard recompute, the
+    final component snapshot must equal full-graph CC, and a restart on
+    the same checkpoint must change nothing (idempotent foreachBatch)."""
+    import os
+    import shutil
+
+    from xmlstreamprocessor_spark.operators.dedup import _jaccard_pairs_auto
+    from xmlstreamprocessor_spark.operators.graph import connected_components
+    from xmlstreamprocessor_spark.streaming import (
+        pair_graph_foreach_batch,
+        pair_graph_state,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+    # stage 3 micro-batches (doc_id % 3) as separate files, mtime-ordered
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    base_t = 1_700_000_000
+    for i in range(3):
+        stage = tmp_path / f"_stage_{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dest = src / f"batch_{i}.parquet"
+        shutil.copyfile(stage / part, dest)
+        os.utime(dest, (base_t + 60 * i, base_t + 60 * i))
+
+    state_dir = str(tmp_path / "pair_state")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                pair_graph_foreach_batch(state_dir, threshold=0.5)
+            )
+            .option("checkpointLocation", str(tmp_path / "pg_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n_batches = len(
+        [d for d in os.listdir(f"{state_dir}/pairs") if d.startswith("batch_id=")]
+    )
+    assert n_batches == 3, f"expected 3 micro-batches, got {n_batches}"
+
+    pairs, comp = pair_graph_state(spark, state_dir)
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()
+    }
+    full = _jaccard_pairs_auto(spark, sf_dir=None, threshold=0.5, docs=docs)
+    want_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in full.collect()
+    }
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+    got_comp = {(r["node"], r["component"]) for r in comp.collect()}
+    want_comp = {
+        (r["node"], r["component"])
+        for r in connected_components(full, src="doc_a", dst="doc_b").collect()
+    }
+    assert got_comp == want_comp
+
+    # restart on the drained checkpoint: no new batches, state unchanged
+    run_once()
+    pairs2, comp2 = pair_graph_state(spark, state_dir)
+    assert {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs2.collect()
+    } == want_pairs
+    assert {(r["node"], r["component"]) for r in comp2.collect()} == want_comp

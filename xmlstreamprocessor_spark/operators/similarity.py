@@ -1909,6 +1909,25 @@ def similarity_topk_ivfpq_residual_adc(spark, sf_dir):
     ranking ties break on neighbor_id.  Scale: LUTs are (queries x 64)
     rows and broadcast; codes are 4 bytes + 1 cell id per vector and
     never shuffle; the cell equi-join IS the IVF posting-list pruning."""
+    scored = _resid_adc_scored(spark, sf_dir)
+    wr = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+def _resid_adc_scored(spark, sf_dir):
+    """The IVFADC candidate scorer shared by the ADC top-k and the rerank
+    probe: every (query, same-cell candidate) pair with its asymmetric
+    distance — cells restricted by the equi-join, LUTs broadcast, codes
+    never shuffled."""
     resid, rseeds, rd = _resid_frames(spark, sf_dir)
     w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
     best = rd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
@@ -1969,14 +1988,131 @@ def similarity_topk_ivfpq_residual_adc(spark, sf_dir):
             (F.col("l0") + F.col("l1") + F.col("l2") + F.col("l3")).alias("adc"),
         )
     )
-    wr = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rnk") <= _TOP_K)
+    return scored
+
+
+_RERANK_SHORTLIST = 30  # ADC shortlist size feeding the exact rerank
+
+
+@query(
+    "similarity_topk_ivfpq_rerank",
+    oracle=_DUCK_RESID_COMMON + f""",
+    r AS (
+      SELECT vec_id, cell, m, cid,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, cid) AS rk
+      FROM rd
+    ), codes AS (
+      SELECT vec_id, max(cell) AS cell,
+             max(CASE WHEN m = 0 THEN cid END) AS code_0,
+             max(CASE WHEN m = 1 THEN cid END) AS code_1,
+             max(CASE WHEN m = 2 THEN cid END) AS code_2,
+             max(CASE WHEN m = 3 THEN cid END) AS code_3
+      FROM r WHERE rk = 1 GROUP BY vec_id
+    ), lut AS (
+      SELECT q.vec_id AS query_id, q.cell, g.m, s.cid,
+             list_dot_product({_duck_pq_diff('g.m').replace('e[', 'q.e[').replace('c[', 's.c[')},
+                              {_duck_pq_diff('g.m').replace('e[', 'q.e[').replace('c[', 's.c[')}) AS l
+      FROM resid q
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+      CROSS JOIN rseeds s
+      WHERE q.vec_id < {_N_QUERIES}
+    ), adc_scored AS (
+      SELECT l0.query_id, cd.vec_id AS neighbor_id,
+             l0.l + l1.l + l2.l + l3.l AS adc
+      FROM codes cd
+      JOIN lut l0 ON l0.m = 0 AND l0.cid = cd.code_0 AND l0.cell = cd.cell
+      JOIN lut l1 ON l1.m = 1 AND l1.cid = cd.code_1
+                 AND l1.query_id = l0.query_id
+      JOIN lut l2 ON l2.m = 2 AND l2.cid = cd.code_2
+                 AND l2.query_id = l0.query_id
+      JOIN lut l3 ON l3.m = 3 AND l3.cid = cd.code_3
+                 AND l3.query_id = l0.query_id
+      WHERE cd.vec_id <> l0.query_id
+    ), shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rnk
+            FROM adc_scored)
+      WHERE rnk <= {_RERANK_SHORTLIST}
+    ), exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             {duck_cosine6('q.embedding', 'c.embedding')} AS cos_sim
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+    ), reranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM reranked WHERE rnk <= {_TOP_K}
+    """,
+)
+def similarity_topk_ivfpq_rerank(spark, sf_dir):
+    """Two-stage retrieval — the pattern every production ANN service
+    runs: the compressed index (IVFADC) produces a cheap shortlist of
+    {_RERANK_SHORTLIST} candidates per query, then the EXACT cosine over
+    full-precision vectors reranks just that shortlist to the final
+    top-{_TOP_K}.  The quantizer's job shrinks to "don't lose the true
+    neighbors from a 30-candidate shortlist" (recall@shortlist), which is
+    a far easier bar than ranking them — rerank fixes the ADC
+    approximation error for free at 30 exact dot products per query.
+
+    Scale: stage 1 is the audited IVFADC probe (codes never shuffle, LUTs
+    broadcast); stage 2 touches ``queries x {_RERANK_SHORTLIST}``
+    full-precision vectors — at 100 TB the full vectors live in their own
+    parquet table keyed by vec_id, and the rerank join is a point-lookup
+    pattern (shortlist broadcast against the vector table, or a
+    bucketed-on-vec_id co-located join), never a corpus scan.
+
+    Exactness: the shortlist is ADC-rank deterministic (dist, cid / adc,
+    neighbor_id tiebreaks); the rerank reuses the bruteforce query's
+    hoisted-norm cosine expression so scores agree with the oracle
+    bit-for-bit before the 6-decimal rounding."""
+    scored = _resid_adc_scored(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= _RERANK_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("qe"),
+        )
+        .withColumn("nq", norm(F.col("qe")))
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("ce"),
+    ).withColumn("nc", norm(F.col("ce")))
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.col("adc"), 6).alias("adc_dist"),
-            "rnk",
+            F.round(
+                F.when(
+                    F.col("nq") * F.col("nc") != 0,
+                    dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

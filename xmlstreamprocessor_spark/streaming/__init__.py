@@ -15,6 +15,8 @@ from xmlstreamprocessor_spark.streaming.windows import (
 from xmlstreamprocessor_spark.streaming.dedup import (
     dedup_kafka_offsets,
     dedup_within_watermark,
+    pair_graph_foreach_batch,
+    pair_graph_state,
     stream_dedup_chunks,
     stream_dedup_minhash,
 )
@@ -51,6 +53,8 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "dedup_kafka_offsets",
+    "pair_graph_foreach_batch",
+    "pair_graph_state",
     "stream_dedup_chunks",
     "stream_dedup_minhash",
     "sessionize_stateful",
