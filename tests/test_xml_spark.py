@@ -832,3 +832,65 @@ def test_scan_row_tag_offsets_chunked_and_span_aware(tmp_path):
     assert _scan_row_tag_offsets(str(p), "r") == want
     for chunk in (1, 3, 7, 130, 1 << 20):
         assert _scan_row_tag_offsets(str(p), "r", chunk_size=chunk) == want
+
+
+def test_udtf_array_extraction_matches_kernel(spark):
+    """The SQL table-function surface (sources/udtf.py) must agree with
+    the compiled-kernel array path: same children, same order, same typed
+    values — including skip-unknown children and null/mismatched docs."""
+    from xmlstreamprocessor_spark.plans import X, compile_array_spec
+    from xmlstreamprocessor_spark.sources import register_xml_array_udtf
+
+    register_xml_array_udtf(spark, "t_udtf_q", "items", X.ndecimal("q"))
+    docs = [
+        (1, "<items><q>1.5</q><skipme/><q>2.25</q></items>"),
+        (2, "<items><q></q><q>bad</q></items>"),  # empty + unparseable -> null
+        (3, "<notitems><q>9</q></notitems>"),  # container mismatch -> no rows
+        (4, None),
+    ]
+    spark.createDataFrame(docs, "id int, doc string").createOrReplaceTempView(
+        "t_udtf_docs"
+    )
+    got = [
+        (r["id"], r["value"])
+        for r in spark.sql(
+            "SELECT d.id, s.value FROM t_udtf_docs d, "
+            "LATERAL t_udtf_q(d.doc) s ORDER BY d.id"
+        ).collect()
+    ]
+    compiled = compile_array_spec("items", X.ndecimal("q"))
+    want = []
+    for i, doc in docs:
+        if doc is None:
+            continue
+        out = compiled.extract_string(doc)
+        for v in out or []:
+            want.append((i, v))
+    assert got == want
+    assert [i for i, _ in got] == [1, 1, 2, 2]  # 3 (mismatch) and 4 (null) emit nothing
+
+
+def test_udtf_struct_inner_with_container_attrs_and_defaults(spark):
+    """Struct-inner UDTF rows: attribute slots read the child, missing
+    non-null ints default to 0 (Parser.cs:531-536), unknown children are
+    skipped — the reference array semantics on the SQL surface."""
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources import register_xml_array_udtf
+
+    register_xml_array_udtf(
+        spark,
+        "t_udtf_e",
+        "events",
+        X.struct("e", {"kind": X.attr("k"), "n": X.int_("n")}),
+    )
+    spark.createDataFrame(
+        [(9, '<events><e k="a"><n>3</n></e><junk/><e k="b"/></events>')],
+        "id int, doc string",
+    ).createOrReplaceTempView("t_udtf_evs")
+    rows = spark.sql(
+        "SELECT d.id, s.kind, s.n FROM t_udtf_evs d, LATERAL t_udtf_e(d.doc) s"
+    ).collect()
+    assert [(r["id"], r["kind"], r["n"]) for r in rows] == [
+        (9, "a", 3),
+        (9, "b", 0),
+    ]

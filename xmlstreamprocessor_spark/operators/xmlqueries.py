@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from xmlstreamprocessor_spark.operators.registry import dec2, money2, query, t
 from xmlstreamprocessor_spark.plans import X
+from xmlstreamprocessor_spark.sources.udtf import register_xml_array_udtf
 from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
 
 
@@ -138,6 +139,62 @@ def xml_roundtrip_lineitem_array(spark, sf_dir):
                 " (a, x) -> CAST(a + x AS DECIMAL(38,18)))"
             )
         ).alias("total_qty"),
+    )
+
+
+@query(
+    "xml_udtf_lineitem_array",
+    oracle="""
+    SELECT l_orderkey AS order_id, count(*) AS n_items,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def xml_udtf_lineitem_array(spark, sf_dir):
+    """Array per-child emit (op #3) through the SQL table-function surface:
+    the same lineitem fold as xml_roundtrip_lineitem_array, but extraction
+    runs as a registered Python UDTF correlated with LATERAL — the Spark-4
+    idiom for ``ParserTool.CreateArrayParser`` (Parser.cs:341-345), one row
+    per matching ``<q>`` child in document order, outer columns carried by
+    the lateral join.  Identical oracle to the mapInPandas array path: the
+    two execution surfaces must agree bit-for-bit."""
+    l = t(spark, sf_dir, "lineitem")
+    li_xml = F.concat(F.lit("<q>"), dec2("l_quantity").cast("string"), F.lit("</q>"))
+    docs = l.groupBy("l_orderkey").agg(
+        F.concat(
+            F.lit("<items>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("l_linenumber"), li_xml.alias("x"))
+                        )
+                    ),
+                    lambda s: s.x,
+                ),
+                "",
+            ),
+            F.lit("</items>"),
+        ).alias("doc")
+    )
+    register_xml_array_udtf(spark, "xsp_xml_qtys", "items", X.ndecimal("q"))
+    docs.createOrReplaceTempView("xsp_udtf_lineitem_docs")
+    rows = spark.sql(
+        """
+        SELECT d.l_orderkey, s.value
+        FROM xsp_udtf_lineitem_docs d, LATERAL xsp_xml_qtys(d.doc) s
+        """
+    )
+    # decimal sum is exact (order-free), so plain sum keeps the map-side
+    # partial aggregation the array fold in the mapInPandas twin gives up
+    return rows.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        money2(F.sum("value")).alias("total_qty"),
+    ).select(
+        F.col("l_orderkey").cast("bigint").alias("order_id"),
+        "n_items",
+        "total_qty",
     )
 
 

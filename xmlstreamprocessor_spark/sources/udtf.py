@@ -1,0 +1,85 @@
+"""XML array extraction as a Spark SQL table function (Python UDTF).
+
+The reference's second entry point, ``ParserTool.CreateArrayParser<T>``
+(Parser.cs:341-345): the root element is a container and every matching
+child emits one typed output record, in document order.  Spark 4's Python
+UDTFs are the idiomatic SQL face for exactly that shape — a document goes
+in, rows come out, and ``LATERAL`` correlation keeps the outer row's
+columns alongside the emitted records:
+
+    register_xml_array_udtf(spark, "xml_items", "items", X.ndecimal("q"))
+    spark.sql(\"\"\"
+        SELECT d.order_id, s.value
+        FROM docs d, LATERAL xml_items(d.doc) s
+    \"\"\")
+
+Scale posture: a UDTF evaluates per input row inside the task that owns the
+row — no shuffle is introduced, parallelism is the scan's partitioning
+(same contract as the mapInPandas kernel in ``sources.xml_batch``).  The
+spec compiles once per executor at deserialization; per-row work is the
+compiled kernel's slot fills.  Prefer ``extract_xml`` (Arrow-batched) for
+bulk pipelines; the UDTF is the SQL-surface adapter, per-row by API design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+from pyspark.sql.functions import udtf
+
+from xmlstreamprocessor_spark.plans.spec import (
+    CompiledArraySpec,
+    Spec,
+    compile_array_spec,
+)
+
+
+def _row_schema(inner: Spec) -> tuple[T.StructType, list[str] | None]:
+    """Output schema of the table function: a Struct inner contributes its
+    fields as columns; a scalar inner becomes one ``value`` column."""
+    dt = inner.dtype()
+    if isinstance(dt, T.StructType):
+        return dt, [f.name for f in dt.fields]
+    return T.StructType([T.StructField("value", dt, True)]), None
+
+
+def xml_array_udtf(
+    container_pattern: str, inner: Spec, strict_ns: bool = False
+):
+    """Build (but do not register) the UDTF class for one array spec.
+    Returns the callable UDTF; use :func:`register_xml_array_udtf` to make
+    it visible to SQL."""
+    compiled: CompiledArraySpec = compile_array_spec(
+        container_pattern, inner, strict_ns=strict_ns
+    )
+    schema, field_names = _row_schema(inner)
+
+    class XmlArrayUdtf:
+        def eval(self, xml: str):  # noqa: D102 — UDTF contract
+            if xml is None:
+                return
+            out = compiled.extract_string(xml)
+            if out is None:  # root element does not match the container
+                return
+            if field_names is None:
+                for v in out:
+                    yield (v,)
+            else:
+                for rec in out:
+                    yield tuple(rec.get(n) for n in field_names)
+
+    return udtf(XmlArrayUdtf, returnType=schema)
+
+
+def register_xml_array_udtf(
+    spark,
+    name: str,
+    container_pattern: str,
+    inner: Spec,
+    strict_ns: bool = False,
+):
+    """Register the array-extraction table function under ``name`` for SQL
+    use (``FROM t, LATERAL name(t.doc)``).  Returns the UDTF so Python
+    callers can also invoke it directly."""
+    fn = xml_array_udtf(container_pattern, inner, strict_ns=strict_ns)
+    spark.udtf.register(name, fn)
+    return fn
