@@ -34,6 +34,82 @@ QUERIES = [
 ]
 
 
+def persisted_ingest_walls(spark, sf_dir: str, workdir: str) -> None:
+    """The number that matters at 100 TB: per-ingest cost of the delta
+    chain when the base artifacts are PERSISTED (the registered queries
+    recompute them in-query for oracle determinism, which makes their
+    end-to-end walls an upper bound, not the production cost).
+
+    Untimed setup (= ingest history): base shingle sets, df stats, base
+    pair table, base CC labels — all written to parquet.  Timed, 3 runs:
+    delta pairs (persisted substrate + df stats) -> star-merge into the
+    persisted components -> count."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _jaccard_pairs_auto,
+        jaccard_pairs_delta,
+        shingle_sets,
+    )
+    from xmlstreamprocessor_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    t0 = time.perf_counter()
+    base_sh = shingle_sets(base_docs)
+    base_sh.write.parquet(f"{workdir}/shingles")
+    (
+        spark.read.parquet(f"{workdir}/shingles")
+        .select(F.explode("s").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.parquet(f"{workdir}/df_stats")
+    )
+    base_pairs = _jaccard_pairs_auto(
+        spark, sf_dir=None, threshold=0.5, docs=base_docs
+    )
+    connected_components(base_pairs, src="doc_a", dst="doc_b").write.parquet(
+        f"{workdir}/components"
+    )
+    print(f"# persisted-base setup (untimed ingest history): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    walls = []
+    for _ in range(3):
+        clear_session_memos()
+        t0 = time.perf_counter()
+        delta_pairs = jaccard_pairs_delta(
+            spark,
+            sf_dir,
+            threshold=0.5,
+            base_shingle_sets=spark.read.parquet(f"{workdir}/shingles"),
+            df_stats=spark.read.parquet(f"{workdir}/df_stats"),
+        )
+        merged = merge_components(
+            spark.read.parquet(f"{workdir}/components"),
+            delta_pairs,
+            src="doc_a",
+            dst="doc_b",
+        )
+        n = merged.count()
+        walls.append(time.perf_counter() - t0)
+    med = statistics.median(walls)
+    print(
+        f"delta_ingest_persisted (pairs+merge, persisted base): {med:.2f}s "
+        f"median of {[round(w, 2) for w in walls]} ({n} nodes)"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     spark = get_session("xsp-delta-sf1")
@@ -51,6 +127,7 @@ def main() -> None:
             f"{name}: {med:.2f}s median of {[round(w, 2) for w in walls]}"
             f" ({n} rows)"
         )
+    persisted_ingest_walls(spark, sf_dir, "/tmp/xsp_delta_state_sf1")
     spark.stop()
 
 
