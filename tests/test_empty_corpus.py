@@ -33,6 +33,10 @@ _OPS_EMPTY = [
     "text_ngram_novelty", "analytic_basket_lift",
     "embedding_pq_residual_encode", "similarity_pq_residual_distortion",
     "similarity_index_delta_assign", "multimodal_image_features_png",
+    # round-6/7 additions
+    "dedup_pairs_delta", "graph_components_incremental",
+    "pipeline_drop_contained_stats", "dedup_lsh_band_stats",
+    "similarity_topk_ivfpq_rerank", "xml_udtf_lineitem_array",
 ]
 
 

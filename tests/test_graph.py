@@ -120,3 +120,59 @@ def test_keeper_by_quality_picks_richest_per_component(spark, oracle_sf_dir):
         seen.add(r["component"])
     # every multi-doc component got exactly one keeper row
     assert seen == {c for c, m in by_comp.items() if len(m) > 1}
+
+
+def test_merge_components_property_random_graphs(spark):
+    """Property test of the star-equivalence theorem behind
+    merge_components: for ANY random edge set split into base/delta, the
+    fold of delta edges into CC(base) — with base labels built by a
+    reference union-find (min-id member labels, the documented
+    precondition) — must equal union-find over ALL edges.  Exercises
+    group fusion through delta docs, untouched components, singletons,
+    and empty base/delta splits that the fixed corpus tests can't vary."""
+    from hypothesis import given, settings, strategies as st
+
+    from xmlstreamprocessor_spark.operators.graph import merge_components
+
+    def uf_components(nodes, edges):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        base=st.lists(edge, max_size=10),
+        delta=st.lists(edge, min_size=1, max_size=6),
+    )
+    def check(base, delta):
+        base_nodes = sorted({n for e in base for n in e})
+        base_comp = uf_components(base_nodes, base)
+        base_df = spark.createDataFrame(
+            [(n, c) for n, c in base_comp.items()] or [],
+            "node bigint, component bigint",
+        )
+        delta_df = spark.createDataFrame(delta, "src bigint, dst bigint")
+        got = {
+            (r["node"], r["component"])
+            for r in merge_components(base_df, delta_df).collect()
+        }
+        all_nodes = sorted(set(base_nodes) | {n for e in delta for n in e})
+        want = set(uf_components(all_nodes, base + delta).items())
+        assert got == want
+
+    check()
