@@ -172,6 +172,11 @@ def pair_graph_foreach_batch(state_dir: str, threshold: float = 0.5):
     * ``{state_dir}/shingles/batch_id=N``   — the batch's shingle sets
       (``operators/dedup.shingle_sets``; the corpus substrate, text never
       re-parsed)
+    * ``{state_dir}/df_stats/batch_id=N``   — the batch's per-shingle
+      counts; the base df table for batch N is the SUM over batch_id < N
+      partitions (one aggregation over per-batch count rows, never a
+      re-aggregation of the full postings — the truly-O(delta)-upkeep
+      artifact the batch API takes as ``df_stats``)
     * ``{state_dir}/pairs/batch_id=N``      — verified >= ``threshold``
       Jaccard pairs with >= 1 endpoint in the batch
       (``operators/dedup.jaccard_pairs_delta``: delta-prefix x postings
@@ -203,6 +208,7 @@ def pair_graph_foreach_batch(state_dir: str, threshold: float = 0.5):
     from xmlstreamprocessor_spark.operators.graph import merge_components
 
     shingle_dir = os.path.join(state_dir, "shingles")
+    df_dir = os.path.join(state_dir, "df_stats")
     pair_dir = os.path.join(state_dir, "pairs")
     comp_dir = os.path.join(state_dir, "components")
 
@@ -220,6 +226,11 @@ def pair_graph_foreach_batch(state_dir: str, threshold: float = 0.5):
             spark, shingle_dir,
             "doc_id bigint, s array<string>, n int", batch_id,
         )
+        base_df = (
+            _read_lt(spark, df_dir, "shingle string, df bigint", batch_id)
+            .groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+        )
         delta_pairs = jaccard_pairs_delta(
             spark,
             sf_dir=None,
@@ -227,6 +238,7 @@ def pair_graph_foreach_batch(state_dir: str, threshold: float = 0.5):
             docs=batch_docs,
             is_delta=F.lit(True),
             base_shingle_sets=base_sh,
+            df_stats=base_df,
         ).localCheckpoint()  # evaluate once: written AND merged below
 
         prev_ids = [
@@ -246,8 +258,16 @@ def pair_graph_foreach_batch(state_dir: str, threshold: float = 0.5):
             base_comp, delta_pairs, src="doc_a", dst="doc_b"
         )
 
-        shingle_sets(batch_docs).write.mode("overwrite").parquet(
+        batch_sh = shingle_sets(batch_docs).localCheckpoint()
+        batch_sh.write.mode("overwrite").parquet(
             os.path.join(shingle_dir, f"batch_id={batch_id}")
+        )
+        (
+            batch_sh.select(F.explode("s").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(df_dir, f"batch_id={batch_id}"))
         )
         delta_pairs.write.mode("overwrite").parquet(
             os.path.join(pair_dir, f"batch_id={batch_id}")
