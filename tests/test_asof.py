@@ -106,3 +106,31 @@ def test_interval_join_bucketized_matches_naive_and_avoids_bnlj(spark, oracle_sf
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registered_forward_query_matches_pandas(spark):
+    """The oracle-paired forward+tolerance query
+    (asof_forward_view_next_purchase) against pandas merge_asof ground
+    truth: views left, next purchase within 24h, lowest purchase_id on
+    timestamp ties (right frame pre-sorted by (ts, id) so pandas' stable
+    first-match picks the same row)."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    purchases, views = _frames(spark)
+    lp = views.toPandas().sort_values(["ts", "view_id"])
+    rv = purchases.toPandas().sort_values(["ts", "purchase_id"])
+    m = pd.merge_asof(
+        lp, rv, on="ts", by="user_id", direction="forward",
+        tolerance=pd.Timedelta(seconds=86400),
+    )
+    want = {
+        (int(r.view_id), None if pd.isna(r.purchase_id) else int(r.purchase_id))
+        for r in m.itertuples()
+    }
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in REGISTRY["asof_forward_view_next_purchase"][0](
+            spark, SF
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -72,6 +72,90 @@ def asof_join_purchase_last_view(spark, sf_dir):
 
 
 @query(
+    "asof_forward_view_next_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS is_view, event_id AS view_id,
+             NULL::BIGINT AS pid
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), scanned AS (
+      SELECT user_id, ts, is_view, view_id,
+             last_value(CASE WHEN pid IS NOT NULL
+                             THEN {'ts': ts, 'pid': pid} END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, is_view ASC, pid DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS nxt
+      FROM u
+    )
+    SELECT view_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CASE WHEN nxt IS NOT NULL
+                 AND date_diff('second', ts, CAST(nxt.ts AS TIMESTAMP)) <= 86400
+                THEN nxt.pid END AS purchase_id,
+           CASE WHEN nxt IS NOT NULL
+                 AND date_diff('second', ts, CAST(nxt.ts AS TIMESTAMP)) <= 86400
+                THEN CAST(date_diff('second', ts, CAST(nxt.ts AS TIMESTAMP)) AS BIGINT)
+                END AS wait_s
+    FROM scanned WHERE is_view = 1
+    """,
+)
+def asof_forward_view_next_purchase(spark, sf_dir):
+    """FORWARD as-of join with tolerance (the other half of the as-of
+    family next to asof_join_purchase_last_view): for every view, the
+    EARLIEST purchase by the same user at ts >= view.ts, nulled past a
+    24 h tolerance — the time-to-convert attachment a funnel pipeline
+    computes per impression.
+
+    Scalable formulation: union the two streams and scan them ONCE per
+    user in REVERSE time order — ``last(purchase, ignorenulls)`` over the
+    reversed prefix is exactly the next-upcoming purchase; one shuffle on
+    user_id, no stream self-join, no per-user quadratic work.
+    Determinism: at equal timestamps the purchase sorts before the view
+    in the reversed scan (ASOF >= semantics: an equal-ts purchase is
+    visible), and equal-ts purchases order by pid DESC so the LAST
+    encountered — i.e. the lowest purchase_id — wins on both engines.
+    Tolerance nulls the match but keeps the view row (left-join
+    semantics, pandas ``merge_asof(tolerance=...)``)."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.lit(1).alias("is_view"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("bigint").alias("pid"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("bigint").alias("view_id"),
+        F.col("event_id").alias("pid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("is_view"), F.desc("pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.last(
+        F.when(
+            F.col("pid").isNotNull(), F.struct(F.col("ts"), F.col("pid"))
+        ),
+        ignorenulls=True,
+    ).over(w)
+    scanned = views.unionByName(purchases).withColumn("nxt", nxt)
+    wait = F.col("nxt.ts").cast("long") - F.col("ts").cast("long")
+    in_tol = F.col("nxt").isNotNull() & (wait <= 86400)
+    return scanned.filter(F.col("is_view") == 1).select(
+        "view_id",
+        "user_id",
+        fmt_ts("ts").alias("view_ts"),
+        F.when(in_tol, F.col("nxt.pid")).alias("purchase_id"),
+        F.when(in_tol, wait.cast("bigint")).alias("wait_s"),
+    )
+
+
+@query(
     "sessionize_events_30m",
     oracle="""
     WITH flagged AS (
