@@ -725,3 +725,62 @@ def test_merge_components_preserves_untouched_singletons(spark):
         (7, 7), (8, 7),               # untouched multi-member group
         (9, 9), (10, 9),              # new delta-only pair
     }
+
+
+def test_exact_delta_losslessness_property_random_corpora(spark):
+    """Property test of the one-sided prefix filter's losslessness: for
+    random tiny corpora and random delta splits, base-only pairs UNION
+    delta pairs must equal the full recompute — pairs AND scores.  The
+    fixed-corpus tests prove it for one split of one corpus; this varies
+    shingle overlap structure, delta fraction (including empty base and
+    empty delta), and threshold."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _jaccard_pairs_auto,
+        jaccard_pairs_delta,
+    )
+
+    words = st.sampled_from(["red", "blue", "fox", "dog", "run", "sit"])
+    text = st.lists(words, min_size=3, max_size=8).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(text, min_size=2, max_size=8),
+        delta_mask=st.lists(st.booleans(), min_size=8, max_size=8),
+        thr=st.sampled_from([0.3, 0.5, 0.8]),
+    )
+    def check(texts, delta_mask, thr):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        is_delta_py = {i: delta_mask[i] for i in range(len(texts))}
+        dl = [i for i in range(len(texts)) if is_delta_py[i]]
+        is_delta = (
+            F.col("doc_id").isin(dl) if dl else F.lit(False)
+        )
+        full = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _jaccard_pairs_auto(
+                spark, sf_dir=None, threshold=thr, docs=docs
+            ).collect()
+        }
+        base = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _jaccard_pairs_auto(
+                spark, sf_dir=None, threshold=thr,
+                docs=docs.filter(~is_delta),
+            ).collect()
+        }
+        delta = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_delta(
+                spark, sf_dir=None, threshold=thr, docs=docs,
+                is_delta=is_delta,
+            ).collect()
+        }
+        assert set(base).isdisjoint(delta)
+        assert {**base, **delta} == full
+
+    check()
