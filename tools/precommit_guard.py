@@ -45,7 +45,27 @@ def main() -> int:
         sys.stderr.write(r.stderr[-3000:])
         return 1
 
-    # 2. the fast golden suite (pure Python, no SparkSession)
+    # 2. driver-contract sanity: the entry module must import, every
+    #    _PRIORITY name must resolve in the REGISTRY (window typos), and
+    #    queries()/oracle_sql() must build (no SparkSession needed)
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __spark_entry__ as m;"
+            "qs, osql = m.queries(), m.oracle_sql();"
+            "assert len(qs) >= 200 and set(osql) <= set(qs)",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        sys.stderr.write("precommit_guard: driver-contract check FAILED\n")
+        sys.stderr.write(r.stderr[-3000:])
+        return 1
+
+    # 3. the fast golden suite (pure Python, no SparkSession)
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "-x", "-q", "-p", "no:cacheprovider", *FAST_TESTS],
         cwd=REPO,
