@@ -894,3 +894,49 @@ def test_udtf_struct_inner_with_container_attrs_and_defaults(spark):
         (9, "a", 3),
         (9, "b", 0),
     ]
+
+
+def test_udtf_on_error_modes(spark):
+    """on_error='skip' drops malformed documents (DROPMALFORMED analogue)
+    while clean documents in the same batch still emit; the default
+    on_error='fail' propagates the parse error (FAILFAST)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources import register_xml_array_udtf
+
+    docs = [
+        (1, "<items><q>1.5</q></items>"),
+        (2, "<items><q>2.5</q>"),  # unclosed container: malformed
+        (3, "<items><q>3.5</q></items>"),
+    ]
+    spark.createDataFrame(docs, "id int, doc string").createOrReplaceTempView(
+        "t_udtf_err_docs"
+    )
+    register_xml_array_udtf(
+        spark, "t_udtf_skip", "items", X.ndecimal("q"), on_error="skip"
+    )
+    got = [
+        (r["id"], float(r["value"]))
+        for r in spark.sql(
+            "SELECT d.id, s.value FROM t_udtf_err_docs d, "
+            "LATERAL t_udtf_skip(d.doc) s ORDER BY d.id"
+        ).collect()
+    ]
+    assert got == [(1, 1.5), (3, 3.5)]
+
+    register_xml_array_udtf(
+        spark, "t_udtf_fail", "items", X.ndecimal("q"), on_error="fail"
+    )
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        spark.sql(
+            "SELECT d.id, s.value FROM t_udtf_err_docs d, "
+            "LATERAL t_udtf_fail(d.doc) s"
+        ).collect()
+
+    with _pytest.raises(ValueError, match="on_error"):
+        register_xml_array_udtf(
+            spark, "t_udtf_bad", "items", X.ndecimal("q"), on_error="nope"
+        )

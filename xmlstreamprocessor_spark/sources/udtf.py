@@ -43,21 +43,40 @@ def _row_schema(inner: Spec) -> tuple[T.StructType, list[str] | None]:
 
 
 def xml_array_udtf(
-    container_pattern: str, inner: Spec, strict_ns: bool = False
+    container_pattern: str,
+    inner: Spec,
+    strict_ns: bool = False,
+    on_error: str = "fail",
 ):
     """Build (but do not register) the UDTF class for one array spec.
     Returns the callable UDTF; use :func:`register_xml_array_udtf` to make
-    it visible to SQL."""
+    it visible to SQL.
+
+    ``on_error``: ``"fail"`` (default) propagates malformed-document /
+    typed-cast errors and fails the job — the reference's FAILFAST
+    contract (wrapped ApplicationException, Parser.cs:146-149);
+    ``"skip"`` emits no rows for a document whose parse raises — the
+    table-function analogue of DROPMALFORMED (``extract_xml`` keeps the
+    richer PERMISSIVE triage mode; a UDTF has no corrupt-record column
+    to fill, so skip is the honest lossy option)."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"unknown on_error mode {on_error!r}")
     compiled: CompiledArraySpec = compile_array_spec(
         container_pattern, inner, strict_ns=strict_ns
     )
     schema, field_names = _row_schema(inner)
+    skip = on_error == "skip"
 
     class XmlArrayUdtf:
         def eval(self, xml: str):  # noqa: D102 — UDTF contract
             if xml is None:
                 return
-            out = compiled.extract_string(xml)
+            try:
+                out = compiled.extract_string(xml)
+            except Exception:
+                if skip:
+                    return
+                raise
             if out is None:  # root element does not match the container
                 return
             if field_names is None:
@@ -76,10 +95,13 @@ def register_xml_array_udtf(
     container_pattern: str,
     inner: Spec,
     strict_ns: bool = False,
+    on_error: str = "fail",
 ):
     """Register the array-extraction table function under ``name`` for SQL
     use (``FROM t, LATERAL name(t.doc)``).  Returns the UDTF so Python
     callers can also invoke it directly."""
-    fn = xml_array_udtf(container_pattern, inner, strict_ns=strict_ns)
+    fn = xml_array_udtf(
+        container_pattern, inner, strict_ns=strict_ns, on_error=on_error
+    )
     spark.udtf.register(name, fn)
     return fn
