@@ -344,3 +344,27 @@ def test_interleaved_readers_with_different_ns_modes():
         # alternate: loose first (sets nothing global now), then strict
         assert next(g_loose) == {"inv_total": k}
         assert next(g_strict) == {"inv_total": k}
+
+
+def test_match_memo_bounded_under_adversarial_tags():
+    """The localname->slot match memo must stay bounded when a document
+    stream contains more distinct tag names than _MATCH_MEMO_MAX, and
+    matching stays correct past the cap (unmemoized fallback scan)."""
+    from xmlstreamprocessor_spark.plans.spec import (
+        _MATCH_MEMO_MAX,
+        X,
+        compile_spec,
+    )
+
+    spec = X.struct("r", {"v": X.nint("target"), "w": X.string("pre*post")})
+    c = compile_spec(spec)
+    # one doc with _MATCH_MEMO_MAX + 50 distinct junk tags, the real
+    # target buried at the end, and a wildcard match past the cap
+    junk = "".join(f"<junk{i}/>" for i in range(_MATCH_MEMO_MAX + 50))
+    doc = f"<r>{junk}<preXpost>wild</preXpost><target>7</target></r>"
+    out = c.extract_string(doc)
+    assert out == {"v": 7, "w": "wild"}
+    memo = spec._tables[-1]
+    assert len(memo) <= _MATCH_MEMO_MAX
+    # repeat parse reuses the compiled tables; results stay stable
+    assert c.extract_string(doc) == {"v": 7, "w": "wild"}
