@@ -31,8 +31,8 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # next 7 slots are EVERY query that has never held a driver verdict in any
 # round (4 carried from the un-rotated r6 window + the 3 round-6 additions)
 # — a green window makes cumulative driver coverage complete for the
-# round-6 registry; 4 slots are the queries ADDED in round 7 (IVFADC
-# rerank, LSH band stats, XML array UDTF, forward as-of); the other 35 are the
+# round-6 registry; 5 slots are the queries ADDED in round 7 (IVFADC rerank,
+# LSH band stats + S-curve plan, XML array UDTF, forward as-of); 34 are the
 # STALEST re-checks (last green r1/r2, computed from CORRECTNESS_r01..r06),
 # freshening the oldest verdicts in the ledger.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
@@ -79,13 +79,13 @@ _PRIORITY = [
     "q6_revenue_forecast",
     "q8_market_share",
     "scalar_date_functions",
-    "setop_intersect_nations",
     "subquery_in_top_nations",
     # new queries this round (never driver-checked)
     "similarity_topk_ivfpq_rerank",
     "dedup_lsh_band_stats",
     "xml_udtf_lineitem_array",
     "asof_forward_view_next_purchase",
+    "dedup_lsh_plan",
     # stalest re-checks: last driver green was round 2
     "agg_argmax_order_per_customer",
     "agg_cube_lineitem_flags",
