@@ -15,10 +15,13 @@ Budget: the golden + property subset runs in ~20 s with no JVM startup.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
-REPO = "/root/repo"
+# derive the repo root from this script's location so the hook checks the
+# tree it lives in (clones/worktrees at other paths included)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 FAST_TESTS = [
     "tests/test_xml_golden.py",
