@@ -648,6 +648,120 @@ def test_exact_delta_with_persisted_df_stats(spark, oracle_sf_dir, tmp_path):
     assert from_store == recomputed == from_stale and len(from_store) > 0
 
 
+def test_exact_delta_with_bucketed_postings(spark, oracle_sf_dir, tmp_path):
+    """r7 verdict task #1: the persisted POSTINGS artifact (Hive-partitioned
+    by shingle-hash bucket, bucketed by shingle) must yield the identical
+    verified pair set as the array-derived probe, while the plan shows the
+    two scale properties: a static PartitionFilter on ``sb`` (the delta's
+    touched buckets prune the corpus scan) and a bucketed scan (the corpus
+    side's hash distribution satisfies the join — no corpus exchange)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        jaccard_pairs_delta,
+        persist_postings,
+        shingle_sets,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    base_sh = shingle_sets(base_docs)
+    df_store = str(tmp_path / "df_stats.parquet")
+    (
+        base_sh.select(F.explode("s").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.parquet(df_store)
+    )
+    spark.sql("DROP TABLE IF EXISTS xsp_t_postings")
+    post = persist_postings(
+        base_sh, "xsp_t_postings", str(tmp_path / "postings")
+    )
+    try:
+        from_postings = jaccard_pairs_delta(
+            spark, oracle_sf_dir,
+            base_shingle_sets=base_sh,
+            df_stats=spark.read.parquet(df_store),
+            base_postings=post,
+        )
+        got = _pairs(from_postings, "doc_a", "doc_b", "jaccard")
+        recomputed = _pairs(
+            jaccard_pairs_delta(spark, oracle_sf_dir),
+            "doc_a", "doc_b", "jaccard",
+        )
+        assert got == recomputed and len(got) > 0
+        plan = from_postings._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert " INSET " in plan.split("PartitionFilters: [sb", 1)[1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS xsp_t_postings")
+
+
+def test_bucketed_postings_prune_and_verify_small_delta(spark, tmp_path):
+    """Pruning effectiveness, pinned: a SHORT delta document (2 shingles
+    -> 2 prefix shingles) must statically prune the postings scan to at
+    most 2 of the 16 ``sb`` directories, and the pruned run still finds
+    exactly the true pairs (losslessness of hash-pruning: equal shingles
+    hash to equal buckets)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        jaccard_pairs_delta,
+        persist_postings,
+        shingle_sets,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # base: shares both shingles
+        (2, "alpha beta gamma delta epsilon"),  # base: superset text
+        (3, "one two three four five six"),     # base: unrelated
+        (7, "alpha beta gamma delta"),          # delta: dup of doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base_sh = shingle_sets(docs.filter(F.col("doc_id") != 7))
+    spark.sql("DROP TABLE IF EXISTS xsp_t_postings_sm")
+    post = persist_postings(
+        base_sh, "xsp_t_postings_sm", str(tmp_path / "postings_sm")
+    )
+    try:
+        pairs_df = jaccard_pairs_delta(
+            spark, sf_dir=None, threshold=0.5,
+            docs=docs, is_delta=F.col("doc_id") == 7,
+            base_shingle_sets=base_sh, base_postings=post,
+        )
+        got = {(r.doc_a, r.doc_b) for r in pairs_df.collect()}
+        # doc7 == doc1 (J=1.0); doc7 vs doc2: 2 of 3 shingles, J=2/3 >= .5
+        assert got == {(1, 7), (2, 7)}
+        plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        # small sets render as `sb IN (8,9)`, large ones as `sb INSET 8, 9`
+        m = re.search(
+            r"PartitionFilters: \[sb#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+)\])",
+            plan,
+        )
+        assert m, "postings scan lost its static partition filter"
+        touched = [int(v) for v in (m.group(1) or m.group(2)).split(",")]
+        assert len(touched) <= 2, f"expected <=2 pruned buckets: {touched}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS xsp_t_postings_sm")
+
+
+def test_bucketed_postings_requires_shingle_sets(spark, oracle_sf_dir):
+    """base_postings without the verify arrays must fail fast."""
+    import pytest
+
+    from xmlstreamprocessor_spark.operators.dedup import jaccard_pairs_delta
+
+    with pytest.raises(ValueError, match="base_shingle_sets"):
+        jaccard_pairs_delta(
+            spark, oracle_sf_dir, base_postings=spark.range(1)
+        )
+
+
 def test_exact_delta_requires_predicate_with_custom_docs(spark, oracle_sf_dir):
     """Passing docs= without is_delta/base_shingle_sets must fail fast
     instead of silently partitioning a real corpus by the benchmark

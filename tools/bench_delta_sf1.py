@@ -53,6 +53,7 @@ def persisted_ingest_walls(spark, sf_dir: str, workdir: str) -> None:
         _DELTA_REM,
         _jaccard_pairs_auto,
         jaccard_pairs_delta,
+        persist_postings,
         shingle_sets,
     )
     from xmlstreamprocessor_spark.operators.graph import (
@@ -80,33 +81,50 @@ def persisted_ingest_walls(spark, sf_dir: str, workdir: str) -> None:
     connected_components(base_pairs, src="doc_a", dst="doc_b").write.parquet(
         f"{workdir}/components"
     )
+    spark.sql("DROP TABLE IF EXISTS xsp_bench_postings")
+    persist_postings(
+        spark.read.parquet(f"{workdir}/shingles"),
+        "xsp_bench_postings",
+        f"{workdir}/postings",
+    )
     print(f"# persisted-base setup (untimed ingest history): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    walls = []
-    for _ in range(3):
-        clear_session_memos()
-        t0 = time.perf_counter()
-        delta_pairs = jaccard_pairs_delta(
-            spark,
-            sf_dir,
-            threshold=0.5,
-            base_shingle_sets=spark.read.parquet(f"{workdir}/shingles"),
-            df_stats=spark.read.parquet(f"{workdir}/df_stats"),
+    def run_ingest(label: str, **delta_kwargs) -> None:
+        walls = []
+        for _ in range(3):
+            clear_session_memos()
+            t0 = time.perf_counter()
+            delta_pairs = jaccard_pairs_delta(
+                spark,
+                sf_dir,
+                threshold=0.5,
+                base_shingle_sets=spark.read.parquet(f"{workdir}/shingles"),
+                df_stats=spark.read.parquet(f"{workdir}/df_stats"),
+                **delta_kwargs,
+            )
+            merged = merge_components(
+                spark.read.parquet(f"{workdir}/components"),
+                delta_pairs,
+                src="doc_a",
+                dst="doc_b",
+            )
+            n = merged.count()
+            walls.append(time.perf_counter() - t0)
+        med = statistics.median(walls)
+        print(
+            f"{label}: {med:.2f}s "
+            f"median of {[round(w, 2) for w in walls]} ({n} nodes)"
         )
-        merged = merge_components(
-            spark.read.parquet(f"{workdir}/components"),
-            delta_pairs,
-            src="doc_a",
-            dst="doc_b",
-        )
-        n = merged.count()
-        walls.append(time.perf_counter() - t0)
-    med = statistics.median(walls)
-    print(
-        f"delta_ingest_persisted (pairs+merge, persisted base): {med:.2f}s "
-        f"median of {[round(w, 2) for w in walls]} ({n} nodes)"
+
+    # r7 protocol: arrays only — probe side re-explodes the base corpus
+    run_ingest("delta_ingest_persisted (arrays probe, r7 protocol)")
+    # r8 protocol: bucketed postings — pruned scan, no corpus exchange
+    run_ingest(
+        "delta_ingest_postings (bucketed postings probe, r8 protocol)",
+        base_postings=spark.table("xsp_bench_postings"),
     )
+    spark.sql("DROP TABLE IF EXISTS xsp_bench_postings")
     shutil.rmtree(workdir, ignore_errors=True)
 
 
