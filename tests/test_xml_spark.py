@@ -940,3 +940,54 @@ def test_udtf_on_error_modes(spark):
         register_xml_array_udtf(
             spark, "t_udtf_bad", "items", X.ndecimal("q"), on_error="nope"
         )
+
+
+def test_udtf_struct_entry_point_matches_kernel(spark):
+    """The CreateParser twin on the SQL surface (register_xml_struct_udtf):
+    one record per document with fields as columns; a wildcard/root
+    mismatch or a skipped malformed doc emits ZERO rows (the
+    table-function representation of 'no record'); missing non-null ints
+    default to 0; values equal the compiled-kernel struct path."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources import register_xml_struct_udtf
+
+    spec = X.struct(
+        "order", {"oid": X.attr("id"), "n": X.int_("n"), "note": X.string("note")}
+    )
+    register_xml_struct_udtf(spark, "t_udtf_ord", spec)
+    docs = [
+        (1, '<order id="a"><n>5</n><note>x</note><junk/></order>'),
+        (2, '<order id="b"><note>y</note></order>'),  # missing int -> 0
+        (3, "<other><n>9</n></other>"),  # root mismatch -> no rows
+        (4, None),
+    ]
+    spark.createDataFrame(docs, "id int, doc string").createOrReplaceTempView(
+        "t_udtf_ord_docs"
+    )
+    rows = spark.sql(
+        "SELECT d.id, s.oid, s.n, s.note FROM t_udtf_ord_docs d, "
+        "LATERAL t_udtf_ord(d.doc) s ORDER BY d.id"
+    ).collect()
+    assert [(r["id"], r["oid"], r["n"], r["note"]) for r in rows] == [
+        (1, "a", 5, "x"),
+        (2, "b", 0, "y"),
+    ]
+
+    # on_error='skip' drops the malformed doc, clean rows survive
+    register_xml_struct_udtf(spark, "t_udtf_ord_skip", spec, on_error="skip")
+    bad = [(1, '<order id="a"><n>1</n></order>'), (2, "<order id='b'><n>2")]
+    spark.createDataFrame(bad, "id int, doc string").createOrReplaceTempView(
+        "t_udtf_ord_bad"
+    )
+    got = spark.sql(
+        "SELECT s.oid FROM t_udtf_ord_bad d, LATERAL t_udtf_ord_skip(d.doc) s"
+    ).collect()
+    assert [r["oid"] for r in got] == ["a"]
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        spark.sql(
+            "SELECT s.oid FROM t_udtf_ord_bad d, LATERAL t_udtf_ord(d.doc) s"
+        ).collect()

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from xmlstreamprocessor_spark.operators.registry import dec2, money2, query, t
 from xmlstreamprocessor_spark.plans import X
-from xmlstreamprocessor_spark.sources.udtf import register_xml_array_udtf
+from xmlstreamprocessor_spark.sources.udtf import (
+    register_xml_array_udtf,
+    register_xml_struct_udtf,
+)
 from xmlstreamprocessor_spark.sources.xml_batch import extract_xml, extract_xml_jvm
 
 
@@ -195,6 +198,63 @@ def xml_udtf_lineitem_array(spark, sf_dir):
         F.col("l_orderkey").cast("bigint").alias("order_id"),
         "n_items",
         "total_qty",
+    )
+
+
+@query(
+    "xml_udtf_orders_struct",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           o_orderpriority AS prio,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS total,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+    FROM orders
+    """,
+)
+def xml_udtf_orders_struct(spark, sf_dir):
+    """Struct extraction (op #2) through the SQL table-function surface:
+    the same orders round-trip as xml_roundtrip_orders_struct, but the
+    compiled spec runs as a registered Python UDTF correlated with
+    LATERAL — the SQL face of ``ParserTool.CreateParser<T>``
+    (Parser.cs:335-339), one typed record per document with its fields
+    spread as columns.  With xml_udtf_lineitem_array this completes the
+    reference's two entry points on the SQL surface; the oracle is the
+    mapInPandas struct path's — all three execution surfaces must agree
+    bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('<order id="'), F.col("o_orderkey").cast("string"),
+        F.lit('" status="'), F.col("o_orderstatus"),
+        F.lit('"><prio>'), F.col("o_orderpriority"),
+        F.lit("</prio><total>"), dec2("o_totalprice").cast("string"),
+        F.lit("</total><odate>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("</odate></order>"),
+    )
+    spec = X.struct(
+        "order",
+        {
+            "order_id": X.attr("id"),
+            "status": X.attr("status"),
+            "prio": X.string("prio"),
+            "total": X.ndecimal("total"),
+            "odate": X.ndate("odate"),
+        },
+    )
+    register_xml_struct_udtf(spark, "xsp_xml_order", spec)
+    o.select(doc.alias("doc")).createOrReplaceTempView("xsp_udtf_order_docs")
+    rows = spark.sql(
+        """
+        SELECT s.order_id, s.status, s.prio, s.total, s.odate
+        FROM xsp_udtf_order_docs d, LATERAL xsp_xml_order(d.doc) s
+        """
+    )
+    return rows.select(
+        F.col("order_id").cast("bigint").alias("order_id"),
+        "status",
+        "prio",
+        money2(F.col("total")).alias("total"),
+        F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
     )
 
 

@@ -10,7 +10,9 @@ from xmlstreamprocessor_spark.sources.datasource import (
 )
 from xmlstreamprocessor_spark.sources.udtf import (
     register_xml_array_udtf,
+    register_xml_struct_udtf,
     xml_array_udtf,
+    xml_struct_udtf,
 )
 from xmlstreamprocessor_spark.sources.formats import (
     write_bucketed,
@@ -24,10 +26,12 @@ __all__ = [
     "extract_xml_records",
     "read_xml",
     "register_xml_array_udtf",
+    "register_xml_struct_udtf",
     "register_xml_source",
     "spec_option",
     "write_bucketed",
     "write_partitioned",
     "write_zordered",
     "xml_array_udtf",
+    "xml_struct_udtf",
 ]

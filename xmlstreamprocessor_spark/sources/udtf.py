@@ -28,8 +28,11 @@ from pyspark.sql.functions import udtf
 
 from xmlstreamprocessor_spark.plans.spec import (
     CompiledArraySpec,
+    CompiledSpec,
     Spec,
+    Struct,
     compile_array_spec,
+    compile_spec,
 )
 
 
@@ -87,6 +90,59 @@ def xml_array_udtf(
                     yield tuple(rec.get(n) for n in field_names)
 
     return udtf(XmlArrayUdtf, returnType=schema)
+
+
+def xml_struct_udtf(
+    root: Struct,
+    strict_ns: bool = False,
+    on_error: str = "fail",
+):
+    """The ``ParserTool.CreateParser<T>`` twin (Parser.cs:335-339) as a SQL
+    table function: ONE typed record per document, its struct fields spread
+    as output columns.  Completes the SQL surface next to
+    :func:`xml_array_udtf` so both reference entry points have a LATERAL
+    face.  A non-matching root (wildcard miss) or a skipped malformed
+    document emits zero rows — table-function semantics make "no record"
+    representable without a null-struck row.
+
+    ``on_error`` follows the array UDTF: ``"fail"`` is the reference's
+    FAILFAST contract, ``"skip"`` drops the document's record."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"unknown on_error mode {on_error!r}")
+    compiled: CompiledSpec = compile_spec(root, strict_ns=strict_ns)
+    schema = compiled.schema
+    field_names = [f.name for f in schema.fields]
+    skip = on_error == "skip"
+
+    class XmlStructUdtf:
+        def eval(self, xml: str):  # noqa: D102 — UDTF contract
+            if xml is None:
+                return
+            try:
+                rec = compiled.extract_string(xml)
+            except Exception:
+                if skip:
+                    return
+                raise
+            if rec is None:  # root element does not match the pattern
+                return
+            yield tuple(rec.get(n) for n in field_names)
+
+    return udtf(XmlStructUdtf, returnType=schema)
+
+
+def register_xml_struct_udtf(
+    spark,
+    name: str,
+    root: Struct,
+    strict_ns: bool = False,
+    on_error: str = "fail",
+):
+    """Register the struct-extraction table function under ``name`` for SQL
+    use (``FROM t, LATERAL name(t.doc)``)."""
+    fn = xml_struct_udtf(root, strict_ns=strict_ns, on_error=on_error)
+    spark.udtf.register(name, fn)
+    return fn
 
 
 def register_xml_array_udtf(
