@@ -110,8 +110,15 @@ def test_jvm_path_rejects_wildcards(spark):
     docs = spark.createDataFrame([("<a/>",)], ["doc"])
     with pytest.raises(ValueError, match="wildcard"):
         extract_xml_jvm(docs, "doc", X.struct("r", {"x": X.string("pre*")}))
-    with pytest.raises(ValueError, match="cannot express field"):
-        extract_xml_jvm(docs, "doc", X.struct("r", {"k": X.tag()}))
+    # Tag() at the ROOT is now expressible (hybrid path, r7 verdict #2);
+    # below the root it still is not
+    with pytest.raises(ValueError, match="below the root"):
+        extract_xml_jvm(
+            docs, "doc", X.struct("r", {"c": X.struct("c", {"k": X.tag()})})
+        )
+    assert extract_xml_jvm(
+        docs, "doc", X.struct("r", {"k": X.tag()})
+    ).columns == ["k"]
 
 
 def test_jvm_path_nested_struct(spark):
@@ -299,10 +306,15 @@ def test_extract_xml_auto_dispatch(spark):
     str_spec = X.struct("r", {"s": X.string("s")})
     plan2 = extract_xml(docs, "doc", str_spec)._jdf.queryExecution().toString()
     assert "MapInPandas" in plan2
-    # wildcard -> python kernel even though no strings... tag slot present
+    # root wildcard + Tag() -> JVM hybrid since r8 (root name is one
+    # regexp; the wildcard test is string algebra)
     wild_spec = X.struct("*", {"kind": X.tag(), "i": X.nint("i")})
     plan3 = extract_xml(docs, "doc", wild_spec)._jdf.queryExecution().toString()
-    assert "MapInPandas" in plan3
+    assert "MapInPandas" not in plan3
+    # wildcard in a CHILD slot -> python kernel (not expressible in from_xml)
+    deep_wild = X.struct("r", {"x": X.nint("pre*")})
+    plan4 = extract_xml(docs, "doc", deep_wild)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan4
 
 
 def test_extract_xml_permissive_modes(spark):
@@ -991,3 +1003,63 @@ def test_udtf_struct_entry_point_matches_kernel(spark):
         spark.sql(
             "SELECT s.oid FROM t_udtf_ord_bad d, LATERAL t_udtf_ord(d.doc) s"
         ).collect()
+
+
+def test_jvm_hybrid_root_wildcard_and_tag(spark):
+    """r7 verdict #2: root-level wildcard patterns and Tag() capture run on
+    the from_xml hybrid path with kernel-identical results — including
+    prefix+suffix wildcard misses (null row, the Python kernel's None
+    record), XML declarations ahead of the root, namespace-prefixed
+    roots, and exact-pattern root gating.  Tag() below the root stays
+    Python-only (ValueError), and auto dispatch now routes root-wildcard
+    specs to the JVM."""
+    import pytest as _pytest
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import (
+        extract_xml,
+        extract_xml_jvm,
+    )
+
+    docs = [
+        ('<t_click eid="1"><n>10</n></t_click>',),
+        ('<t_view eid="2"/>',),
+        ("<other/>",),
+        ('<?xml version="1.0"?><t_buy eid="3"/>',),
+        ('<p:t_ns eid="4" xmlns:p="u"/>',),
+    ]
+    df = spark.createDataFrame(docs, "doc string")
+
+    for pattern in ("t_*", "*", "t_click", "*_view"):
+        spec = X.struct(
+            pattern, {"kind": X.tag(), "eid": X.attr("eid"), "n": X.int_("n")}
+        )
+        py = sorted(
+            map(tuple, extract_xml(df, "doc", spec, engine="python").collect()),
+            key=str,
+        )
+        jv = sorted(
+            map(tuple, extract_xml_jvm(df, "doc", spec).collect()), key=str
+        )
+        assert py == jv, f"pattern {pattern!r}: {py} != {jv}"
+
+    # auto dispatch: root-wildcard+Tag spec stays JVM-side (no Python hop)
+    spec = X.struct("t_*", {"kind": X.tag(), "eid": X.attr("eid")})
+    plan = (
+        extract_xml(df, "doc", spec)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InPandas" not in plan
+
+    # Tag() below the root is not expressible on the JVM path
+    deep = X.struct(
+        "root", {"child": X.struct("c", {"kind": X.tag()})}
+    )
+    with _pytest.raises(ValueError, match="below the root"):
+        extract_xml_jvm(df, "doc", deep)
+    # ... and auto dispatch falls back to the Python kernel for it
+    plan2 = (
+        extract_xml(df.limit(1), "doc", deep)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InPandas" in plan2

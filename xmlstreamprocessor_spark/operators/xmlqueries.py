@@ -81,14 +81,41 @@ def xml_roundtrip_wildcard_tag_events(spark, sf_dir):
     """Wildcard root match + Tag() capture (ops #6/#7): every event becomes
     an element whose *name* encodes the type; the spec matches '*' and
     recovers the name as a value — the reference's heterogeneous-children
-    pattern (Test1.cs:50,136)."""
+    pattern (Test1.cs:50,136).  Pinned to the Python kernel (engine=
+    "python") so the iterparse surface keeps its own driver verdict now
+    that root-level wildcard/Tag specs auto-dispatch to the JVM hybrid —
+    the _jvm twin covers that path."""
     e = t(spark, sf_dir, "events")
     doc = F.concat(
         F.lit("<t_"), F.col("event_type"),
         F.lit(' eid="'), F.col("event_id").cast("string"), F.lit('"/>'),
     )
     spec = X.struct("*", {"kind": X.tag(), "eid": X.attr("eid")})
-    ex = extract_xml(e.select(doc.alias("doc")), "doc", spec)
+    ex = extract_xml(e.select(doc.alias("doc")), "doc", spec, engine="python")
+    return ex.select("kind", F.col("eid").cast("bigint").alias("eid"))
+
+
+@query(
+    "xml_roundtrip_wildcard_tag_events_jvm",
+    oracle="""
+    SELECT 't_' || event_type AS kind, event_id AS eid FROM events
+    """,
+)
+def xml_roundtrip_wildcard_tag_events_jvm(spark, sf_dir):
+    """Same contract as xml_roundtrip_wildcard_tag_events but through the
+    hybrid ``from_xml`` fast path (r7 verdict #2): the root NAME comes
+    from one anchored regexp, the wildcard test is JVM string algebra,
+    and the whole extraction stays inside whole-stage codegen — the spec
+    shape that previously paid the Python kernel unconditionally (the 5.5x
+    tax named in VERDICT r7 'What's missing' #1).  Identical oracle: both
+    execution paths must agree bit-for-bit."""
+    e = t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit("<t_"), F.col("event_type"),
+        F.lit(' eid="'), F.col("event_id").cast("string"), F.lit('"/>'),
+    )
+    spec = X.struct("*", {"kind": X.tag(), "eid": X.attr("eid")})
+    ex = extract_xml_jvm(e.select(doc.alias("doc")), "doc", spec)
     return ex.select("kind", F.col("eid").cast("bigint").alias("eid"))
 
 

@@ -144,14 +144,18 @@ def extract_xml(
                 pass  # not expressible on the fast path -> python kernel
     schema = compiled.schema
     names = [f.name for f in schema.fields]
-    out_schema = schema
-    if mode == "PERMISSIVE":
-        from pyspark.sql import types as T
+    from pyspark.sql import types as T
 
-        # corrupt rows are null in EVERY data field, so non-nullable spec
-        # fields (e.g. X.int_ with its 0-default) must widen to nullable
+    # a root-pattern MISMATCH yields a None record -> a row null in EVERY
+    # data field (and PERMISSIVE corrupt rows do the same), so non-nullable
+    # spec fields (e.g. X.int_ with its 0-default) must widen to nullable —
+    # the JVM path's outputs are nullable for the identical reason
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+    if mode == "PERMISSIVE":
         out_schema = T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            out_schema.fields
             + [T.StructField(corrupt_column, T.StringType(), True)]
         )
 
@@ -296,13 +300,19 @@ def extract_xml_jvm(
     (``X.array(container, X.struct(child, {...}))`` — repeated child
     elements parse natively to ``array<struct>``; each element is
     re-projected with ``F.transform``, still fully JVM-side).
-    The reference-specific semantics the built-in source cannot express —
-    wildcard tag patterns, ``Tag()`` capture, mixed-content string folding
-    (Parser.cs:175-187, 402-405, 44-49), custom parsers, expression
-    projections — raise ``ValueError``; use ``extract_xml`` (the Python
-    kernel) for those.  Missing-tag defaults (``X.int_`` -> 0) are applied
-    with ``coalesce`` after parsing, matching ParserData.Get semantics
-    (Parser.cs:531-536).
+
+    ROOT-level wildcard patterns and ``Tag()`` capture are ALSO
+    expressible (r7 verdict #2 — the GenericTest root-discriminator
+    shape, Test1.cs:50,136): ``from_xml`` parses whatever the root
+    element is, so the root NAME is one anchored regexp away and the
+    wildcard test (prefix+suffix, Parser.cs:175-187) is string algebra;
+    a non-matching root yields the same all-null row the Python kernel
+    emits for a ``None`` record.  ``Tag()``/wildcards BELOW the root,
+    mixed-content string folding (Parser.cs:44-49), custom parsers, and
+    expression projections remain Python-kernel-only and raise
+    ``ValueError``; use ``extract_xml`` for those.  Missing-tag defaults
+    (``X.int_`` -> 0) are applied with ``coalesce`` after parsing,
+    matching ParserData.Get semantics (Parser.cs:531-536).
 
     ``strip_namespaces`` (default True) matches the reference's
     namespace-ignorant LocalName matching (Parser.cs:133, 166): element
@@ -320,6 +330,7 @@ def extract_xml_jvm(
         _ScalarSlot,
         _Slot,
         _StringSlot,
+        _TagSlot,
         Struct,
     )
 
@@ -382,12 +393,23 @@ def extract_xml_jvm(
             )
         return slot.pattern
 
-    def _compile(struct: Struct):
-        """Returns (from_xml StructFields, [(out_name, fn(parsed) -> Column)])."""
+    def _compile(struct: Struct, root_tag_col=None):
+        """Returns (from_xml StructFields, [(out_name, fn(parsed) -> Column)]).
+        ``root_tag_col`` is set only for the top-level call: root-level
+        ``Tag()`` slots read it (Parser.cs:402-405 — the tag name of the
+        element the record was built from); below the root the element
+        name is not observable through ``from_xml``."""
         fields: list[T.StructField] = []
         outs: list[tuple[str, object]] = []
         for name, f in struct.fields.items():
-            if isinstance(f, _AttrSlot):
+            if isinstance(f, _TagSlot):
+                if root_tag_col is None:
+                    raise ValueError(
+                        f"JVM path cannot express Tag() below the root "
+                        f"(field {name!r}); use extract_xml (python kernel)"
+                    )
+                outs.append((name, lambda x, c=root_tag_col: c))
+            elif isinstance(f, _AttrSlot):
                 p = _plain(f)
                 fields.append(T.StructField(f"_{p}", T.StringType()))
                 outs.append((name, lambda x, p=p: x[f"_{p}"]))
@@ -502,18 +524,39 @@ def extract_xml_jvm(
                 )
         return fields, outs
 
-    fields, outs = _compile(spec)
     src = F.col(col)
     if strip_namespaces:
         # `<p:b>` / `</p:b>` -> `<b>` / `</b>`; anchored at the tag opener
         # so colons in text or attribute values are untouched
         src = F.regexp_replace(src, r"(</?)[A-Za-z_][\w.-]*:", r"$1")
+    # the root element's local name: first tag-like token (declarations
+    # `<?xml` and comments `<!--` can't match — `?`/`!` are excluded)
+    root_name = F.regexp_extract(src, r"<([A-Za-z_][\w.\-]*)", 1)
+    fields, outs = _compile(spec, root_tag_col=root_name)
     parsed = F.from_xml(
         src,
         T.StructType(fields),
         {"timestampFormat": "yyyy-MM-dd HH:mm:ss", "attributePrefix": "_"},
     )
     tmp = df.withColumn("__x", parsed)
-    return tmp.select(
-        *[fn(F.col("__x")).alias(name) for name, fn in outs]
-    )
+    # root-pattern gate (match_pattern as string algebra): a non-matching
+    # root nulls every output — the Python kernel's None record.  `"*"`
+    # matches everything and needs no gate.
+    if spec.pattern == "*":
+        ok = None
+    elif "*" in spec.pattern:
+        pre, _, post = spec.pattern.partition("*")
+        ok = F.length(root_name) >= F.lit(len(pre) + len(post))
+        if pre:
+            ok = ok & root_name.startswith(pre)
+        if post:
+            ok = ok & root_name.endswith(post)
+    else:
+        ok = root_name == spec.pattern
+    cols = []
+    for name, fn in outs:
+        c = fn(F.col("__x"))
+        if ok is not None:
+            c = F.when(ok, c)
+        cols.append(c.alias(name))
+    return tmp.select(*cols)
