@@ -24,77 +24,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  ROUND-7 window
-# (r6 verdict task #3): the 4 XML round-trips stay pinned (the
-# reference-derived §2A surface — round 7 rebuilt the Python kernel's
-# _eval_record, so these four are also this round's re-check targets); the
-# next 7 slots are EVERY query that has never held a driver verdict in any
-# round (4 carried from the un-rotated r6 window + the 3 round-6 additions)
-# — a green window makes cumulative driver coverage complete for the
-# round-6 registry; 5 slots are the queries ADDED in round 7 (IVFADC rerank,
-# LSH band stats + S-curve plan, XML array UDTF, forward as-of); 34 are the
-# STALEST re-checks (last green r1/r2, computed from CORRECTNESS_r01..r06),
-# freshening the oldest verdicts in the ledger.
+# the head of the ordering is a per-round curated window.  ROUND-8 window
+# (r7 verdict task #3): the 4 XML round-trips stay pinned (the
+# reference-derived §2A surface — the wildcard query now also locks the
+# engine="python" iterparse kernel, since root-wildcard specs auto-dispatch
+# to the new JVM hybrid); 2 slots are the queries ADDED in round 8 (the
+# hybrid-path wildcard/Tag twin, the CreateParser struct UDTF); the other
+# 44 are the STALEST standing verdicts, computed by joining
+# CORRECTNESS_r01..r07 for each query's newest green round — ALL 5
+# remaining r1-era and ALL 36 r2-era verdicts are refreshed this round,
+# plus the 3 oldest r3-era ones, so after a green window no verdict is
+# older than round 3 and the freshness target (nothing older than 4
+# rounds) holds with margin.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
 # before shipping a round.
 _PRIORITY = [
-    # §2A reference surface (pinned every round; kernel rebuilt round 7)
+    # §2A reference surface (pinned every round)
     "xml_roundtrip_orders_struct",
     "xml_roundtrip_orders_struct_jvm",
     "xml_roundtrip_wildcard_tag_events",
     "xml_roundtrip_lineitem_array",
-    # never driver-checked in any round (r6 verdict "What's missing" #1)
-    "formats_partition_pruned_read",
-    "formats_bucketed_join_no_shuffle",
-    "sample_leakage_free_split",
-    "analytic_new_vs_returning_weekly",
-    "dedup_pairs_delta",
-    "graph_components_incremental",
-    "pipeline_drop_contained_stats",
-    # stalest re-checks: last driver green was round 1
-    "agg_distinct_counts",
-    "agg_grouping_sets_mixed",
-    "agg_minmax_stats",
-    "agg_percentiles_price_by_returnflag",
-    "distinct_order_status_priority",
-    "join_anti_customers_without_orders",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_presence",
-    "join_nonequi_price_band",
-    "join_right_orders_customer_segment",
-    "join_salted_skewed_fact_dim",
-    "join_semi_customers_with_high_value_order",
-    "q10_returned_items",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_check",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q8_market_share",
-    "scalar_date_functions",
-    "subquery_in_top_nations",
     # new queries this round (never driver-checked)
-    "similarity_topk_ivfpq_rerank",
-    "dedup_lsh_band_stats",
-    "xml_udtf_lineitem_array",
-    "asof_forward_view_next_purchase",
-    "dedup_lsh_plan",
+    "xml_roundtrip_wildcard_tag_events_jvm",
+    "xml_udtf_orders_struct",
+    # stalest re-checks: last driver green was round 1
+    "scalar_array_functions",
+    "scalar_math_functions",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "subquery_scalar_above_avg_price",
     # stalest re-checks: last driver green was round 2
-    "agg_argmax_order_per_customer",
-    "agg_cube_lineitem_flags",
-    "agg_rollup_order_year_priority",
-    "agg_salted_skewed_event_totals",
-    "asof_join_purchase_last_view",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
+    "embedding_int8_quantize",
+    "formats_roundtrip_orders",
+    "graph_components_minhash_groups",
+    "graph_dup_group_sizes",
+    "join_left_customer_order_stats",
+    "json_extract_event_props",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "pack_sequences_plan",
+    "pipeline_dedup_mix_pack",
+    "pivot_status_totals_by_priority",
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q_revenue_per_nation",
+    "sample_deterministic_rate",
+    "sample_train_val_split",
+    "scalar_string_functions",
+    "setop_union_all_keys",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "sort_top20_orders",
+    "subquery_exists_urgent_customers",
+    "temporal_ewma_per_user",
+    "temporal_rollup_multires",
+    "text_langid_documents",
+    "text_stats_documents",
+    "text_tfidf_top_terms",
+    "window_session_10m_events",
+    "window_topk_orders_per_customer",
+    "window_trailing_7day_revenue",
+    "window_tumbling_hourly_events",
+    # stalest re-checks: last driver green was round 3 (oldest three)
+    "agg_histogram_totalprice",
+    "agg_stats_moments",
+    "analytic_weekly_retention_cohorts",
 ]
 
 

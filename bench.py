@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "text_fingerprint_documents",
     "xml_roundtrip_orders_struct",
     "xml_roundtrip_orders_struct_jvm",
+    "xml_roundtrip_wildcard_tag_events",
+    "xml_roundtrip_wildcard_tag_events_jvm",
     "text_ngram_top100",
     "analytic_funnel_view_click_purchase",
     "q8_market_share",

@@ -14,8 +14,10 @@ degenerate duplicates:
 * embeddings get +r/1000 on component 0 (near-dup rate stays ~constant).
 * region/nation are fixed dims (25 nations is the schema, not a scale knob).
 
-Usage:  python tools/gen_scale.py [factor] [src] [dst]
-        (defaults: 10 /root/testdata/sf0.1 <repo>/.scale/sf1)
+Usage:  python tools/gen_scale.py [factor] [src] [dst] [tables]
+        (defaults: 10 /root/testdata/sf0.1 <repo>/.scale/sf1 all-tables;
+        ``tables`` is a comma list, e.g. ``documents,events`` for the
+        30x dedup-chain stress dirs where lineitem would only burn disk)
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, ".scale", "sf1")
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     spark = get_session("gen-scale", master="local[8]", shuffle_partitions=32)
 
     def stride_of(table, col):
@@ -79,12 +82,16 @@ def main() -> None:
     print("strides:", strides)
 
     for tname in _FIXED:
+        if only is not None and tname not in only:
+            continue
         spark.read.parquet(f"{src}/{tname}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{tname}.parquet"
         )
         print(f"{tname}: copied")
 
     for tname, shifts in _SHIFTS.items():
+        if only is not None and tname not in only:
+            continue
         base = spark.read.parquet(f"{src}/{tname}.parquet")
         reps = []
         for r in range(factor):
