@@ -215,7 +215,16 @@ def pair_graph_foreach_batch(state_dir: str, threshold: float = 0.5):
     Induction invariant (pytest-proven): after batch N, ``pairs`` equals
     the full-corpus recompute over every document seen so far, and the
     ``components`` snapshot equals full-graph CC — the streaming state IS
-    the batch answer at every prefix of the stream."""
+    the batch answer at every prefix of the stream.
+
+    Scale note: a deployment whose ingest batches OUTGROW broadcast (bulk
+    backfills rather than trickle ingest) should additionally maintain the
+    bucketed postings artifact (``operators.dedup.persist_postings``) at a
+    compaction cadence and pass it as ``base_postings`` — the corpus side
+    of the prefix join then never exchanges and the probe scan prunes to
+    the batch's touched shingle buckets (BASELINE.md §5 r8 addendum A).
+    For micro-batch-sized deltas both probe paths broadcast the prefix and
+    tie, so this body keeps the simpler array-derived probe."""
     import os
 
     from xmlstreamprocessor_spark.operators.dedup import (
