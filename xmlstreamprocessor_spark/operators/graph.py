@@ -367,6 +367,78 @@ def graph_components_incremental(spark, sf_dir):
     ).select(F.col("node").alias("doc_id"), "component")
 
 
+@query("graph_components_incremental_persisted", oracle=_DUCK_CC_DUP_GROUPS)
+def graph_components_incremental_persisted(spark, sf_dir):
+    """The honest-protocol twin of ``graph_components_incremental`` (r8):
+    every base artifact — shingle sets, df stats, the bucketed postings
+    table, component labels — is WRITTEN to a private tempdir first (the
+    ingest history a production pipeline accumulates), and the returned
+    labels derive exclusively from the STORED artifacts plus the delta
+    batch: delta pairs probe the persisted postings
+    (``jaccard_pairs_delta(base_postings=...)``) and fold into the
+    persisted labels with :func:`merge_components`.  Same full-corpus
+    recursive-CTE oracle, so the driver hash-checks the actual per-ingest
+    production path — closing the r7 footnote that the registered
+    incremental queries were upper bounds that recomputed their base
+    in-query.  The result is materialized eagerly (private-tempdir
+    protocol, `operators/formatsq.py`) so the returned frame has no
+    lineage into the deleted artifacts; it is node-count-bounded."""
+    import os
+    import shutil
+    import tempfile
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _jaccard_pairs_auto,
+        jaccard_pairs_delta,
+        persist_postings,
+        shingle_sets,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
+    base = tempfile.mkdtemp(prefix="xsp_ccpersist_")
+    tag = os.path.basename(base).rsplit("_", 1)[-1]
+    tbl = f"xsp_cc_postings_{tag}"
+    try:
+        base_docs = d.filter(~is_delta)
+        shingle_sets(base_docs).write.parquet(f"{base}/shingles")
+        stored_sh = spark.read.parquet(f"{base}/shingles")
+        (
+            stored_sh.select(F.explode("s").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.parquet(f"{base}/df_stats")
+        )
+        post = persist_postings(stored_sh, tbl, f"{base}/postings")
+        base_pairs = _jaccard_pairs_auto(
+            spark, sf_dir=None, threshold=0.5, docs=base_docs
+        )
+        connected_components(
+            base_pairs, src="doc_a", dst="doc_b"
+        ).write.parquet(f"{base}/components")
+
+        delta_pairs = jaccard_pairs_delta(
+            spark,
+            sf_dir,
+            0.5,
+            base_shingle_sets=stored_sh,
+            df_stats=spark.read.parquet(f"{base}/df_stats"),
+            base_postings=post,
+        )
+        merged = merge_components(
+            spark.read.parquet(f"{base}/components"),
+            delta_pairs,
+            src="doc_a",
+            dst="doc_b",
+        ).select(F.col("node").alias("doc_id"), "component")
+        return spark.createDataFrame(merged.collect(), schema=merged.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @query(
     "graph_components_minhash_groups",
     oracle=_DUCK_CC_DUP_GROUPS.replace(">= 0.5", ">= 0.8"),
