@@ -28,14 +28,14 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # (r7 verdict task #3): the 4 XML round-trips stay pinned (the
 # reference-derived §2A surface — the wildcard query now also locks the
 # engine="python" iterparse kernel, since root-wildcard specs auto-dispatch
-# to the new JVM hybrid); 2 slots are the queries ADDED in round 8 (the
-# hybrid-path wildcard/Tag twin, the CreateParser struct UDTF); the other
-# 44 are the STALEST standing verdicts, computed by joining
+# to the new JVM hybrid); 4 slots are the queries ADDED in round 8 (the
+# hybrid-path wildcard/Tag twin, the CreateParser struct UDTF, and the two
+# persisted-protocol twins — postings-probed delta pairs, stored-label CC
+# fold), keeping cumulative driver coverage complete at 231/231; the other
+# 42 are the STALEST standing verdicts, computed by joining
 # CORRECTNESS_r01..r07 for each query's newest green round — ALL 5
 # remaining r1-era and ALL 36 r2-era verdicts are refreshed this round,
-# plus the 3 oldest r3-era ones, so after a green window no verdict is
-# older than round 3 and the freshness target (nothing older than 4
-# rounds) holds with margin.
+# plus the oldest r3-era one.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
@@ -49,6 +49,8 @@ _PRIORITY = [
     # new queries this round (never driver-checked)
     "xml_roundtrip_wildcard_tag_events_jvm",
     "xml_udtf_orders_struct",
+    "dedup_pairs_delta_postings",
+    "graph_components_incremental_persisted",
     # stalest re-checks: last driver green was round 1
     "scalar_array_functions",
     "scalar_math_functions",
@@ -92,10 +94,8 @@ _PRIORITY = [
     "window_topk_orders_per_customer",
     "window_trailing_7day_revenue",
     "window_tumbling_hourly_events",
-    # stalest re-checks: last driver green was round 3 (oldest three)
+    # stalest re-check: last driver green was round 3 (oldest one)
     "agg_histogram_totalprice",
-    "agg_stats_moments",
-    "analytic_weekly_retention_cohorts",
 ]
 
 
