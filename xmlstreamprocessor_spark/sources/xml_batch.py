@@ -530,8 +530,12 @@ def extract_xml_jvm(
         # so colons in text or attribute values are untouched
         src = F.regexp_replace(src, r"(</?)[A-Za-z_][\w.-]*:", r"$1")
     # the root element's local name: first tag-like token (declarations
-    # `<?xml` and comments `<!--` can't match — `?`/`!` are excluded)
-    root_name = F.regexp_extract(src, r"<([A-Za-z_][\w.\-]*)", 1)
+    # `<?xml` and comments `<!--` can't match — `?`/`!` are excluded).
+    # \p{L}/\p{N} keep Unicode tag names (<résumé>) identical to the
+    # Python kernel, which matches any XML name
+    root_name = F.regexp_extract(
+        src, r"<([\p{L}_][\p{L}\p{N}._\-]*)", 1
+    )
     fields, outs = _compile(spec, root_tag_col=root_name)
     parsed = F.from_xml(
         src,
