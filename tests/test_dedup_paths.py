@@ -898,3 +898,51 @@ def test_exact_delta_losslessness_property_random_corpora(spark):
         assert {**base, **delta} == full
 
     check()
+
+
+def test_bucketed_postings_empty_delta_and_stamp_override(spark, tmp_path):
+    """Edge hardening for the postings probe: an EMPTY delta batch yields
+    zero pairs (empty touched-bucket set -> isin([]) prunes everything,
+    no crash), and the n_sb stamped into the table's column metadata
+    overrides a wrong caller parameter — the mismatch that would
+    otherwise silently prune live buckets."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        jaccard_pairs_delta,
+        persist_postings,
+        shingle_sets,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon"),
+        (7, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base_sh = shingle_sets(docs.filter(F.col("doc_id") != 7))
+    spark.sql("DROP TABLE IF EXISTS xsp_t_edge")
+    post = persist_postings(
+        base_sh, "xsp_t_edge", str(tmp_path / "p"), n_sb=16
+    )
+    try:
+        assert dict(post.schema["sb"].metadata)["xsp_n_sb"] == 16
+        # empty delta: no document satisfies the predicate
+        empty = jaccard_pairs_delta(
+            spark, sf_dir=None, threshold=0.5,
+            docs=docs, is_delta=F.lit(False),
+            base_shingle_sets=base_sh, base_postings=post,
+        )
+        assert empty.count() == 0
+        # wrong n_sb parameter, stamped table: stamp wins, answer lossless
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs_delta(
+                spark, sf_dir=None, threshold=0.5,
+                docs=docs, is_delta=F.col("doc_id") == 7,
+                base_shingle_sets=base_sh, base_postings=post, n_sb=32,
+            ).collect()
+        }
+        assert got == {(1, 7), (2, 7)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS xsp_t_edge")
