@@ -1441,3 +1441,56 @@ def test_pair_graph_state_empty_before_first_batch(spark, tmp_path):
     assert pairs.count() == 0 and comp.count() == 0
     assert pairs.columns == ["doc_a", "doc_b", "jaccard"]
     assert comp.columns == ["node", "component"]
+
+
+def test_stream_xml_to_minhash_dedup_end_to_end(spark, tmp_path):
+    """The OTHER production ingest composition: documents arriving AS XML
+    (stream_xml shreds them with the compiled kernel) flow straight into
+    the MinHash near-dup filter against the persisted corpus signature
+    table — an exact copy of a corpus document is dropped, a novel one
+    survives, and the surviving rows carry the extracted typed columns.
+    One lineage: file watch -> iterparse kernel -> signature expressions
+    -> 10 broadcast anti joins, no state store."""
+    from xml.sax.saxutils import escape
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _bands_from_sig,
+        _minhash_signatures_for,
+    )
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.streaming import stream_dedup_minhash
+    from xmlstreamprocessor_spark.streaming.sources import stream_xml
+
+    base = catalog.load(spark, SF, "documents")
+    base_bands = _bands_from_sig(_minhash_signatures_for(base)).cache()
+    try:
+        copied = base.orderBy("doc_id").first()["text"]
+        fresh = (
+            "an entirely novel stream document mentioning zanzibar "
+            "quixotic parallelograms nineteen times for good measure"
+        )
+        src = tmp_path / "xml_in"
+        src.mkdir()
+        (src / "batch.xml").write_text(
+            "<corpus>"
+            f'<doc id="9000001"><text>{escape(copied)}</text></doc>'
+            f'<doc id="9000002"><text>{escape(fresh)}</text></doc>'
+            "</corpus>"
+        )
+        spec = X.struct("doc", {"doc_id": X.attr("id"), "text": X.string("text")})
+        extracted = stream_xml(spark, str(src), "doc", spec).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        )
+        deduped = stream_dedup_minhash(extracted, base_bands)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("t_xml_mh")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("SELECT doc_id, text FROM t_xml_mh").collect()
+        assert [(r["doc_id"], r["text"]) for r in got] == [(9000002, fresh)]
+    finally:
+        base_bands.unpersist()
