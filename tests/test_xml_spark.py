@@ -1063,3 +1063,39 @@ def test_jvm_hybrid_root_wildcard_and_tag(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "InPandas" in plan2
+
+
+def test_jvm_hybrid_prolog_and_failfast(spark):
+    """r8 review fixes, pinned: (1) a pre-root comment containing '<word'
+    must not hijack the root name (the prolog is stripped before the
+    anchored root extract), so Tag()/wildcard gating sees the REAL root;
+    (2) the JVM path runs from_xml in FAILFAST mode — a malformed
+    document aborts the job instead of fabricating a row with a
+    regexp-derived Tag and defaulted fields."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import (
+        extract_xml,
+        extract_xml_jvm,
+    )
+
+    spec = X.struct("t_*", {"kind": X.tag(), "eid": X.attr("eid")})
+    docs = [
+        ('<!-- made by <gen> tool --><t_click eid="1"/>',),
+        ('<?xml version="1.0"?><!--x--><!DOCTYPE t_view><t_view eid="2"/>',),
+    ]
+    df = spark.createDataFrame(docs, "doc string")
+    py = sorted(map(tuple, extract_xml(df, "doc", spec, engine="python").collect()))
+    jv = sorted(map(tuple, extract_xml_jvm(df, "doc", spec).collect()))
+    assert py == jv == [("t_click", "1"), ("t_view", "2")]
+
+    bad = spark.createDataFrame([('<t_click eid="1"',)], "doc string")
+    with _pytest.raises((Py4JJavaError, PythonException, Exception)):
+        extract_xml_jvm(bad, "doc", spec).collect()
+    # auto dispatch (FAILFAST default) must also raise, matching the
+    # Python kernel's contract
+    with _pytest.raises((Py4JJavaError, PythonException, Exception)):
+        extract_xml(bad, "doc", spec).collect()

@@ -56,7 +56,18 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, ".scale", "sf1")
-    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    only = (
+        {t.strip() for t in sys.argv[4].split(",") if t.strip()}
+        if len(sys.argv) > 4
+        else None
+    )
+    if only is not None:
+        known = set(_FIXED) | set(_SHIFTS)
+        unknown = only - known
+        if unknown:  # a typo would otherwise silently skip the table
+            raise SystemExit(
+                f"unknown tables {sorted(unknown)}; choose from {sorted(known)}"
+            )
     spark = get_session("gen-scale", master="local[8]", shuffle_partitions=32)
 
     def stride_of(table, col):

@@ -383,14 +383,12 @@ def graph_components_incremental_persisted(spark, sf_dir):
     in-query.  The result is materialized eagerly (private-tempdir
     protocol, `operators/formatsq.py`) so the returned frame has no
     lineage into the deleted artifacts; it is node-count-bounded."""
-    import os
-    import shutil
-    import tempfile
-
     from xmlstreamprocessor_spark.operators.dedup import (
         _DELTA_MOD,
         _DELTA_REM,
         _jaccard_pairs_auto,
+        _scratch_table,
+        df_stats_for,
         jaccard_pairs_delta,
         persist_postings,
         shingle_sets,
@@ -398,19 +396,11 @@ def graph_components_incremental_persisted(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
-    base = tempfile.mkdtemp(prefix="xsp_ccpersist_")
-    tag = os.path.basename(base).rsplit("_", 1)[-1]
-    tbl = f"xsp_cc_postings_{tag}"
-    try:
+    with _scratch_table(spark, "xsp_cc_postings_") as (base, tbl):
         base_docs = d.filter(~is_delta)
         shingle_sets(base_docs).write.parquet(f"{base}/shingles")
         stored_sh = spark.read.parquet(f"{base}/shingles")
-        (
-            stored_sh.select(F.explode("s").alias("shingle"))
-            .groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .write.parquet(f"{base}/df_stats")
-        )
+        df_stats_for(stored_sh).write.parquet(f"{base}/df_stats")
         post = persist_postings(stored_sh, tbl, f"{base}/postings")
         base_pairs = _jaccard_pairs_auto(
             spark, sf_dir=None, threshold=0.5, docs=base_docs
@@ -434,9 +424,6 @@ def graph_components_incremental_persisted(spark, sf_dir):
             dst="doc_b",
         ).select(F.col("node").alias("doc_id"), "component")
         return spark.createDataFrame(merged.collect(), schema=merged.schema)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(

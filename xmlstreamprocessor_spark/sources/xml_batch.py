@@ -529,18 +529,35 @@ def extract_xml_jvm(
         # `<p:b>` / `</p:b>` -> `<b>` / `</b>`; anchored at the tag opener
         # so colons in text or attribute values are untouched
         src = F.regexp_replace(src, r"(</?)[A-Za-z_][\w.-]*:", r"$1")
-    # the root element's local name: first tag-like token (declarations
-    # `<?xml` and comments `<!--` can't match — `?`/`!` are excluded).
-    # \p{L}/\p{N} keep Unicode tag names (<résumé>) identical to the
-    # Python kernel, which matches any XML name
+    # the root element's local name: strip the PROLOG first (XML
+    # declaration / processing instructions, comments, DOCTYPE — a
+    # comment may itself contain '<word', so an unanchored first-tag
+    # grab would capture the comment's token), then the ANCHORED first
+    # tag is the root.  \p{L}/\p{N} keep Unicode tag names (<résumé>)
+    # identical to the Python kernel, which matches any XML name.  A
+    # DOCTYPE with an internal subset ([...]) is not handled — the
+    # Python kernel (ET) rejects those documents anyway.
+    prolog = r"(?s)^\s*(?:<\?.*?\?>\s*|<!--.*?-->\s*|<!DOCTYPE[^>\[]*>\s*)*"
     root_name = F.regexp_extract(
-        src, r"<([\p{L}_][\p{L}\p{N}._\-]*)", 1
+        F.regexp_replace(src, prolog, ""),
+        r"^<([\p{L}_][\p{L}\p{N}._\-]*)",
+        1,
     )
     fields, outs = _compile(spec, root_tag_col=root_name)
     parsed = F.from_xml(
         src,
         T.StructType(fields),
-        {"timestampFormat": "yyyy-MM-dd HH:mm:ss", "attributePrefix": "_"},
+        {
+            "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+            "attributePrefix": "_",
+            # the engine's FAILFAST contract (Parser.cs:119-208 throws on
+            # bad input): from_xml's default PERMISSIVE would null-struct
+            # a malformed document, and the gated projection would then
+            # FABRICATE a row (Tag() from the regexp, defaults elsewhere)
+            # — found by round-8 review; extract_xml's PERMISSIVE/
+            # DROPMALFORMED modes run the Python kernel, never this path
+            "mode": "FAILFAST",
+        },
     )
     tmp = df.withColumn("__x", parsed)
     # root-pattern gate (match_pattern as string algebra): a non-matching
