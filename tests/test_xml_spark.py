@@ -110,11 +110,20 @@ def test_jvm_path_rejects_wildcards(spark):
     docs = spark.createDataFrame([("<a/>",)], ["doc"])
     with pytest.raises(ValueError, match="wildcard"):
         extract_xml_jvm(docs, "doc", X.struct("r", {"x": X.string("pre*")}))
-    # Tag() at the ROOT is now expressible (hybrid path, r7 verdict #2);
-    # below the root it still is not
-    with pytest.raises(ValueError, match="below the root"):
+    # a wildcard-NAMED top-level field cannot be addressed by from_xml OR
+    # the span regexp, so it is not even hybrid-routable
+    with pytest.raises(ValueError, match="wildcard"):
         extract_xml_jvm(
-            docs, "doc", X.struct("r", {"c": X.struct("c", {"k": X.tag()})})
+            docs, "doc", X.struct("r", {"c": X.struct("c*", {"k": X.tag()})})
+        )
+    # with the hybrid disabled (auto-dispatch mode), an interior the JVM
+    # cannot express fails instead of routing to the span kernel
+    with pytest.raises(ValueError, match="wildcard"):
+        extract_xml_jvm(
+            docs,
+            "doc",
+            X.struct("r", {"c": X.struct("c", {"k": X.string("s*")})}),
+            below_root=False,
         )
     assert extract_xml_jvm(
         docs, "doc", X.struct("r", {"k": X.tag()})
@@ -1051,15 +1060,30 @@ def test_jvm_hybrid_root_wildcard_and_tag(spark):
     )
     assert "InPandas" not in plan
 
-    # Tag() below the root is not expressible on the JVM path
+    # Tag() below the root under a PLAINLY-named element is expressible
+    # since r9 (the name is statically known -> a literal), kernel-equal
     deep = X.struct(
         "root", {"child": X.struct("c", {"kind": X.tag()})}
     )
-    with _pytest.raises(ValueError, match="below the root"):
-        extract_xml_jvm(df, "doc", deep)
-    # ... and auto dispatch falls back to the Python kernel for it
+    ddf = spark.createDataFrame([("<root><c/></root>",), ("<root/>",)], "doc string")
+    assert [
+        r.asDict(recursive=True)
+        for r in extract_xml_jvm(ddf, "doc", deep).collect()
+    ] == [
+        r.asDict(recursive=True)
+        for r in extract_xml(ddf, "doc", deep, engine="python").collect()
+    ]
+    # ... but under a WILDCARD-named element the name is data-dependent:
+    # not JVM-expressible, and not hybrid-routable either (the span
+    # regexp cannot address a wildcard), so the whole spec raises and
+    # auto dispatch falls back to the Python kernel
+    wdeep = X.struct(
+        "root", {"child": X.struct("c*", {"kind": X.tag()})}
+    )
+    with _pytest.raises(ValueError, match="wildcard"):
+        extract_xml_jvm(df, "doc", wdeep)
     plan2 = (
-        extract_xml(df.limit(1), "doc", deep)
+        extract_xml(df.limit(1), "doc", wdeep)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "InPandas" in plan2
@@ -1099,3 +1123,239 @@ def test_jvm_hybrid_prolog_and_failfast(spark):
     # Python kernel's contract
     with _pytest.raises((Py4JJavaError, PythonException, Exception)):
         extract_xml(bad, "doc", spec).collect()
+
+def _both_paths(spark, docs, spec, **kw):
+    from xmlstreamprocessor_spark.sources.xml_batch import (
+        extract_xml,
+        extract_xml_jvm,
+    )
+
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    py = [
+        r.asDict(recursive=True)
+        for r in extract_xml(df, "doc", spec, engine="python").collect()
+    ]
+    jv = [
+        r.asDict(recursive=True)
+        for r in extract_xml_jvm(df, "doc", spec, **kw).collect()
+    ]
+    assert py == jv, f"kernel/JVM divergence:\n py={py}\njvm={jv}"
+    return py
+
+
+def test_jvm_first_occurrence_wins_parity(spark):
+    """r9 fix: from_xml natively keeps the LAST occurrence of a repeated
+    tag; the reference keeps the FIRST (Parser.cs:224-228).  Every field
+    is now captured as array<...> and projected to element 0, so repeated
+    scalars, repeated nested structs, and repeated array containers all
+    match the Python kernel on the pure-JVM path."""
+    from xmlstreamprocessor_spark.plans import X
+
+    spec = X.struct(
+        "r",
+        {
+            "i": X.int_("i"),
+            "s": X.string("s"),
+            "sub": X.struct("sub", {"n": X.nint("n")}),
+            "qs": X.array("qs", X.nint("q")),
+        },
+    )
+    rows = _both_paths(
+        spark,
+        [
+            "<r><i>1</i><i>2</i><s>first</s><s>second</s>"
+            "<sub><n>10</n></sub><sub><n>20</n></sub>"
+            "<qs><q>1</q></qs><qs><q>9</q></qs></r>",
+            "<r><s>  padded  </s><i>4</i></r>",  # no trim (Parser.cs:34-56)
+        ],
+        spec,
+    )
+    assert rows[0]["i"] == 1 and rows[0]["s"] == "first"
+    assert rows[0]["sub"] == {"n": 10} and rows[0]["qs"] == [1]
+    assert rows[1]["s"] == "  padded  "
+
+
+def test_jvm_hybrid_below_root_generic_shape(spark):
+    """r9 verdict #1 — the GenericTest shape (Test1.cs:50,136):
+    heterogeneous children with Tag() discriminators under an array
+    container, below the root.  The hybrid path parses every fixed field
+    with from_xml, captures the container's raw SOURCE span with one
+    guarded regexp, and runs the narrow kernel on that column only —
+    kernel-identical results, including the reference's golden semantics
+    (missing someint -> 0 via default(int), missing subsubclass -> null,
+    document order, unknown `<a>` children skipped)."""
+    from xmlstreamprocessor_spark.plans import X
+
+    gspec = X.struct(
+        "sample2",
+        {
+            "tag": X.tag(),
+            "someint": X.int_("someint"),
+            "somestring": X.string("somestring"),
+            "subclasses": X.array(
+                "subclasses",
+                X.struct(
+                    "*",
+                    {
+                        "tag": X.tag(),
+                        "someint": X.int_("someint"),
+                        "sub": X.struct(
+                            "subsubclass",
+                            {"somestring": X.string("somestring"), "tag": X.tag()},
+                        ),
+                    },
+                ),
+            ),
+        },
+    )
+    gdoc = (
+        "<sample2 attr1='z'><a/><a><b/></a><a/><someint>1</someint>"
+        "<somestring>asd</somestring>"
+        "<subclasses attr2='x'><subclass/><subclass><someint>2</someint>"
+        "<subsubclass><somestring>zzz</somestring></subsubclass></subclass>"
+        "<subanotherclass><someint>3</someint><subsubclass></subsubclass>"
+        "</subanotherclass><subclass></subclass></subclasses></sample2>"
+    )
+    rows = _both_paths(
+        spark,
+        [
+            gdoc,
+            "<sample2><someint>9</someint><somestring>q</somestring></sample2>",
+            "<sample2><someint>5</someint><subclasses/></sample2>",
+        ],
+        gspec,
+    )
+    # the reference's golden expectation for GenericTest (Test1.cs:68-95)
+    assert rows[0]["subclasses"] == [
+        {"tag": "subclass", "someint": 0, "sub": None},
+        {"tag": "subclass", "someint": 2,
+         "sub": {"somestring": "zzz", "tag": "subsubclass"}},
+        {"tag": "subanotherclass", "someint": 3,
+         "sub": {"somestring": None, "tag": "subsubclass"}},
+        {"tag": "subclass", "someint": 0, "sub": None},
+    ]
+    assert rows[1]["subclasses"] is None  # missing container -> default(T)
+    assert rows[2]["subclasses"] == []  # present but empty -> no emits
+
+
+def test_jvm_hybrid_span_ambiguity_raises(spark):
+    """The hybrid span capture is honest: when the container tag occurs
+    more than once in the document (repeated direct children, nesting, or
+    the tag inside a comment), a regexp cannot pin the span the kernel
+    would parse, so the path raises a descriptive error instead of ever
+    silently diverging."""
+    import pytest as _pytest
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml_jvm
+
+    spec = X.struct("r", {"c": X.array("c", X.struct("*", {"t": X.tag()}))})
+    for doc in (
+        "<r><c><a/></c><c><b/></c></r>",  # repeated container
+        "<!-- has a <c> token --><r><c><a/></c></r>",  # tag in a comment
+    ):
+        df = spark.createDataFrame([(doc,)], "doc string")
+        with _pytest.raises(Exception, match="ambiguous"):
+            extract_xml_jvm(df, "doc", spec).collect()
+
+
+def test_jvm_hybrid_mixed_content_strings(spark):
+    """Mixed-content folding (Parser.cs:44-49) on the hybrid path:
+    strings="python" routes top-level string fields through the raw-span
+    kernel, reproducing the reference's serialization of child elements
+    back into the value — entities, CDATA, and surrounding whitespace
+    included.  The default strings="jvm" keeps text-only strings fully
+    JVM-side but raises on captured markup rather than guessing between
+    mixed content and text that escaped '<'."""
+    import pytest as _pytest
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.xml_batch import extract_xml_jvm
+
+    spec = X.struct("r", {"s": X.string("s"), "i": X.nint("i")})
+    rows = _both_paths(
+        spark,
+        [
+            "<r><s>Test with a <more/> child element stuff</s><i>1</i></r>",
+            "<r><s>plain &amp; text</s></r>",
+            "<r><s><![CDATA[cd <x> text]]></s></r>",
+            "<r><s> keep  spaces </s></r>",
+            "<r><i>2</i></r>",
+        ],
+        spec,
+        strings="python",
+    )
+    assert rows[0]["s"] == "Test with a <more /> child element stuff"
+    # text-only strings need no python stage and stay kernel-identical
+    _both_paths(spark, ["<r><s>plain &amp; text</s><i>3</i></r>"], spec)
+    # ... but captured markup on the default path raises, never guesses
+    df = spark.createDataFrame([("<r><s>a <b/> c</s></r>",)], "doc string")
+    with _pytest.raises(Exception, match="mixed content"):
+        extract_xml_jvm(df, "doc", spec).collect()
+
+
+def test_jvm_hybrid_custom_parser(spark):
+    """Custom parsers (Parser.cs:318-331) ride the same hybrid route: the
+    field's source span re-parses to the exact element the full kernel
+    would hand the user fn — attributes, entities, children intact."""
+    from pyspark.sql import types as T
+
+    from xmlstreamprocessor_spark.plans import X
+
+    spec = X.struct(
+        "r",
+        {
+            "i": X.nint("i"),
+            "c": X.custom(
+                "c",
+                lambda e: f"{e.get('k')}:{(e.findtext('v') or '')}",
+                T.StringType(),
+            ),
+        },
+    )
+    rows = _both_paths(
+        spark,
+        ['<r><i>1</i><c k="a"><v>x &amp; y</v></c></r>', "<r><i>2</i></r>"],
+        spec,
+    )
+    assert rows[0]["c"] == "a:x & y" and rows[1]["c"] is None
+
+
+def test_jvm_hybrid_adversarial_prolog_fuzz(spark):
+    """r8 verdict #8: property-style sweep comparing both execution paths
+    on adversarially-prologued documents — pre-root comments containing
+    '<word' tokens, XML declarations, DOCTYPE variants, Unicode tag
+    names, and namespace-prefixed attributes — across a root-wildcard
+    Tag() spec AND a below-root hybrid spec.  Any divergence (including
+    the prolog hijacking the root name or the span capture) fails."""
+    from xmlstreamprocessor_spark.plans import X
+
+    prologs = [
+        "",
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        "<!-- <fake eid='9'> <t_bogus/> -->",
+        "<!DOCTYPE t_click>",
+        '<?xml version="1.0"?><!-- x < y --><!DOCTYPE t_view><!-- <z> -->',
+        "  <!-- lead space --> ",
+    ]
+    bodies = [
+        '<t_click eid="1"><n>10</n><meta><m_a><v>1</v></m_a><m_b/></meta></t_click>',
+        '<t_view eid="2"><meta/></t_view>',
+        "<other><n>3</n></other>",
+        '<résumé eid="5"><n>6</n></résumé>',
+        '<t_ns p:eid="7" xmlns:p="u"><n>8</n></t_ns>',  # prefixed ATTR
+    ]
+    docs = [p + b for p in prologs for b in bodies]
+    root_spec = X.struct(
+        "t_*", {"kind": X.tag(), "eid": X.attr("eid"), "n": X.int_("n")}
+    )
+    _both_paths(spark, docs, root_spec)
+    hybrid_spec = X.struct(
+        "*",
+        {
+            "kind": X.tag(),
+            "n": X.nint("n"),
+            "meta": X.array("meta", X.struct("*", {"t": X.tag(), "v": X.nint("v")})),
+        },
+    )
+    _both_paths(spark, docs, hybrid_spec)
