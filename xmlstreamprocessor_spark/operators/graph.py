@@ -380,9 +380,10 @@ def graph_components_incremental_persisted(spark, sf_dir):
     recursive-CTE oracle, so the driver hash-checks the actual per-ingest
     production path — closing the r7 footnote that the registered
     incremental queries were upper bounds that recomputed their base
-    in-query.  The result is materialized eagerly (private-tempdir
-    protocol, `operators/formatsq.py`) so the returned frame has no
-    lineage into the deleted artifacts; it is node-count-bounded."""
+    in-query.  The result is materialized eagerly through a parquet
+    scratch path (`dedup.materialize` — executor-side, no driver
+    round-trip) so the returned frame has no lineage into the deleted
+    artifacts."""
     from xmlstreamprocessor_spark.operators.dedup import (
         _DELTA_MOD,
         _DELTA_REM,
@@ -390,6 +391,7 @@ def graph_components_incremental_persisted(spark, sf_dir):
         _scratch_table,
         df_stats_for,
         jaccard_pairs_delta,
+        materialize,
         persist_postings,
         shingle_sets,
     )
@@ -423,7 +425,7 @@ def graph_components_incremental_persisted(spark, sf_dir):
             src="doc_a",
             dst="doc_b",
         ).select(F.col("node").alias("doc_id"), "component")
-        return spark.createDataFrame(merged.collect(), schema=merged.schema)
+        return materialize(merged)
 
 
 @query(

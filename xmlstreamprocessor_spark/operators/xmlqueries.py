@@ -328,3 +328,98 @@ def xml_roundtrip_orders_struct_jvm(spark, sf_dir):
         money2(F.col("total")).alias("total"),
         F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
     )
+
+
+def _hetero_meta_doc():
+    """Per-order XML with fixed fields plus a `<meta>` container of
+    HETEROGENEOUS children — the element NAME carries the discriminator,
+    the GenericTest shape (Test1.cs:50,136)."""
+    return F.concat(
+        F.lit('<order id="'), F.col("o_orderkey").cast("string"),
+        F.lit('"><prio>'), F.col("o_orderpriority"),
+        F.lit("</prio><total>"), dec2("o_totalprice").cast("string"),
+        F.lit("</total><odate>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("</odate><meta><s_"), F.col("o_orderstatus"),
+        F.lit("><n>"), F.col("o_custkey").cast("string"),
+        F.lit("</n></s_"), F.col("o_orderstatus"),
+        F.lit("><p_"), F.substring("o_orderpriority", 1, 1),
+        F.lit("/></meta></order>"),
+    )
+
+
+def _hetero_meta_spec():
+    return X.struct(
+        "order",
+        {
+            "order_id": X.attr("id"),
+            "prio": X.string("prio"),
+            "total": X.ndecimal("total"),
+            "odate": X.ndate("odate"),
+            "meta": X.array(
+                "meta", X.struct("*", {"kind": X.tag(), "n": X.nint("n")})
+            ),
+        },
+    )
+
+
+def _hetero_meta_project(ex):
+    return ex.select(
+        F.col("order_id").cast("bigint").alias("order_id"),
+        "prio",
+        money2(F.col("total")).alias("total"),
+        F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+        F.explode("meta").alias("m"),
+    ).select(
+        "order_id", "prio", "total", "odate",
+        F.col("m.kind").alias("kind"),
+        F.col("m.n").alias("n"),
+    )
+
+
+_HETERO_META_ORACLE = """
+    SELECT o_orderkey AS order_id, o_orderpriority AS prio,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS total,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+           's_' || o_orderstatus AS kind,
+           CAST(o_custkey AS INTEGER) AS n
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           round(CAST(o_totalprice AS DOUBLE), 2),
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+           'p_' || substr(o_orderpriority, 1, 1),
+           CAST(NULL AS INTEGER)
+    FROM orders
+"""
+
+
+@query("xml_roundtrip_hetero_meta", oracle=_HETERO_META_ORACLE)
+def xml_roundtrip_hetero_meta(spark, sf_dir):
+    """The reference's flagship BELOW-ROOT shape (GenericTest,
+    Test1.cs:50,136): an array container whose heterogeneous children are
+    discriminated by their element NAME (wildcard match, Parser.cs:175-187
+    + Tag() capture, Parser.cs:402-405), alongside typed fixed fields.
+    Extraction is pinned to the Python iterparse kernel; the _jvm twin
+    runs the identical spec through the r9 hybrid span path — same oracle,
+    both must agree bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    ex = extract_xml(
+        o.select(_hetero_meta_doc().alias("doc")), "doc", _hetero_meta_spec(),
+        engine="python",
+    )
+    return _hetero_meta_project(ex)
+
+
+@query("xml_roundtrip_hetero_meta_jvm", oracle=_HETERO_META_ORACLE)
+def xml_roundtrip_hetero_meta_jvm(spark, sf_dir):
+    """Same contract as xml_roundtrip_hetero_meta through the r9 HYBRID
+    path: from_xml parses the fixed fields (whole-stage codegen), one
+    guarded regexp captures the `<meta>` container's raw source span, and
+    the Arrow kernel parses ONLY that narrow column — Python cost scales
+    with the container's bytes, not the document's."""
+    o = t(spark, sf_dir, "orders")
+    ex = extract_xml_jvm(
+        o.select(_hetero_meta_doc().alias("doc")), "doc", _hetero_meta_spec()
+    )
+    return _hetero_meta_project(ex)
