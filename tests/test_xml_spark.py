@@ -1359,3 +1359,70 @@ def test_jvm_hybrid_adversarial_prolog_fuzz(spark):
         },
     )
     _both_paths(spark, docs, hybrid_spec)
+
+
+def test_udtf_arrow_parity(spark):
+    """r9 verdict #4: Arrow-optimized UDTF evaluation (use_arrow=True, now
+    the default) returns the same values as pickled-row evaluation for
+    every spec dtype the UDTFs emit (string/attr, decimal, timestamp,
+    ints) and keeps the on_error contract: fail propagates a malformed
+    document, skip drops it."""
+    import pytest as _pytest
+
+    from xmlstreamprocessor_spark.plans import X
+    from xmlstreamprocessor_spark.sources.udtf import (
+        register_xml_array_udtf,
+        register_xml_struct_udtf,
+    )
+
+    spec = X.struct(
+        "order",
+        {
+            "oid": X.attr("id"),
+            "prio": X.string("prio"),
+            "total": X.ndecimal("total"),
+            "odate": X.ndate("odate"),
+            "n": X.int_("n"),
+        },
+    )
+    docs = [
+        '<order id="7"><prio>a</prio><total>12.34</total>'
+        "<odate>1995-01-02 03:04:05</odate><n>3</n></order>",
+        '<order id="8"><prio></prio><total></total></order>',
+        "<nope/>",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    df.createOrReplaceTempView("u_parity_docs")
+    q = "SELECT s.* FROM u_parity_docs d, LATERAL {f}(d.doc) s"
+    register_xml_struct_udtf(spark, "u_par_arrow", spec, use_arrow=True)
+    register_xml_struct_udtf(spark, "u_par_plain", spec, use_arrow=False)
+    assert [tuple(r) for r in spark.sql(q.format(f="u_par_arrow")).collect()] == [
+        tuple(r) for r in spark.sql(q.format(f="u_par_plain")).collect()
+    ]
+
+    register_xml_array_udtf(spark, "u_arr_arrow", "items", X.ndecimal("q"))
+    register_xml_array_udtf(
+        spark, "u_arr_plain", "items", X.ndecimal("q"), use_arrow=False
+    )
+    adf = spark.createDataFrame(
+        [("<items><q>1.5</q><q></q><q>2</q></items>",), ("<items/>",)],
+        "doc string",
+    )
+    adf.createOrReplaceTempView("u_parity_adocs")
+    aq = "SELECT s.* FROM u_parity_adocs d, LATERAL {f}(d.doc) s"
+    assert [tuple(r) for r in spark.sql(aq.format(f="u_arr_arrow")).collect()] == [
+        tuple(r) for r in spark.sql(aq.format(f="u_arr_plain")).collect()
+    ]
+
+    # error contract survives the Arrow path
+    bad = spark.createDataFrame([('<order id="1"',)], "doc string")
+    bad.createOrReplaceTempView("u_parity_bad")
+    with _pytest.raises(Exception):
+        spark.sql("SELECT s.* FROM u_parity_bad d, LATERAL u_par_arrow(d.doc) s").collect()
+    register_xml_struct_udtf(spark, "u_par_skip", spec, on_error="skip")
+    assert (
+        spark.sql(
+            "SELECT s.* FROM u_parity_bad d, LATERAL u_par_skip(d.doc) s"
+        ).count()
+        == 0
+    )

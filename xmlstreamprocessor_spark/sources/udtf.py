@@ -50,6 +50,7 @@ def xml_array_udtf(
     inner: Spec,
     strict_ns: bool = False,
     on_error: str = "fail",
+    use_arrow: bool = True,
 ):
     """Build (but do not register) the UDTF class for one array spec.
     Returns the callable UDTF; use :func:`register_xml_array_udtf` to make
@@ -61,7 +62,11 @@ def xml_array_udtf(
     ``"skip"`` emits no rows for a document whose parse raises — the
     table-function analogue of DROPMALFORMED (``extract_xml`` keeps the
     richer PERMISSIVE triage mode; a UDTF has no corrupt-record column
-    to fill, so skip is the honest lossy option)."""
+    to fill, so skip is the honest lossy option).
+
+    ``use_arrow`` selects Spark 4's Arrow-optimized UDTF evaluation
+    (batched transfer; same values, same error contract — pinned by
+    tests/test_xml_spark.py::test_udtf_arrow_parity)."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"unknown on_error mode {on_error!r}")
     compiled: CompiledArraySpec = compile_array_spec(
@@ -89,13 +94,14 @@ def xml_array_udtf(
                 for rec in out:
                     yield tuple(rec.get(n) for n in field_names)
 
-    return udtf(XmlArrayUdtf, returnType=schema)
+    return udtf(XmlArrayUdtf, returnType=schema, useArrow=use_arrow)
 
 
 def xml_struct_udtf(
     root: Struct,
     strict_ns: bool = False,
     on_error: str = "fail",
+    use_arrow: bool = True,
 ):
     """The ``ParserTool.CreateParser<T>`` twin (Parser.cs:335-339) as a SQL
     table function: ONE typed record per document, its struct fields spread
@@ -106,7 +112,8 @@ def xml_struct_udtf(
     representable without a null-struck row.
 
     ``on_error`` follows the array UDTF: ``"fail"`` is the reference's
-    FAILFAST contract, ``"skip"`` drops the document's record."""
+    FAILFAST contract, ``"skip"`` drops the document's record;
+    ``use_arrow`` as in :func:`xml_array_udtf`."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"unknown on_error mode {on_error!r}")
     compiled: CompiledSpec = compile_spec(root, strict_ns=strict_ns)
@@ -128,7 +135,7 @@ def xml_struct_udtf(
                 return
             yield tuple(rec.get(n) for n in field_names)
 
-    return udtf(XmlStructUdtf, returnType=schema)
+    return udtf(XmlStructUdtf, returnType=schema, useArrow=use_arrow)
 
 
 def register_xml_struct_udtf(
@@ -137,10 +144,13 @@ def register_xml_struct_udtf(
     root: Struct,
     strict_ns: bool = False,
     on_error: str = "fail",
+    use_arrow: bool = True,
 ):
     """Register the struct-extraction table function under ``name`` for SQL
     use (``FROM t, LATERAL name(t.doc)``)."""
-    fn = xml_struct_udtf(root, strict_ns=strict_ns, on_error=on_error)
+    fn = xml_struct_udtf(
+        root, strict_ns=strict_ns, on_error=on_error, use_arrow=use_arrow
+    )
     spark.udtf.register(name, fn)
     return fn
 
@@ -152,12 +162,17 @@ def register_xml_array_udtf(
     inner: Spec,
     strict_ns: bool = False,
     on_error: str = "fail",
+    use_arrow: bool = True,
 ):
     """Register the array-extraction table function under ``name`` for SQL
     use (``FROM t, LATERAL name(t.doc)``).  Returns the UDTF so Python
     callers can also invoke it directly."""
     fn = xml_array_udtf(
-        container_pattern, inner, strict_ns=strict_ns, on_error=on_error
+        container_pattern,
+        inner,
+        strict_ns=strict_ns,
+        on_error=on_error,
+        use_arrow=use_arrow,
     )
     spark.udtf.register(name, fn)
     return fn
