@@ -283,7 +283,12 @@ def graph_dup_group_sizes(spark, sf_dir):
     """Dedup accounting per group: keeper id, group size, and how many
     documents dedup would discard — the number a 100 TB pipeline reports
     as its dedup rate."""
-    comp = graph_components_dup_groups(spark, sf_dir)
+    return group_sizes_from(graph_components_dup_groups(spark, sf_dir))
+
+
+def group_sizes_from(comp):
+    """(component, group_size, n_discarded) from a (doc_id, component)
+    assignment — report shaping shared with dedup_report_bundle."""
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) - F.lit(1)).alias("n_discarded"),
@@ -462,7 +467,10 @@ def dedup_drop_list(spark, sf_dir):
     keeper itself never appears on the drop side, so
     ``corpus.join(drop_list, corpus.doc_id == drop_doc_id, "left_anti")``
     is the dedup, one broadcast-able anti-join."""
-    comp = graph_components_dup_groups(spark, sf_dir)
+    return drop_list_from(graph_components_dup_groups(spark, sf_dir))
+
+
+def drop_list_from(comp):
     return comp.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias("drop_doc_id"),
         F.col("component").alias("keep_doc_id"),
@@ -489,10 +497,16 @@ def dedup_rate_by_source(spark, sf_dir):
     training-data pipeline reports before reweighting its mix.  The drop
     list is near-dup-sized (tiny vs the corpus), so it broadcasts onto the
     full documents scan; the groupBy is one map-side-combined aggregate."""
-    drops = dedup_drop_list(spark, sf_dir).select(
+    return rate_by_source_from(
+        drop_list_from(graph_components_dup_groups(spark, sf_dir)),
+        t(spark, sf_dir, "documents"),
+    )
+
+
+def rate_by_source_from(drop_list, d):
+    drops = drop_list.select(
         F.col("drop_doc_id").alias("doc_id"), F.lit(1).alias("dropped")
     )
-    d = t(spark, sf_dir, "documents")
     return (
         d.join(F.broadcast(drops), "doc_id", "left")
         .groupBy("source")
@@ -541,8 +555,14 @@ def dedup_keeper_by_quality(spark, sf_dir):
     group-size count share a single window pass —
     group sizes are duplicate multiplicities, bounded by the corpus dup
     rate, never corpus size."""
-    comp = graph_components_dup_groups(spark, sf_dir)
-    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return keeper_by_quality_from(
+        graph_components_dup_groups(spark, sf_dir),
+        t(spark, sf_dir, "documents"),
+    )
+
+
+def keeper_by_quality_from(comp, docs):
+    d = docs.select("doc_id", "n_chars")
     from pyspark.sql import Window
 
     j = comp.join(d, "doc_id")
@@ -590,16 +610,19 @@ def _install_dup_histogram_query() -> None:
 
         Scale: one extra |groups|-sized aggregate on top of the audited
         CC path — the histogram itself is at most max-group-size rows."""
-        sizes = graph_dup_group_sizes(spark, sf_dir)
-        return (
-            sizes.groupBy("group_size")
-            .agg(
-                F.count(F.lit(1)).alias("n_groups"),
-                F.sum("group_size").cast("bigint").alias("n_docs"),
-                F.sum("n_discarded").cast("bigint").alias("n_discarded"),
-            )
-            .orderBy("group_size")
+        return histogram_from(graph_dup_group_sizes(spark, sf_dir))
+
+
+def histogram_from(sizes):
+    return (
+        sizes.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").cast("bigint").alias("n_docs"),
+            F.sum("n_discarded").cast("bigint").alias("n_discarded"),
         )
+        .orderBy("group_size")
+    )
 
 
 _install_dup_histogram_query()
@@ -638,24 +661,24 @@ def _install_source_overlap_query() -> None:
         )
 
         pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
-        src = t(spark, sf_dir, "documents").select("doc_id", "source")
-        a = src.select(
-            F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+        return source_overlap_from(pairs, t(spark, sf_dir, "documents"))
+
+
+def source_overlap_from(pairs, docs):
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
         )
-        b = src.select(
-            F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
-        )
-        return (
-            pairs.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(
-                F.least("sa", "sb").alias("source_a"),
-                F.greatest("sa", "sb").alias("source_b"),
-            )
-            .groupBy("source_a", "source_b")
-            .agg(F.count(F.lit(1)).alias("n_pairs"))
-            .orderBy("source_a", "source_b")
-        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
 
 
 _install_source_overlap_query()
@@ -695,24 +718,152 @@ def _install_group_purity_query() -> None:
         Scale: the audited CC path plus one broadcast-able lang join and
         two tiny aggregates."""
         comp = graph_components_dup_groups(spark, sf_dir)
-        langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
-        per_group = (
-            comp.join(langs, "doc_id")
-            .groupBy("component")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("group_size"),
-                F.countDistinct("lang").cast("bigint").alias("n_langs"),
-            )
-            .filter(F.col("group_size") > 1)
+        return lang_purity_from(comp, t(spark, sf_dir, "documents"))
+
+
+def lang_purity_from(comp, docs):
+    langs = docs.select("doc_id", "lang")
+    per_group = (
+        comp.join(langs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
-        return (
-            per_group.groupBy("n_langs")
-            .agg(
-                F.count(F.lit(1)).alias("n_groups"),
-                F.sum("group_size").cast("bigint").alias("n_docs"),
-            )
-            .orderBy("n_langs")
+        .filter(F.col("group_size") > 1)
+    )
+    return (
+        per_group.groupBy("n_langs")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").cast("bigint").alias("n_docs"),
         )
+        .orderBy("n_langs")
+    )
 
 
 _install_group_purity_query()
+
+
+def install_dedup_report_bundle(effective_tokens_from) -> None:
+    """Register ``dedup_report_bundle`` (r9 verdict #6): ONE query that
+    computes the shared Jaccard-pair + connected-components chain ONCE
+    and emits EVERY dedup report — the production shape, since running
+    the eight standalone report queries independently re-derives the
+    same chain each time (~4-5 s each at sf0.1; the bundle's wall is one
+    chain plus eight cheap shapings).
+
+    Output is long format: a ``report`` discriminator plus generic key
+    columns (k1, k2 — strings) and value columns (v1..v4 — doubles),
+    each standalone report projected into it.  The oracle is assembled
+    FROM THE STANDALONE ORACLES in the registry (each branch is
+    ``SELECT ... FROM (<standalone oracle>)``), so the driver hash-checks
+    that the bundle's rows equal the individually-verified reports —
+    no second source of truth is introduced.
+
+    Called from ``operators.textops`` after the effective-tokens oracle
+    registers (graph imports before textops), with that report's Spark
+    shaping injected to avoid a circular import.
+
+    Scale: pairs come from the audited cost-based chain; ``comp`` is
+    parquet-materialized once (``dedup.materialize`` — executor-side)
+    and every report reads the materialized table; report outputs are
+    groups/sources-sized, so the union is tiny."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    # (report, standalone query, k1 sql, k2 sql, v1..v4 sql)
+    specs = [
+        ("group_sizes", "graph_dup_group_sizes",
+         "component", None, "group_size", "n_discarded", None, None),
+        ("drop_list", "dedup_drop_list",
+         "drop_doc_id", "keep_doc_id", None, None, None, None),
+        ("rate_by_source", "dedup_rate_by_source",
+         "source", None, "n_docs", "n_dropped", "drop_rate", None),
+        ("keeper", "dedup_keeper_by_quality",
+         "component", "keeper_doc", "n_docs", "keeper_chars", None, None),
+        ("histogram", "dedup_group_size_histogram",
+         "group_size", None, "n_groups", "n_docs", "n_discarded", None),
+        ("lang_purity", "dedup_group_lang_purity",
+         "n_langs", None, "n_groups", "n_docs", None, None),
+        ("source_overlap", "dedup_source_overlap_matrix",
+         "source_a", "source_b", "n_pairs", None, None, None),
+        ("effective_tokens", "text_dedup_effective_tokens",
+         "source", None, "n_docs", "raw_tokens", "effective_tokens",
+         "dedup_ratio"),
+    ]
+    parts = []
+    for rep, qname, k1, k2, *vs in specs:
+        sql = REGISTRY[qname][1]
+        cols = [
+            f"'{rep}' AS report",
+            f"CAST({k1} AS VARCHAR) AS k1",
+            f"CAST({k2 if k2 else 'NULL'} AS VARCHAR) AS k2",
+        ] + [
+            f"CAST({v if v else 'NULL'} AS DOUBLE) AS v{i + 1}"
+            for i, v in enumerate(vs)
+        ]
+        parts.append(f"SELECT {', '.join(cols)} FROM ({sql})")
+    oracle = "\nUNION ALL\n".join(parts)
+
+    @query("dedup_report_bundle", oracle=oracle)
+    def dedup_report_bundle(spark, sf_dir):
+        from xmlstreamprocessor_spark.operators.dedup import (
+            _jaccard_pairs_auto,
+            materialize,
+        )
+
+        docs = t(spark, sf_dir, "documents")
+        pairs = _jaccard_pairs_auto(spark, sf_dir, 0.5)  # materialized
+        comp = materialize(
+            connected_components(pairs, src="doc_a", dst="doc_b").select(
+                F.col("node").alias("doc_id"), "component"
+            )
+        )
+        sizes = group_sizes_from(comp)
+        drops = drop_list_from(comp)
+
+        def brow(df, rep, k1, k2, *vs):
+            cols = [
+                F.lit(rep).alias("report"),
+                F.col(k1).cast("string").alias("k1"),
+                (
+                    F.col(k2).cast("string")
+                    if k2
+                    else F.lit(None).cast("string")
+                ).alias("k2"),
+            ]
+            for i in range(4):
+                v = vs[i] if i < len(vs) else None
+                cols.append(
+                    (
+                        F.col(v).cast("double")
+                        if v
+                        else F.lit(None).cast("double")
+                    ).alias(f"v{i + 1}")
+                )
+            return df.select(*cols)
+
+        return (
+            brow(sizes, "group_sizes", "component", None,
+                 "group_size", "n_discarded")
+            .unionByName(brow(drops, "drop_list", "drop_doc_id",
+                              "keep_doc_id"))
+            .unionByName(brow(rate_by_source_from(drops, docs),
+                              "rate_by_source", "source", None,
+                              "n_docs", "n_dropped", "drop_rate"))
+            .unionByName(brow(keeper_by_quality_from(comp, docs),
+                              "keeper", "component", "keeper_doc",
+                              "n_docs", "keeper_chars"))
+            .unionByName(brow(histogram_from(sizes), "histogram",
+                              "group_size", None,
+                              "n_groups", "n_docs", "n_discarded"))
+            .unionByName(brow(lang_purity_from(comp, docs), "lang_purity",
+                              "n_langs", None, "n_groups", "n_docs"))
+            .unionByName(brow(source_overlap_from(pairs, docs),
+                              "source_overlap", "source_a", "source_b",
+                              "n_pairs"))
+            .unionByName(brow(effective_tokens_from(comp, docs),
+                              "effective_tokens", "source", None,
+                              "n_docs", "raw_tokens", "effective_tokens",
+                              "dedup_ratio"))
+        )

@@ -1778,11 +1778,14 @@ def text_dedup_effective_tokens(spark, sf_dir):
     )
 
     comp = graph_components_dup_groups(spark, sf_dir)
+    return effective_tokens_from(comp, t(spark, sf_dir, "documents"))
+
+
+def effective_tokens_from(comp, d):
     gsz = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_copies")
     )
     percopy = comp.join(gsz, "component").select("doc_id", "n_copies")
-    d = t(spark, sf_dir, "documents")
     base = d.join(percopy, "doc_id", "left").select(
         "source",
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("tokens"),
@@ -1811,3 +1814,14 @@ def text_dedup_effective_tokens(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# the dedup report bundle includes the effective-tokens report, whose
+# query registers in THIS module (import order: graph loads before
+# textops), so the bundle installs here, after every constituent oracle
+# is in the registry
+from xmlstreamprocessor_spark.operators.graph import (  # noqa: E402
+    install_dedup_report_bundle,
+)
+
+install_dedup_report_bundle(effective_tokens_from)
