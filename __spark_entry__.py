@@ -24,18 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  ROUND-8 window
-# (r7 verdict task #3): the 4 XML round-trips stay pinned (the
-# reference-derived §2A surface — the wildcard query now also locks the
-# engine="python" iterparse kernel, since root-wildcard specs auto-dispatch
-# to the new JVM hybrid); 4 slots are the queries ADDED in round 8 (the
-# hybrid-path wildcard/Tag twin, the CreateParser struct UDTF, and the two
-# persisted-protocol twins — postings-probed delta pairs, stored-label CC
-# fold), keeping cumulative driver coverage complete at 231/231; the other
-# 42 are the STALEST standing verdicts, computed by joining
-# CORRECTNESS_r01..r07 for each query's newest green round — ALL 5
-# remaining r1-era and ALL 36 r2-era verdicts are refreshed this round,
-# plus the oldest r3-era one.
+# the head of the ordering is a per-round curated window.  ROUND-9 window
+# (r8 verdict task #2): the 4 XML round-trips stay pinned (the
+# reference-derived §2A surface); 3 slots are the queries ADDED in round
+# 9 (the GenericTest-shaped hetero-meta pair — python kernel + the new
+# below-root hybrid — and the dedup report bundle), keeping cumulative
+# driver coverage complete at 234/234; the other 43 are the STALEST
+# standing verdicts, computed by joining CORRECTNESS_r01..r08 for each
+# query's newest green round — 43 of the 44 remaining r3-era verdicts.
+# The one r3-era query left out for space, pack_greedy_shardlocal, was
+# independently strict-oracle-verified by the round-8 judge this round
+# (VERDICT.md spot-check, 8/8 green) and is pinned by a recursive-CTE
+# oracle pytest; it rotates in next round with the r4 cohort.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
@@ -47,55 +47,53 @@ _PRIORITY = [
     "xml_roundtrip_wildcard_tag_events",
     "xml_roundtrip_lineitem_array",
     # new queries this round (never driver-checked)
-    "xml_roundtrip_wildcard_tag_events_jvm",
-    "xml_udtf_orders_struct",
-    "dedup_pairs_delta_postings",
-    "graph_components_incremental_persisted",
-    # stalest re-checks: last driver green was round 1
-    "scalar_array_functions",
-    "scalar_math_functions",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "subquery_scalar_above_avg_price",
-    # stalest re-checks: last driver green was round 2
-    "embedding_int8_quantize",
-    "formats_roundtrip_orders",
-    "graph_components_minhash_groups",
-    "graph_dup_group_sizes",
-    "join_left_customer_order_stats",
-    "json_extract_event_props",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "pack_sequences_plan",
-    "pipeline_dedup_mix_pack",
-    "pivot_status_totals_by_priority",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q_revenue_per_nation",
-    "sample_deterministic_rate",
-    "sample_train_val_split",
-    "scalar_string_functions",
-    "setop_union_all_keys",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "sort_top20_orders",
-    "subquery_exists_urgent_customers",
-    "temporal_ewma_per_user",
-    "temporal_rollup_multires",
-    "text_langid_documents",
-    "text_stats_documents",
-    "text_tfidf_top_terms",
-    "window_session_10m_events",
-    "window_topk_orders_per_customer",
-    "window_trailing_7day_revenue",
-    "window_tumbling_hourly_events",
-    # stalest re-check: last driver green was round 3 (oldest one)
-    "agg_histogram_totalprice",
+    "xml_roundtrip_hetero_meta",
+    "xml_roundtrip_hetero_meta_jvm",
+    "dedup_report_bundle",
+    # stalest re-checks: last driver green was round 3
+    "agg_stats_moments",
+    "analytic_weekly_retention_cohorts",
+    "analytic_zscore_anomalies",
+    "dedup_connected_components",
+    "dedup_embedding_cosine_pairs_lsh",
+    "dedup_levenshtein_pairs",
+    "dedup_simhash_signatures",
+    "dedup_simhash_wide_signatures",
+    "graph_components_dup_groups",
+    "json_variant_shred_props",
+    "lateral_top2_orders_per_customer",
+    "merge_upsert_orders",
+    "mix_weighted_corpus",
+    "multimodal_audio_framing",
+    "multimodal_image_features",
+    "multimodal_image_resize_plan",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    "q2_min_cost_supplier",
+    "sample_stratified_quota",
+    "scalar_map_functions",
+    "scd2_customer_priority_history",
+    "sessionize_events_30m",
+    "setop_except_all_statuses",
+    "similarity_centroid_per_label",
+    "similarity_ivf_assign_cells",
+    "similarity_rplsh_signatures",
+    "similarity_topk_ivf_multiprobe",
+    "temporal_gapfill_interpolate",
+    "temporal_gapfill_locf",
+    "text_decontaminate_overlap",
+    "text_langid_confusion",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "text_repetition_filter",
+    "text_rolling_hash_fingerprint",
+    "text_token_count_bpe",
+    "unpivot_lineitem_measures",
+    "window_lag_lead_order_gaps",
+    "window_range_frame_value_band",
+    "window_rank_dense_ntile",
+    "window_running_total_per_customer",
+    "window_sliding_1h_30m_events",
 ]
 
 

@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "temporal_rollup_multires",
     "text_tfidf_top_terms",
     "sample_train_val_split",
+    # round 9: the GenericTest-shaped below-root pair (python kernel vs
+    # the hybrid span path) and the one-chain dedup report bundle
+    "xml_roundtrip_hetero_meta",
+    "xml_roundtrip_hetero_meta_jvm",
+    "dedup_report_bundle",
 ]
 
 
