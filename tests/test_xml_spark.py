@@ -1362,11 +1362,12 @@ def test_jvm_hybrid_adversarial_prolog_fuzz(spark):
 
 
 def test_udtf_arrow_parity(spark):
-    """r9 verdict #4: Arrow-optimized UDTF evaluation (use_arrow=True, now
-    the default) returns the same values as pickled-row evaluation for
-    every spec dtype the UDTFs emit (string/attr, decimal, timestamp,
-    ints) and keeps the on_error contract: fail propagates a malformed
-    document, skip drops it."""
+    """r9 verdict #4: Arrow-optimized UDTF evaluation (use_arrow=True —
+    OPT-IN, the A/B walls measured it 5-12x slower for these per-row
+    struct yields, see udtf.py docstring) returns the same values as
+    pickled-row evaluation for every spec dtype the UDTFs emit
+    (string/attr, decimal, timestamp, ints) and keeps the on_error
+    contract: fail propagates a malformed document, skip drops it."""
     import pytest as _pytest
 
     from xmlstreamprocessor_spark.plans import X
@@ -1400,7 +1401,9 @@ def test_udtf_arrow_parity(spark):
         tuple(r) for r in spark.sql(q.format(f="u_par_plain")).collect()
     ]
 
-    register_xml_array_udtf(spark, "u_arr_arrow", "items", X.ndecimal("q"))
+    register_xml_array_udtf(
+        spark, "u_arr_arrow", "items", X.ndecimal("q"), use_arrow=True
+    )
     register_xml_array_udtf(
         spark, "u_arr_plain", "items", X.ndecimal("q"), use_arrow=False
     )

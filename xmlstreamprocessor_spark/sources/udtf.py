@@ -50,7 +50,7 @@ def xml_array_udtf(
     inner: Spec,
     strict_ns: bool = False,
     on_error: str = "fail",
-    use_arrow: bool = True,
+    use_arrow: bool = False,
 ):
     """Build (but do not register) the UDTF class for one array spec.
     Returns the callable UDTF; use :func:`register_xml_array_udtf` to make
@@ -66,7 +66,12 @@ def xml_array_udtf(
 
     ``use_arrow`` selects Spark 4's Arrow-optimized UDTF evaluation
     (batched transfer; same values, same error contract — pinned by
-    tests/test_xml_spark.py::test_udtf_arrow_parity)."""
+    tests/test_xml_spark.py::test_udtf_arrow_parity).  Default OFF: the
+    r9 A/B measured Arrow eval 5-12x SLOWER for these struct-row UDTFs
+    (xml_udtf_orders_struct 30.3s arrow vs 5.6s pickled at sf0.1; 41.5s
+    vs 3.4s at sf1 — per-row yield of small tuples defeats the batched
+    transfer, each arrow batch is built from Python objects anyway).
+    The flag stays for workloads that emit wide batches per input row."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"unknown on_error mode {on_error!r}")
     compiled: CompiledArraySpec = compile_array_spec(
@@ -101,7 +106,7 @@ def xml_struct_udtf(
     root: Struct,
     strict_ns: bool = False,
     on_error: str = "fail",
-    use_arrow: bool = True,
+    use_arrow: bool = False,
 ):
     """The ``ParserTool.CreateParser<T>`` twin (Parser.cs:335-339) as a SQL
     table function: ONE typed record per document, its struct fields spread
@@ -144,7 +149,7 @@ def register_xml_struct_udtf(
     root: Struct,
     strict_ns: bool = False,
     on_error: str = "fail",
-    use_arrow: bool = True,
+    use_arrow: bool = False,
 ):
     """Register the struct-extraction table function under ``name`` for SQL
     use (``FROM t, LATERAL name(t.doc)``)."""
@@ -162,7 +167,7 @@ def register_xml_array_udtf(
     inner: Spec,
     strict_ns: bool = False,
     on_error: str = "fail",
-    use_arrow: bool = True,
+    use_arrow: bool = False,
 ):
     """Register the array-extraction table function under ``name`` for SQL
     use (``FROM t, LATERAL name(t.doc)``).  Returns the UDTF so Python
