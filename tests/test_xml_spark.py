@@ -1429,3 +1429,80 @@ def test_udtf_arrow_parity(spark):
         ).count()
         == 0
     )
+
+
+def test_jvm_hybrid_content_fuzz(spark):
+    """r9: hypothesis-driven CONTENT fuzz of the GenericTest-shaped hybrid
+    vs the Python kernel — random field presence, entity-escaped text
+    (``&``, quotes, unicode), whitespace-only strings (both paths must
+    preserve, never trim), empty scalars, and random heterogeneous
+    wildcard children under the array container.  Complements the
+    adversarial-PROLOG sweep: that one fuzzes the document's framing,
+    this one fuzzes the values flowing through every slot type the
+    hybrid routes (attr, string, nint, Tag(), wildcard array children).
+    '<' is excluded from generated text: a captured '<' is the hybrid's
+    DOCUMENTED divergence seam (it raises, steering to the kernel)."""
+    from hypothesis import given, settings, strategies as st
+    from xml.sax.saxutils import escape, quoteattr
+
+    from xmlstreamprocessor_spark.plans import X
+
+    # text safe for both element content (escaped) and attribute values:
+    # any printable unicode except '<' (the documented raise seam); '&'
+    # and quotes round-trip through escaping
+    text = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_characters="<",
+            exclude_categories=("Cs", "Cc"),
+        ),
+        max_size=12,
+    )
+    child = st.tuples(
+        st.sampled_from(["m_a", "m_b", "zz", "k9"]),  # never 'meta'
+        st.one_of(st.none(), st.integers(-999, 999)),
+    )
+    doc = st.fixed_dictionaries(
+        {
+            "eid": text,
+            "note": st.one_of(st.none(), text, st.just("   ")),
+            "n": st.one_of(st.none(), st.just(""), st.integers(-9999, 9999)),
+            "kids": st.lists(child, max_size=4),
+            "skip_meta": st.booleans(),
+        }
+    )
+
+    def render(d) -> str:
+        parts = [f"<order id={quoteattr(d['eid'])}>"]
+        if d["note"] is not None:
+            parts.append(f"<note>{escape(d['note'])}</note>")
+        if d["n"] is not None:
+            parts.append(f"<n>{escape(str(d['n']))}</n>")
+        if not d["skip_meta"]:
+            parts.append("<meta>")
+            for tag, v in d["kids"]:
+                parts.append(
+                    f"<{tag}/>" if v is None else f"<{tag}><v>{v}</v></{tag}>"
+                )
+            parts.append("</meta>")
+        parts.append("</order>")
+        return "".join(parts)
+
+    spec = X.struct(
+        "order",
+        {
+            "eid": X.attr("id"),
+            "note": X.string("note"),
+            "n": X.nint("n"),
+            "meta": X.array(
+                "meta", X.struct("*", {"kind": X.tag(), "v": X.nint("v")})
+            ),
+        },
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=25))
+    def check(batch):
+        _both_paths(spark, [render(d) for d in batch], spec)
+
+    check()
