@@ -59,7 +59,9 @@ def main() -> None:
         "purity, overlap, sweep) independently recomputes the shared "
         "Jaccard-edge + connected-components chain it aggregates "
         "(~4-5 s each at sf0.1); a production pipeline computes that "
-        "chain once and derives every report from it.",
+        "chain once and derives every report from it - exactly what "
+        "the registered dedup_report_bundle query does (r9: all eight "
+        "reports from one chain, ~one chain's wall).",
         "",
         "| query | sec | rows | error |",
         "|---|---|---|---|",
