@@ -7,8 +7,9 @@ memo-cleared runs in one warm session):
   (array-capture first-occurrence-wins; Arrow UDTFs);
 * the text_tfidf_top_terms adjudication row (r8 verdict #3);
 * an Arrow vs pickled-row A/B for both UDTF queries (r8 verdict #4) —
-  the non-Arrow twin is produced by forcing use_arrow=False through the
-  same registered query code.
+  the registered queries run the default (pickled rows after the r9
+  flip); the Arrow twin is produced by forcing use_arrow=True through
+  the same registered query code.
 
 Usage: python tools/bench_r9_walls.py [sf_dir] [--sf1-subset]
 """
@@ -74,20 +75,23 @@ def main() -> None:
     for name in names:
         walls_for(spark, sf_dir, name)
 
-    # Arrow vs pickled-row A/B for the two UDTF queries
+    # Arrow vs pickled-row A/B for the two UDTF queries.  The registered
+    # queries use the DEFAULT (pickled rows since the r9 flip), so the
+    # forced arm here is use_arrow=True — the Arrow configuration the
+    # default run no longer exercises.
     import xmlstreamprocessor_spark.sources.udtf as um
 
     orig_struct, orig_array = um.xml_struct_udtf, um.xml_array_udtf
     um.xml_struct_udtf = (
-        lambda root, strict_ns=False, on_error="fail", use_arrow=True:
-        orig_struct(root, strict_ns, on_error, use_arrow=False)
+        lambda root, strict_ns=False, on_error="fail", use_arrow=False:
+        orig_struct(root, strict_ns, on_error, use_arrow=True)
     )
     um.xml_array_udtf = (
-        lambda pat, inner, strict_ns=False, on_error="fail", use_arrow=True:
-        orig_array(pat, inner, strict_ns, on_error, use_arrow=False)
+        lambda pat, inner, strict_ns=False, on_error="fail", use_arrow=False:
+        orig_array(pat, inner, strict_ns, on_error, use_arrow=True)
     )
     try:
-        print("# --- use_arrow=False A/B ---", flush=True)
+        print("# --- use_arrow=True A/B ---", flush=True)
         for name in ("xml_udtf_orders_struct", "xml_udtf_lineitem_array"):
             walls_for(spark, sf_dir, name)
     finally:

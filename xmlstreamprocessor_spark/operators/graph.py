@@ -807,6 +807,13 @@ def install_dedup_report_bundle(effective_tokens_from) -> None:
 
     @query("dedup_report_bundle", oracle=oracle)
     def dedup_report_bundle(spark, sf_dir):
+        """All eight dedup reports (group sizes, drop list, rate, keeper
+        sample, size histogram, component purity, source overlap,
+        effective tokens) from ONE Jaccard-pair + connected-components
+        chain, unioned in long format with a ``report`` discriminator —
+        the production shape; each standalone report query recomputes
+        the chain (~4-5 s each at sf0.1), this bundle's wall is ~one
+        chain (BASELINE.md round-9 addendum)."""
         from xmlstreamprocessor_spark.operators.dedup import (
             _jaccard_pairs_auto,
             materialize,
