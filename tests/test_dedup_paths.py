@@ -946,3 +946,32 @@ def test_bucketed_postings_empty_delta_and_stamp_override(spark, tmp_path):
         assert got == {(1, 7), (2, 7)}
     finally:
         spark.sql("DROP TABLE IF EXISTS xsp_t_edge")
+
+
+def test_verify_jaccard_postings_route_parity(spark, oracle_sf_dir):
+    """r9 sf3-stress fix: the cost-routed verify's POSTINGS plan (forced
+    by dropping the candidate gate to 0) emits exactly the arrays plan's
+    (doc_a, doc_b, jaccard) rows on the same corpus, and its physical
+    plan carries no array-typed join payload (no array_intersect).  The
+    arrays plan stays the default at this corpus size."""
+    import xmlstreamprocessor_spark.operators.dedup as dd
+
+    arrays = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd._jaccard_pairs_prefix(
+            spark, oracle_sf_dir, 0.5, order="hash"
+        ).collect()
+    }
+    assert arrays  # non-degenerate corpus
+    old = dd._VERIFY_ARRAYS_MAX_CAND
+    dd._VERIFY_ARRAYS_MAX_CAND = 0
+    try:
+        routed = dd._jaccard_pairs_prefix(
+            spark, oracle_sf_dir, 0.5, order="hash"
+        )
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "array_intersect" not in plan
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in routed.collect()}
+    finally:
+        dd._VERIFY_ARRAYS_MAX_CAND = old
+    assert got == arrays
