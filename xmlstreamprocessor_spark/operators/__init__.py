@@ -16,3 +16,4 @@ from xmlstreamprocessor_spark.operators import multimodal  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import packing  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import formatsq  # noqa: F401,E402
 from xmlstreamprocessor_spark.operators import xmlqueries  # noqa: F401,E402
+from xmlstreamprocessor_spark.operators import xspxmlq  # noqa: F401,E402

@@ -1,0 +1,189 @@
+"""The registered ``xspxml`` Python DataSource under the driver oracle
+(r9 verdict #1): file-based write -> read round-trips through
+``format("xspxml")`` — the engine's genuinely custom connector
+(sources/datasource.py: schema-driven extraction spec, hive-style
+``partitionBy`` layout, ``pushFilters`` partition pruning, staged-rename
+commit) — verified against a plain SQL projection of the source table,
+so the XML files themselves are the only place the values could drift.
+
+Both queries follow the formats_roundtrip protocol (operators/formatsq.py):
+scratch is a per-invocation private tempdir, results are materialized
+eagerly BEFORE the tempdir is removed, so the returned frame carries no
+lineage into deleted files.  On a real cluster the scratch path must be
+shared storage (the reader lists files driver-side and opens them on
+executors — same contract as every file-based source); local[n] and an
+NFS/DBFS mount both satisfy it.
+
+Reference parity: the round-trip exercises the same typed-scalar null
+rules as the extraction kernel (Parser.cs:15-95 — missing element ->
+null; Parser.cs:526-537 — missing -> default), because the writer OMITS
+null-valued tags and the reader must read them back as null.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.operators.registry import dec2, money2, query, t
+from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+
+@query(
+    "xspxml_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+           o_orderstatus AS status,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS total,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+    FROM orders
+    """,
+)
+def xspxml_roundtrip_orders(spark, sf_dir):
+    """Full-fidelity round-trip through the registered source: orders ->
+    ``df.write.format("xspxml")`` (staged-rename commit, one part file
+    per task) -> ``spark.read.format("xspxml")`` with a plain Spark
+    schema (bigint / string / decimal / timestamp — the schema-driven
+    spec path, element-with-attribute-fallback per field) -> per-row
+    values that must equal a direct projection of the parquet table.
+
+    Every row is hash-checked (no aggregate smoothing): a defect in the
+    writer's scalar rendering, the reader's typed converters
+    (``_conv_ndecimal`` / ``_conv_ndate``), or the omit-null-tags
+    contract breaks the match.  Scale: write and read are both
+    one-task-per-file embarrassingly parallel; the result is
+    materialized executor-side (``dedup.materialize`` — no driver
+    round-trip of the row set)."""
+    from xmlstreamprocessor_spark.operators.dedup import materialize
+
+    register_xml_source(spark)
+    o = t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="xsp_ds_rt_")
+    try:
+        out_dir = os.path.join(base, "orders_xml")
+        # fan the write out to the session's parallelism: the source
+        # parquet is a single file at driver SFs, and the reader's
+        # parallel unit is one task per XML part file — without this both
+        # sides of the round-trip run on ONE core (warm-session wall at
+        # sf0.1: 2.4 s fanned vs ~11 s serial; a cold session adds ~14 s
+        # of one-time Python worker-pool warmup either way).  A
+        # production corpus arrives pre-partitioned.
+        n_parts = spark.sparkContext.defaultParallelism
+        (
+            o.repartition(n_parts)
+            .select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_custkey").alias("cust_id"),
+                F.col("o_orderstatus").alias("status"),
+                dec2("o_totalprice").alias("total"),
+                F.col("o_orderdate").alias("odate"),
+            )
+            .write.format("xspxml")
+            .option("rowTag", "order")
+            .mode("overwrite")
+            .save(out_dir)
+        )
+        back = (
+            spark.read.format("xspxml")
+            .schema(
+                "order_id bigint, cust_id bigint, status string, "
+                "total decimal(18,2), odate timestamp"
+            )
+            .option("rowTag", "order")
+            .load(out_dir)
+        )
+        res = back.select(
+            "order_id",
+            "cust_id",
+            "status",
+            money2(F.col("total")).alias("total"),
+            F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+        )
+        return materialize(res)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "xspxml_partition_pruned_read",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def xspxml_partition_pruned_read(spark, sf_dir):
+    """Hive-layout write + PARTITION-PRUNED read through the registered
+    source: orders written ``option("partitionBy", "order_year")`` (the
+    year lives in the PATH, not the XML — the writer excludes partition
+    columns from the payload and the reader folds them back in), read
+    back with ``option("partitionPruning", "true")`` and a
+    partition-column ``isin`` predicate.  ``pushFilters`` shrinks the
+    FILE LIST to the two matching year directories before any task
+    launches — the XML payload of pruned years is never opened, which at
+    100 TB with daily partitions is the difference between reading 2
+    days and 2,000 (tests/test_xml_spark.py pins the pruned
+    ``partitions()`` list; the predicate is also re-applied post-scan, so
+    pruning can only skip work, never change rows).
+
+    The input frame is repartitioned by (partition column, small salt)
+    first so each write task holds O(1) open files (the writer
+    docstring's scale contract) while each year still fans out over
+    several tasks.  The checksum result (<= #years rows) is collected
+    and rebuilt before the tempdir is removed — the formats_roundtrip
+    protocol."""
+    register_xml_source(spark)
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.col("o_orderkey").alias("order_id"),
+        dec2("o_totalprice").alias("total"),
+    )
+    base = tempfile.mkdtemp(prefix="xsp_ds_part_")
+    try:
+        out_dir = os.path.join(base, "orders_by_year")
+        # repartition by (year, salt): each task still holds O(1) open
+        # files (the writer's scale contract) but each year's rows spread
+        # over ~4 tasks, so neither the write nor the one-task-per-file
+        # read serializes on the biggest year
+        (
+            o.repartition(
+                F.col("order_year"), F.pmod(F.col("order_id"), F.lit(4))
+            )
+            .write.format("xspxml")
+            .option("rowTag", "order")
+            .option("partitionBy", "order_year")
+            .mode("overwrite")
+            .save(out_dir)
+        )
+        back = (
+            spark.read.format("xspxml")
+            .schema("order_year bigint, order_id bigint, total decimal(18,2)")
+            .option("rowTag", "order")
+            .option("partitionPruning", "true")
+            .load(out_dir)
+        )
+        res = (
+            back.filter(F.col("order_year").isin(1996, 1997))
+            .groupBy("order_year")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("order_id").cast("bigint").alias("key_sum"),
+                # decimal(18,2) * 100 is exact; integer sums are
+                # associative across partitionings
+                F.sum((F.col("total") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("cents_sum"),
+            )
+            .orderBy("order_year")
+        )
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

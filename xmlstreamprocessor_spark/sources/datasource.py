@@ -29,9 +29,9 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -496,12 +496,12 @@ def _serialize_value(buf: list, tag: str, v) -> None:
 
 
 def write_rows_xml(rows, names: list[str], path: str, row_tag: str, root_tag: str):
-    """Stream an iterator of Rows to one XML file with O(row) memory."""
+    """Stream an iterator of row DICTS (nested values as plain
+    dict/list/scalars) to one XML file with O(row) memory."""
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(f"<{root_tag}>\n")
-        for row in rows:
+        for d in rows:
             buf: list[str] = []
-            d = row.asDict(recursive=True)
             for n in names:
                 _serialize_value(buf, n, d.get(n))
             fh.write(f"<{row_tag}>{''.join(buf)}</{row_tag}>\n")
@@ -567,7 +567,10 @@ class _XmlWriterBase:
             raise ValueError(f"partitionBy columns not in schema: {missing}")
         self.names = [n for n in names if n not in self.part_cols]
 
-    def _write_partition(self, iterator) -> _XmlCommit:
+    def _write_partition(self, dicts) -> _XmlCommit:
+        """Task-side write body over an iterator of row DICTS (the Arrow
+        batch writer feeds ``RecordBatch.to_pylist()`` dicts, the
+        streaming row writer feeds ``Row.asDict(recursive=True)``)."""
         import os
         import uuid
 
@@ -576,7 +579,7 @@ class _XmlWriterBase:
         os.makedirs(staging, exist_ok=True)
         if not self.part_cols:
             staged = os.path.join(staging, f"part-{token}.xml")
-            write_rows_xml(iterator, self.names, staged, self.row_tag, self.root_tag)
+            write_rows_xml(dicts, self.names, staged, self.row_tag, self.root_tag)
             return _XmlCommit(
                 staging, [(staged, os.path.join(self.path, f"part-{token}.xml"))]
             )
@@ -584,8 +587,7 @@ class _XmlWriterBase:
         handles: dict[str, object] = {}  # rel dir -> open file
         pairs: list = []
         try:
-            for row in iterator:
-                d = row.asDict(recursive=True)
+            for d in dicts:
                 rel = os.path.join(
                     *[_part_seg(c, d.get(c)) for c in self.part_cols]
                 )
@@ -628,13 +630,30 @@ class _XmlWriterBase:
                 shutil.rmtree(m.staging_dir, True)
 
 
-class XmlBatchWriter(_XmlWriterBase, DataSourceWriter):
+class XmlBatchWriter(_XmlWriterBase, DataSourceArrowWriter):
+    """Batch writer on the ARROW writer API: each task receives PyArrow
+    ``RecordBatch``es and converts them with ``to_pylist()`` (one C-level
+    pass producing plain dicts — timestamps as datetime, decimals as
+    Decimal, structs as dicts, arrays as lists, exactly the shapes
+    ``_serialize_value`` renders) instead of per-row-pickled Spark Rows.
+
+    Honest measurement (round 10): the switch is NOT a wall win at
+    driver scale — 150k orders rows serialize in ~1 s single-threaded
+    either way, and the first-write wall (7.1 s at 32 tasks) is the
+    one-time Python worker-pool warmup, identical on both paths
+    (steady-state 32-task write: ~1.1 s).  Arrow is kept as the
+    idiomatic Spark-4 batch exchange (no per-row pickle on the JVM
+    side); the streaming sink keeps the row API, whose commit-runner
+    contract is pinned by tests."""
+
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         super().__init__(schema, options)
         self.overwrite = overwrite
 
     def write(self, iterator) -> _XmlCommit:
-        return self._write_partition(iterator)
+        return self._write_partition(
+            d for batch in iterator for d in batch.to_pylist()
+        )
 
     def commit(self, messages) -> None:
         import glob
@@ -664,7 +683,9 @@ class XmlStreamWriter(_XmlWriterBase, DataSourceStreamWriter):
     a replayed batch (same epoch after recovery) just re-stages."""
 
     def write(self, iterator) -> _XmlCommit:
-        return self._write_partition(iterator)
+        return self._write_partition(
+            r.asDict(recursive=True) for r in iterator
+        )
 
     def commit(self, messages, batchId: int) -> None:
         self._finalize(messages)
