@@ -251,3 +251,46 @@ def test_ivfpq_rerank_invariants(spark, oracle_sf_dir):
     for q, truth in exact_topk.items():
         rr = {r["neighbor_id"] for r in by_q.get(q, [])}
         assert len(rr & truth) >= len(adc_topk.get(q, set()) & truth)
+
+
+def test_similarity_index_bundle_matches_standalones(spark):
+    """The bundle's long-format slices must equal the standalone reports
+    they were assembled from (the oracle already pins this cross-engine;
+    this pins the Spark-side shaping without DuckDB in the loop)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    bundle = REGISTRY["similarity_index_bundle"][0](spark, sf)
+    bundle = bundle.persist()
+    try:
+        # recall slice == standalone recall query
+        got = {
+            (r["k1"], r["v1"], r["v2"], r["v3"], r["v4"], r["v5"], r["v6"])
+            for r in bundle.filter(F.col("report") == "recall_vs_exact").collect()
+        }
+        exp = {
+            (
+                str(r["query_id"]),
+                float(r["ivf_hits"]), float(r["ivf_recall"]),
+                float(r["multiprobe_hits"]), float(r["multiprobe_recall"]),
+                float(r["pq_hits"]), float(r["pq_recall"]),
+            )
+            for r in REGISTRY["similarity_recall_vs_exact"][0](spark, sf).collect()
+        }
+        assert got == exp
+        # cell_balance slice == standalone cell balance
+        cb = bundle.filter(F.col("report") == "cell_balance").collect()
+        assert len(cb) == 1
+        sb = REGISTRY["similarity_ivf_cell_balance"][0](spark, sf).collect()[0]
+        assert (cb[0]["v1"], cb[0]["v2"], cb[0]["v3"]) == (
+            float(sb["n_cells"]), float(sb["min_cell"]), float(sb["max_cell"])
+        )
+        assert abs(cb[0]["v4"] - sb["mean_cell"]) < 1e-9
+        # rerank_recall: one row per query vector, recall in [0, 1]
+        rr = bundle.filter(F.col("report") == "rerank_recall").collect()
+        assert len(rr) == 10
+        assert all(0.0 <= r["v2"] <= 1.0 for r in rr)
+    finally:
+        bundle.unpersist()

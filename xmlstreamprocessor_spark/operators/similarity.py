@@ -587,34 +587,40 @@ def _install_recall_query() -> None:
         <= Q*k rows, so the comparison joins broadcast; the expensive part
         is the three top-k subtrees themselves, each already audited for
         scale (broadcast query side / cell equi-join)."""
-        exact = similarity_topk_bruteforce(spark, sf_dir).select(
-            "query_id", "neighbor_id"
+        return _recall_from(
+            similarity_topk_bruteforce(spark, sf_dir).select(
+                "query_id", "neighbor_id"
+            ),
+            similarity_topk_ivf(spark, sf_dir),
+            similarity_topk_ivf_multiprobe(spark, sf_dir),
+            similarity_topk_pq_adc(spark, sf_dir),
         )
-        ivf = similarity_topk_ivf(spark, sf_dir).select(
-            "query_id", "neighbor_id", F.lit(1).alias("ivf_hit")
+
+
+def _recall_from(exact, ivf, mp, pq):
+    """Recall@k shaping from the four top-k frames — shared by the
+    standalone query and ``similarity_index_bundle`` (which materializes
+    the exact ground truth once for several recall reports)."""
+    ivf = ivf.select("query_id", "neighbor_id", F.lit(1).alias("ivf_hit"))
+    mp = mp.select("query_id", "neighbor_id", F.lit(1).alias("mp_hit"))
+    pq = pq.select("query_id", "neighbor_id", F.lit(1).alias("pq_hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(mp), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(pq), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("ivf_hit").cast("bigint").alias("ivf_hits"),
+            F.round(F.count("ivf_hit") / F.lit(_TOP_K), 6).alias("ivf_recall"),
+            F.count("mp_hit").cast("bigint").alias("multiprobe_hits"),
+            F.round(F.count("mp_hit") / F.lit(_TOP_K), 6).alias(
+                "multiprobe_recall"
+            ),
+            F.count("pq_hit").cast("bigint").alias("pq_hits"),
+            F.round(F.count("pq_hit") / F.lit(_TOP_K), 6).alias("pq_recall"),
         )
-        mp = similarity_topk_ivf_multiprobe(spark, sf_dir).select(
-            "query_id", "neighbor_id", F.lit(1).alias("mp_hit")
-        )
-        pq = similarity_topk_pq_adc(spark, sf_dir).select(
-            "query_id", "neighbor_id", F.lit(1).alias("pq_hit")
-        )
-        return (
-            exact.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
-            .join(F.broadcast(mp), ["query_id", "neighbor_id"], "left")
-            .join(F.broadcast(pq), ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.count("ivf_hit").cast("bigint").alias("ivf_hits"),
-                F.round(F.count("ivf_hit") / F.lit(_TOP_K), 6).alias("ivf_recall"),
-                F.count("mp_hit").cast("bigint").alias("multiprobe_hits"),
-                F.round(F.count("mp_hit") / F.lit(_TOP_K), 6).alias(
-                    "multiprobe_recall"
-                ),
-                F.count("pq_hit").cast("bigint").alias("pq_hits"),
-                F.round(F.count("pq_hit") / F.lit(_TOP_K), 6).alias("pq_recall"),
-            )
-        )
+    )
 
 
 
@@ -1156,22 +1162,26 @@ def _install_cell_balance_query() -> None:
         probe touching it pays — the signal to re-train centroids or
         split the cell.  Scale: composes the broadcast nearest-centroid
         assignment, then one |cells|-sized aggregate."""
-        assigned = similarity_ivf_assign_cells(spark, sf_dir)
-        cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-        return cells.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-            F.min("n").cast("bigint").alias("min_cell"),
-            F.max("n").cast("bigint").alias("max_cell"),
-            F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6).alias(
-                "mean_cell"
-            ),
-            F.round(
-                F.max("n").cast("double")
-                * F.count(F.lit(1))
-                / F.sum("n"),
-                6,
-            ).alias("imbalance_factor"),
-        )
+        return _cell_balance_from(similarity_ivf_assign_cells(spark, sf_dir))
+
+
+def _cell_balance_from(assigned):
+    """Cell-balance shaping from an (vec_id, cell, ...) assignment frame —
+    shared by the standalone query and ``similarity_index_bundle`` (which
+    computes the assignment once for several reports)."""
+    cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_cell"
+        ),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"),
+            6,
+        ).alias("imbalance_factor"),
+    )
 
 
 _install_cell_balance_query()
@@ -2116,3 +2126,149 @@ def similarity_topk_ivfpq_rerank(spark, sf_dir):
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-health bundle: every ANN report from ONE artifact build
+# ---------------------------------------------------------------------------
+
+
+def _install_similarity_index_bundle() -> None:
+    """Register ``similarity_index_bundle`` (r9 verdict #3): ONE query
+    that builds the IVF/PQ index artifacts once and emits EVERY
+    index-health report — the production shape; the standalone report
+    queries each rebuild the same codebooks/assignments (~2-3 s apiece
+    at sf0.1).  Mirrors ``operators/graph.install_dedup_report_bundle``:
+    long format (``report`` discriminator, string key ``k1``, doubles
+    ``v1..v6``), oracle assembled FROM THE STANDALONE ORACLES in the
+    registry so the driver hash-checks the bundle against the
+    individually-verified reports — no second source of truth.
+
+    The fifth report, ``rerank_recall`` (recall@{k} of the two-stage
+    IVFADC+exact-rerank pipeline against brute force), has no standalone
+    query; its oracle composes the two standalone top-k oracles the same
+    way the in-registry recall oracle composes its four."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    # (report, standalone oracle name, k1 sql, v1..v6 sql)
+    specs = [
+        ("assign_cells", "similarity_ivf_assign_cells",
+         "vec_id", "cell", "sim", None, None, None, None),
+        ("cell_balance", "similarity_ivf_cell_balance",
+         None, "n_cells", "min_cell", "max_cell", "mean_cell",
+         "imbalance_factor", None),
+        ("pq_distortion", "similarity_pq_distortion",
+         "subspace", "n_vectors", "mean_sq_err", "max_sq_err",
+         None, None, None),
+        ("recall_vs_exact", "similarity_recall_vs_exact",
+         "query_id", "ivf_hits", "ivf_recall", "multiprobe_hits",
+         "multiprobe_recall", "pq_hits", "pq_recall"),
+    ]
+    parts = []
+    for rep, qname, k1, *vs in specs:
+        sql = REGISTRY[qname][1]
+        cols = [
+            f"'{rep}' AS report",
+            f"CAST({k1 if k1 else 'NULL'} AS VARCHAR) AS k1",
+        ] + [
+            f"CAST({v if v else 'NULL'} AS DOUBLE) AS v{i + 1}"
+            for i, v in enumerate(vs)
+        ]
+        parts.append(f"SELECT {', '.join(cols)} FROM ({sql})")
+    exact_sql = REGISTRY["similarity_topk_bruteforce"][1]
+    rerank_sql = REGISTRY["similarity_topk_ivfpq_rerank"][1]
+    parts.append(f"""
+    SELECT 'rerank_recall' AS report, CAST(e.query_id AS VARCHAR) AS k1,
+           CAST(count(r.neighbor_id) AS DOUBLE) AS v1,
+           CAST(round(count(r.neighbor_id) * 1.0 / {_TOP_K}, 6) AS DOUBLE)
+             AS v2,
+           CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4,
+           CAST(NULL AS DOUBLE) AS v5, CAST(NULL AS DOUBLE) AS v6
+    FROM ({exact_sql}) e
+    LEFT JOIN ({rerank_sql}) r
+      ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """)
+    oracle = "\nUNION ALL\n".join(parts)
+
+    @query("similarity_index_bundle", oracle=oracle)
+    def similarity_index_bundle(spark, sf_dir):
+        """All five ANN index-health reports (per-vector cell assignment,
+        cell balance, PQ distortion, recall@10 of the three approximate
+        indexes, recall@10 of the two-stage rerank pipeline) from ONE
+        artifact build, unioned in long format.  The shared artifacts —
+        the coarse assignment (feeds two reports) and the exact
+        brute-force ground truth (feeds two recall reports) — are
+        parquet-materialized executor-side (``dedup.materialize``) so
+        each is computed exactly once; the single-consumer subtrees
+        (IVF / multiprobe / ADC / rerank top-k, PQ distortion) run once
+        inside the union.  Scale: every piece is the already-audited
+        standalone plan; the bundle only removes the rebuilds."""
+        from xmlstreamprocessor_spark.operators.dedup import materialize
+        from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+        assigned = materialize(similarity_ivf_assign_cells(spark, sf_dir))
+        exact = materialize(
+            similarity_topk_bruteforce(spark, sf_dir).select(
+                "query_id", "neighbor_id"
+            )
+        )
+        recall = _recall_from(
+            exact,
+            similarity_topk_ivf(spark, sf_dir),
+            similarity_topk_ivf_multiprobe(spark, sf_dir),
+            REGISTRY["similarity_topk_pq_adc"][0](spark, sf_dir),
+        )
+        rerank = similarity_topk_ivfpq_rerank(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("rr_hit")
+        )
+        rerank_recall = (
+            exact.join(
+                F.broadcast(rerank), ["query_id", "neighbor_id"], "left"
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("rr_hit").cast("bigint").alias("rr_hits"),
+                F.round(F.count("rr_hit") / F.lit(_TOP_K), 6).alias(
+                    "rr_recall"
+                ),
+            )
+        )
+
+        def brow(df, rep, k1, *vs):
+            cols = [
+                F.lit(rep).alias("report"),
+                (
+                    F.col(k1).cast("string")
+                    if k1
+                    else F.lit(None).cast("string")
+                ).alias("k1"),
+            ]
+            for i in range(6):
+                v = vs[i] if i < len(vs) else None
+                cols.append(
+                    (
+                        F.col(v).cast("double")
+                        if v
+                        else F.lit(None).cast("double")
+                    ).alias(f"v{i + 1}")
+                )
+            return df.select(*cols)
+
+        return (
+            brow(assigned, "assign_cells", "vec_id", "cell", "sim")
+            .unionByName(brow(_cell_balance_from(assigned), "cell_balance",
+                              None, "n_cells", "min_cell", "max_cell",
+                              "mean_cell", "imbalance_factor"))
+            .unionByName(brow(similarity_pq_distortion(spark, sf_dir),
+                              "pq_distortion", "subspace", "n_vectors",
+                              "mean_sq_err", "max_sq_err"))
+            .unionByName(brow(recall, "recall_vs_exact", "query_id",
+                              "ivf_hits", "ivf_recall", "multiprobe_hits",
+                              "multiprobe_recall", "pq_hits", "pq_recall"))
+            .unionByName(brow(rerank_recall, "rerank_recall", "query_id",
+                              "rr_hits", "rr_recall"))
+        )
+
+
+_install_similarity_index_bundle()
