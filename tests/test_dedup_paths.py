@@ -975,3 +975,55 @@ def test_verify_jaccard_postings_route_parity(spark, oracle_sf_dir):
     finally:
         dd._VERIFY_ARRAYS_MAX_CAND = old
     assert got == arrays
+
+
+def test_winnowing_gate_consulted(spark, oracle_sf_dir):
+    """The gate report (dedup_winnowing_bucket_stats) and the main
+    operator's strategy decision consume the SAME bucket aggregate
+    (r9 verdict #5): sum(cand_pairs) over the gate's colliding buckets
+    IS the decision statistic, and on a one-hot-bucket corpus the gate
+    names that bucket while the decision routes verify-first."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators import dedup as dd
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+
+    # standard corpus: gate total == decision statistic, route stays
+    # candidates-first under the default blow-up bound
+    gate = REGISTRY["dedup_winnowing_bucket_stats"][0](spark, oracle_sf_dir)
+    gate_total = (
+        gate.agg(F.sum("cand_pairs").alias("s")).first()["s"] or 0
+    )
+    from xmlstreamprocessor_spark import catalog
+
+    d = catalog.load(spark, oracle_sf_dir, "documents")
+    fp = dd._winnowing_fp(d)
+    stats = (
+        dd._winnowing_buckets(fp)
+        .agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("cand_pairs"),
+            F.sum("m").alias("n_docs"),
+        )
+        .first()
+    )
+    assert int(stats["cand_pairs"]) == int(gate_total)
+    assert dd._winnowing_decision(fp, 64) == "candidates-first"
+    assert int(stats["cand_pairs"]) <= 64 * int(stats["n_docs"])
+
+    # pathological corpus: the gate's hottest bucket carries ~all the
+    # candidate volume and the decision flips to verify-first
+    boiler = "shared !!!!!!!! boilerplate header"
+    rows = [
+        (i, f"{boiler} unique body {i % 9} variant {i % 9} tail {i % 9}")
+        for i in range(200)
+    ]
+    bad = spark.createDataFrame(rows, "doc_id long, text string")
+    bad_fp = dd._winnowing_fp(bad)
+    hot = (
+        dd._winnowing_buckets(bad_fp)
+        .filter(F.col("m") >= 2)
+        .orderBy(F.desc("m"))
+        .first()
+    )
+    assert hot["m"] == 200  # one bucket holds the whole corpus
+    assert dd._winnowing_decision(bad_fp, 64) == "verify-first"
