@@ -1027,3 +1027,42 @@ def test_winnowing_gate_consulted(spark, oracle_sf_dir):
     )
     assert hot["m"] == 200  # one bucket holds the whole corpus
     assert dd._winnowing_decision(bad_fp, 64) == "verify-first"
+
+
+def test_verify_scratch_released_when_materialized(spark, oracle_sf_dir):
+    """r9 verdict #6: the candidate DISK_ONLY blocks _verify_jaccard
+    registers must NOT accumulate across sequential queries whose
+    verified output is eagerly materialized — _jaccard_pairs_auto
+    releases them as soon as its collect/checkpoint completes, while a
+    LAZY verify caller still holds its block until clear_session_memos()
+    (the lazy-consumer contract)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from xmlstreamprocessor_spark.operators import dedup as dd
+
+    dd.clear_session_memos()
+    assert len(dd._SCRATCH_PERSISTS) == 0
+
+    # shared boilerplate -> hot shingles -> the prefix (verify-bearing)
+    # branch of _jaccard_pairs_auto; docs injected so the memo never hits
+    boiler = " ".join(f"common{j}" for j in range(30))
+    rows = [(i, f"{boiler} unique{i % 7} tail{i % 7}") for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    first = None
+    for _ in range(3):
+        out = dd._jaccard_pairs_auto(spark, None, 0.5, docs=docs)
+        n = out.count()
+        first = n if first is None else first
+        assert n == first  # same corpus, same answer every round
+        assert len(dd._SCRATCH_PERSISTS) == 0  # released, not accumulated
+
+    # lazy contract unchanged: a winnowing candidates-first run returns
+    # a lazy frame, so its block stays registered until the session hook
+    lazy = dd._winnowing_pairs(
+        spark, None, docs=docs, force_path="candidates-first"
+    )
+    assert len(dd._SCRATCH_PERSISTS) == 1
+    assert lazy.count() >= 0  # consuming it later still works
+    dd.clear_session_memos()
+    assert len(dd._SCRATCH_PERSISTS) == 0
