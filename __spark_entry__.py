@@ -24,76 +24,77 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  ROUND-9 window
-# (r8 verdict task #2): the 4 XML round-trips stay pinned (the
-# reference-derived §2A surface); 3 slots are the queries ADDED in round
-# 9 (the GenericTest-shaped hetero-meta pair — python kernel + the new
-# below-root hybrid — and the dedup report bundle), keeping cumulative
-# driver coverage complete at 234/234; the other 43 are the STALEST
-# standing verdicts, computed by joining CORRECTNESS_r01..r08 for each
-# query's newest green round — 43 of the 44 remaining r3-era verdicts.
-# The one r3-era query left out for space, pack_greedy_shardlocal, was
-# independently strict-oracle-verified by the round-8 judge this round
-# (VERDICT.md spot-check, 8/8 green) and is pinned by a recursive-CTE
-# oracle pytest; it rotates in next round with the r4 cohort.
+# the head of the ordering is a per-round curated window.  ROUND-10 window
+# (r9 verdict task #2): 4 slots are the queries ADDED in round 10 (the two
+# xspxml-DataSource round-trips — the r9 verdict's headline task — the
+# similarity index bundle, and the winnowing bucket-stats gate), keeping
+# cumulative driver coverage complete at 238/238; the other 46 are the
+# ENTIRE remaining stale cohort — every query whose newest driver verdict
+# is r4 (45 queries) or r3 (pack_greedy_shardlocal, carried over as
+# promised in the r8/r9 window notes) — computed by joining
+# CORRECTNESS_r01..r09 for each query's newest green round.  After this
+# round no query's newest driver verdict is older than r6 (the r9 verdict
+# task's done-condition).  The 4 XML round-trips that previous rounds
+# pinned are all r9-fresh and rotate out for exactly one round to make
+# the arithmetic work: 4 new + 46 stale = 50.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
 # before shipping a round.
 _PRIORITY = [
-    # §2A reference surface (pinned every round)
-    "xml_roundtrip_orders_struct",
-    "xml_roundtrip_orders_struct_jvm",
-    "xml_roundtrip_wildcard_tag_events",
-    "xml_roundtrip_lineitem_array",
     # new queries this round (never driver-checked)
-    "xml_roundtrip_hetero_meta",
-    "xml_roundtrip_hetero_meta_jvm",
-    "dedup_report_bundle",
+    "xspxml_roundtrip_orders",
+    "xspxml_partition_pruned_read",
+    "similarity_index_bundle",
+    "dedup_winnowing_bucket_stats",
     # stalest re-checks: last driver green was round 3
-    "agg_stats_moments",
-    "analytic_weekly_retention_cohorts",
-    "analytic_zscore_anomalies",
-    "dedup_connected_components",
-    "dedup_embedding_cosine_pairs_lsh",
-    "dedup_levenshtein_pairs",
-    "dedup_simhash_signatures",
-    "dedup_simhash_wide_signatures",
-    "graph_components_dup_groups",
-    "json_variant_shred_props",
-    "lateral_top2_orders_per_customer",
-    "merge_upsert_orders",
-    "mix_weighted_corpus",
-    "multimodal_audio_framing",
-    "multimodal_image_features",
-    "multimodal_image_resize_plan",
-    "q11_important_stock",
-    "q20_excess_shippers",
-    "q2_min_cost_supplier",
-    "sample_stratified_quota",
-    "scalar_map_functions",
-    "scd2_customer_priority_history",
-    "sessionize_events_30m",
-    "setop_except_all_statuses",
-    "similarity_centroid_per_label",
-    "similarity_ivf_assign_cells",
-    "similarity_rplsh_signatures",
-    "similarity_topk_ivf_multiprobe",
-    "temporal_gapfill_interpolate",
-    "temporal_gapfill_locf",
-    "text_decontaminate_overlap",
-    "text_langid_confusion",
-    "text_pii_scrub",
-    "text_quality_filter",
-    "text_repetition_filter",
-    "text_rolling_hash_fingerprint",
-    "text_token_count_bpe",
-    "unpivot_lineitem_measures",
-    "window_lag_lead_order_gaps",
-    "window_range_frame_value_band",
-    "window_rank_dense_ntile",
-    "window_running_total_per_customer",
-    "window_sliding_1h_30m_events",
+    "pack_greedy_shardlocal",
+    # stalest re-checks: last driver green was round 4
+    "agg_approx_distinct",
+    "agg_string_concat_nations",
+    "analytic_active_users_dau_wau",
+    "analytic_copurchase_part_pairs",
+    "analytic_event_pareto_share",
+    "analytic_event_transition_matrix",
+    "analytic_funnel_view_click_purchase",
+    "analytic_rfm_segments",
+    "dedup_chunk_exact",
+    "dedup_drop_list",
+    "dedup_keeper_by_quality",
+    "dedup_minhash_delta_pairs",
+    "dedup_minhash_estimate_accuracy",
+    "dedup_minhash_signatures",
+    "dedup_rate_by_source",
+    "dedup_semantic_groups",
+    "dedup_substring_coverage_by_source",
+    "dedup_substring_cut_text",
+    "dedup_substring_spans",
+    "embedding_pq_encode",
+    "interval_join_bucketized_incidents",
+    "join_salted_skewed_events_segment",
+    "mix_temperature_rates",
+    "mix_token_budget_by_quality",
+    "mix_weighted_proportions",
+    "multimodal_frame_dedup",
+    "multimodal_resize_to_box",
+    "pipeline_chunk_pack",
+    "profile_orders_table",
+    "setop_intersect_all_statuses",
+    "shuffle_deterministic_order",
+    "similarity_recall_vs_exact",
+    "similarity_rplsh_bucket_stats",
+    "similarity_topk_pq_adc",
+    "text_bm25_topk",
+    "text_chunk_sliding_window",
+    "text_decontaminate_bloom",
+    "text_fingerprint_documents",
+    "text_lm_bigram_score",
+    "text_ngram_top100",
+    "tokenizer_bpe_first_merges",
+    "window_first_last_value",
+    "window_moving_avg_rows_frame",
+    "window_percent_rank_cume_dist",
+    "window_running_distinct_statuses",
 ]
 
 

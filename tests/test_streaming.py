@@ -1494,3 +1494,65 @@ def test_stream_xml_to_minhash_dedup_end_to_end(spark, tmp_path):
         assert [(r["doc_id"], r["text"]) for r in got] == [(9000002, fresh)]
     finally:
         base_bands.unpersist()
+
+
+def test_pair_graph_df_stats_compaction_equivalent_and_idempotent(spark, tmp_path):
+    """r9 verdict #7: with periodic df_stats compaction the maintained
+    state must be IDENTICAL to the uncompacted run (the snapshot is a
+    pure execution strategy), the compact snapshot must exist and equal
+    the sum of the per-batch partitions it folded, and a crash-replay of
+    a compacting batch must regenerate everything byte-equal."""
+    import os
+
+    from xmlstreamprocessor_spark.streaming import (
+        pair_graph_foreach_batch,
+        pair_graph_state,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    n_batches = 6
+
+    def run(state, compact_every):
+        fn = pair_graph_foreach_batch(state, 0.5, compact_every=compact_every)
+        for b in range(n_batches):
+            fn(docs.filter(F.col("doc_id") % n_batches == b), b)
+        return fn
+
+    plain = str(tmp_path / "plain")
+    compacted = str(tmp_path / "compact")
+    run(plain, 0)
+    fn_c = run(compacted, 2)
+
+    p1, c1 = pair_graph_state(spark, plain)
+    p2, c2 = pair_graph_state(spark, compacted)
+    assert {tuple(r) for r in p1.collect()} == {tuple(r) for r in p2.collect()}
+    assert {tuple(r) for r in c1.collect()} == {tuple(r) for r in c2.collect()}
+
+    # snapshot upto=4 == sum over batch_id<4 partitions
+    snap_dir = os.path.join(compacted, "df_stats_compact")
+    assert sorted(os.listdir(snap_dir)) == ["upto=2", "upto=4"]
+    snap_rows = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(snap_dir, "upto=4")).collect()
+    }
+    raw = (
+        spark.read.option("basePath", os.path.join(compacted, "df_stats"))
+        .parquet(os.path.join(compacted, "df_stats"))
+        .filter(F.col("batch_id") < 4)
+        .groupBy("shingle")
+        .agg(F.sum("df").alias("df"))
+    )
+    assert snap_rows == {tuple(r) for r in raw.collect()}
+
+    # replay the compacting batch (4) and a later batch (5): idempotent
+    for b in (4, 5):
+        fn_c(docs.filter(F.col("doc_id") % n_batches == b), b)
+    p3, c3 = pair_graph_state(spark, compacted)
+    assert {tuple(r) for r in p3.collect()} == {tuple(r) for r in p1.collect()}
+    assert {tuple(r) for r in c3.collect()} == {tuple(r) for r in c1.collect()}
+    snap2 = spark.read.parquet(os.path.join(snap_dir, "upto=4"))
+    assert {tuple(r) for r in snap2.collect()} == snap_rows

@@ -1,0 +1,81 @@
+"""Streaming-ingest soak (r9 verdict #7): drive pair_graph_foreach_batch
+through ~100 micro-batches and measure per-batch wall vs batch_id.
+
+The r9 verdict's watch item: the foreachBatch body re-reads ALL prior
+``df_stats/batch_id=*`` partitions each micro-batch, so per-batch cost
+grows O(batch-count) on a week-long trickle ingest even when the data
+volume per batch is flat.  This soak quantifies the creep and A/Bs the
+periodic-compaction fix (``compact_every``): same docs, same batch
+geometry, walls printed per batch and summarized as first-quartile vs
+last-quartile means.
+
+The foreachBatch body is invoked directly (fn(batch_df, batch_id)) —
+identical code path to the wrapped stream, without paying the stream
+engine's per-trigger latency, which would mask the state-read slope.
+
+Usage: python tools/soak_stream_ingest.py [n_batches] [compact_every]
+       (defaults: 100 0; 0 = no compaction)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from xmlstreamprocessor_spark.session import get_session
+from xmlstreamprocessor_spark.streaming import pair_graph_foreach_batch
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    compact_every = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    spark = get_session()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    state_dir = tempfile.mkdtemp(prefix="xsp_soak_")
+    fn = pair_graph_foreach_batch(
+        os.path.join(state_dir, "st"),
+        threshold=0.5,
+        compact_every=compact_every,
+    )
+    walls = []
+    try:
+        for b in range(n_batches):
+            batch = docs.filter(F.col("doc_id") % n_batches == b)
+            t0 = time.time()
+            fn(batch, b)
+            w = time.time() - t0
+            walls.append(round(w, 3))
+            if b % 10 == 0:
+                print(f"batch {b}: {w:.2f}s", flush=True)
+        q = max(1, n_batches // 4)
+        head = sum(walls[:q]) / q
+        tail = sum(walls[-q:]) / q
+        print(json.dumps({
+            "n_batches": n_batches,
+            "compact_every": compact_every,
+            "total_sec": round(sum(walls), 1),
+            "first_quartile_mean": round(head, 3),
+            "last_quartile_mean": round(tail, 3),
+            "creep_ratio": round(tail / head, 3),
+            "walls": walls,
+        }))
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
