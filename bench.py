@@ -79,6 +79,13 @@ BENCH_QUERIES = [
     "xml_roundtrip_hetero_meta",
     "xml_roundtrip_hetero_meta_jvm",
     "dedup_report_bundle",
+    # round 10: the xspxml DataSource round-trips (the custom connector
+    # under the oracle), the winnowing pre-join gate, and the one-build
+    # ANN index-health bundle
+    "xspxml_roundtrip_orders",
+    "xspxml_partition_pruned_read",
+    "dedup_winnowing_bucket_stats",
+    "similarity_index_bundle",
 ]
 
 
