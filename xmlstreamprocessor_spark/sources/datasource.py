@@ -99,6 +99,10 @@ class XmlSourceReader(DataSourceReader):
         self.mode = str(options.get("mode", "FAILFAST")).upper()
         if self.mode not in ("FAILFAST", "PERMISSIVE", "DROPMALFORMED"):
             raise ValueError(f"unknown mode {self.mode!r}")
+        # FAILFAST reads hand Spark Arrow RecordBatches of this many
+        # records instead of per-record tuples (0 = tuple path).  See
+        # read() for the measured rationale and the non-FAILFAST carve-out.
+        self.arrow_batch = int(options.get("arrowBatchSize", "4096"))
 
     def pushFilters(self, filters):
         """Partition pruning for the hive-style layout the writer emits:
@@ -212,6 +216,36 @@ class XmlSourceReader(DataSourceReader):
 
         with open(partition.path, "rb") as fh:
             if self.mode == "FAILFAST":
+                # Hand Spark Arrow RecordBatches instead of per-record
+                # tuples: the DataSource API converts yielded tuples ONE
+                # AT A TIME (the same per-row tax the UDTF measurement
+                # quantified), while a batch built from all records of a
+                # slice is one columnar hand-off.  A/B at sf0.1 (150k
+                # orders rows, warm pool): 3.4 s tuple path -> 1.4 s
+                # batched (BASELINE.md round-10 addendum G).  Only the
+                # FAILFAST path batches — one iterator cannot mix tuples
+                # and batches, and the PERMISSIVE/DROPMALFORMED recovery
+                # below yields per-record tuples by construction (its
+                # cost is the rescan, not the hand-off).
+                if self.arrow_batch > 0:
+                    import pyarrow as pa
+
+                    from pyspark.sql.pandas.types import to_arrow_schema
+
+                    pa_schema = to_arrow_schema(self.schema)
+                    buf: list[tuple] = []
+                    for rec in rows(fh):
+                        buf.append(rec)
+                        if len(buf) >= self.arrow_batch:
+                            yield pa.RecordBatch.from_pylist(
+                                [dict(zip(names, r)) for r in buf], pa_schema
+                            )
+                            buf = []
+                    if buf:
+                        yield pa.RecordBatch.from_pylist(
+                            [dict(zip(names, r)) for r in buf], pa_schema
+                        )
+                    return
                 yield from rows(fh)
                 return
             # non-FAILFAST: stream optimistically (zero overhead while the
@@ -420,6 +454,10 @@ class XmlSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict):
         self._reader = XmlSourceReader(schema, options)
+        # the simple stream reader's (rows, offset) contract wants plain
+        # tuples (the engine deep-copies and pickles them per batch) —
+        # force the tuple path regardless of the batch option
+        self._reader.arrow_batch = 0
 
     def initialOffset(self) -> dict:
         return {"files": {}}
