@@ -217,12 +217,14 @@ class XmlSourceReader(DataSourceReader):
         with open(partition.path, "rb") as fh:
             if self.mode == "FAILFAST":
                 # Hand Spark Arrow RecordBatches instead of per-record
-                # tuples: the DataSource API converts yielded tuples ONE
-                # AT A TIME (the same per-row tax the UDTF measurement
-                # quantified), while a batch built from all records of a
-                # slice is one columnar hand-off.  A/B at sf0.1 (150k
-                # orders rows, warm pool): 3.4 s tuple path -> 1.4 s
-                # batched (BASELINE.md round-10 addendum G).  Only the
+                # tuples.  Honest A/B at sf0.1 (150k orders rows, warm
+                # pool, alternating runs): tuple path [1.53, 2.26, 1.05]s
+                # vs batched [1.31, 1.43, 1.30]s — a slight win with much
+                # flatter variance, value-identical aggregates (sums over
+                # every column type incl. decimal/timestamp).  Kept
+                # because the per-record pickle hand-off is the part that
+                # grows with records-per-task, while the batch build is
+                # one columnar conversion per 4096 records.  Only the
                 # FAILFAST path batches — one iterator cannot mix tuples
                 # and batches, and the PERMISSIVE/DROPMALFORMED recovery
                 # below yields per-record tuples by construction (its
