@@ -1556,3 +1556,38 @@ def test_xspxml_registered_queries(spark):
         .collect()
     }
     assert got2 == exp2
+
+
+def test_xspxml_writer_edge_values_roundtrip(spark, tmp_path):
+    """Value-edge contract of the xspxml writer/reader pair: empty string
+    round-trips as '' (an empty element is NOT a missing element), markup
+    characters escape, unicode and padding survive, None omits the tag and
+    reads back null — and a C0 control character (unrepresentable in
+    XML 1.0) fails AT WRITE TIME with the tag named, instead of producing
+    a file the reader rejects later."""
+    import pytest
+
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    out = tmp_path / "edge"
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a<b&c>d"), (3, None), (4, "  pad  "), (5, "unié中")],
+        "id bigint, txt string",
+    )
+    df.coalesce(1).write.format("xspxml").mode("overwrite").save(str(out))
+    back = (
+        spark.read.format("xspxml")
+        .schema("id bigint, txt string")
+        .option("rowTag", "row")
+        .load(str(out))
+    )
+    assert sorted((r["id"], r["txt"]) for r in back.collect()) == [
+        (1, ""), (2, "a<b&c>d"), (3, None), (4, "  pad  "), (5, "unié中"),
+    ]
+    with pytest.raises(Exception, match="U\\+0001"):
+        spark.createDataFrame(
+            [(9, "bad\x01char")], "id bigint, txt string"
+        ).coalesce(1).write.format("xspxml").mode("overwrite").save(
+            str(tmp_path / "ctrl")
+        )

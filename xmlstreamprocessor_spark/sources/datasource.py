@@ -516,11 +516,28 @@ def _xml_scalar(v) -> str:
     return str(v)
 
 
+import re as _re
+
+# XML 1.0 cannot represent C0 control characters (other than tab/LF/CR)
+# even as entity references — writing one produces a file every conforming
+# parser (including this source's own reader) rejects.  Fail at WRITE time
+# with the offending tag named, not at some later read (FAILFAST culture).
+_XML_ILLEGAL = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def _serialize_value(buf: list, tag: str, v) -> None:
     from xml.sax.saxutils import escape
 
     if v is None:
         return  # omitted tag reads back as null — missing->default semantics
+    if isinstance(v, str) and _XML_ILLEGAL.search(v):
+        bad = _XML_ILLEGAL.search(v).group()
+        raise ValueError(
+            f"column/tag {tag!r} contains U+{ord(bad):04X}, which XML 1.0 "
+            "cannot represent; strip or replace control characters before "
+            "writing format('xspxml') (e.g. regexp_replace(col, "
+            r"'[\x00-\x08\x0b\x0c\x0e-\x1f]', ''))"
+        )
     if isinstance(v, dict):  # struct field (Row.asDict'd)
         buf.append(f"<{tag}>")
         for k, sv in v.items():
