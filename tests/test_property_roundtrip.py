@@ -124,3 +124,106 @@ def test_coalesce_alternative_tags(tag, v):
     spec = X.struct("r", {"val": X.coalesce(X.nint("x1"), X.nint("x2") * 10)})
     out = extract_xml_records([doc], spec)
     assert out[0]["val"] == (v if tag == "x1" else v * 10)
+
+
+# ---------------------------------------------------------------------------
+# xspxml writer -> reader kernel round-trip (r10): the task-side halves of
+# the registered DataSource, driven directly (no Spark session) — random
+# typed records must survive serialize -> parse on BOTH reader hand-off
+# paths (per-record tuples and Arrow RecordBatches), value-identically.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+
+def _xs_schema():
+    # built programmatically: StructType.fromDDL needs a live JVM, and this
+    # test file is deliberately Spark-free
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("dec", T.DecimalType(18, 2)),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+
+def _ds_reader(path: str, arrow_batch: int):
+    from xmlstreamprocessor_spark.sources.datasource import XmlSourceReader
+
+    schema = _xs_schema()
+    r = XmlSourceReader(
+        schema,
+        {"path": path, "rowTag": "rec", "arrowBatchSize": str(arrow_batch)},
+    )
+    return r, schema
+
+
+_xs_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs", "Cc"), exclude_characters="\r"
+    ),
+    max_size=40,
+)
+
+_xs_record = st.fixed_dictionaries(
+    {
+        "k": st.integers(min_value=-(2**62), max_value=2**62 - 1),
+        "s": st.one_of(st.none(), _xs_text),
+        "dec": st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=-10**9, max_value=10**9, allow_nan=False, places=2
+            ),
+        ),
+        "flag": st.one_of(st.none(), st.booleans()),
+        "ts": st.one_of(
+            st.none(),
+            st.datetimes(
+                min_value=_dt.datetime(1970, 1, 2),
+                max_value=_dt.datetime(2100, 1, 1),
+            ),
+        ),
+    }
+)
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_xs_record, min_size=1, max_size=12))
+def test_xspxml_kernel_roundtrip_property(tmp_path_factory, batch):
+    import os
+
+    from xmlstreamprocessor_spark.sources.datasource import (
+        _FilePartition,
+        write_rows_xml,
+    )
+
+    base = tmp_path_factory.mktemp("xsprt")
+    path = os.path.join(str(base), "part-0.xml")
+    names = ["k", "s", "dec", "flag", "ts"]
+    write_rows_xml(iter(batch), names, path, "rec", "rows")
+
+    want = [tuple(r[n] for n in names) for r in batch]
+
+    reader, _ = _ds_reader(str(base), 0)
+    got_tuples = list(reader.read(_FilePartition(path)))
+    assert got_tuples == want
+
+    reader_b, _ = _ds_reader(str(base), 4)
+    got_batches = [
+        tuple(d[n] for n in names)
+        for rb in reader_b.read(_FilePartition(path))
+        for d in rb.to_pylist()
+    ]
+    # Arrow normalizes timestamps to tz-aware UTC; strip for value compare
+    got_batches = [
+        tuple(
+            v.replace(tzinfo=None) if isinstance(v, _dt.datetime) else v
+            for v in row
+        )
+        for row in got_batches
+    ]
+    assert got_batches == want
