@@ -163,12 +163,17 @@ def _ds_reader(path: str, arrow_batch: int):
     return r, schema
 
 
+# \r deliberately INCLUDED (unlike the hand-rolled _text serializer above):
+# the xspxml writer emits it as &#13;, which must survive the parser's
+# line-ending normalization and round-trip exactly
 _xs_text = st.text(
     alphabet=st.characters(
-        codec="utf-8", exclude_categories=("Cs", "Cc"), exclude_characters="\r"
+        codec="utf-8",
+        exclude_categories=("Cs", "Cc"),
+        include_characters="\t\n\r",
     ),
     max_size=40,
-)
+) | st.just("a\rb\r\nc\nd")
 
 _xs_record = st.fixed_dictionaries(
     {
@@ -208,22 +213,34 @@ def test_xspxml_kernel_roundtrip_property(tmp_path_factory, batch):
 
     want = [tuple(r[n] for n in names) for r in batch]
 
+    def norm(rows):
+        # the reader yields SESSION-ZONE-aware timestamps by contract
+        # (default UTC — the fix for the tuple-vs-arrow naive-datetime
+        # divergence); normalize both paths to naive UTC wall time for
+        # the value compare.  The input datetimes were naive and the
+        # writer serialized their wall clock, so equal wall time IS
+        # round-trip equality.
+        import zoneinfo
+
+        utc = zoneinfo.ZoneInfo("UTC")
+        return [
+            tuple(
+                v.astimezone(utc).replace(tzinfo=None)
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None
+                else v
+                for v in row
+            )
+            for row in rows
+        ]
+
     reader, _ = _ds_reader(str(base), 0)
-    got_tuples = list(reader.read(_FilePartition(path)))
+    got_tuples = norm(list(reader.read(_FilePartition(path))))
     assert got_tuples == want
 
     reader_b, _ = _ds_reader(str(base), 4)
-    got_batches = [
+    got_batches = norm(
         tuple(d[n] for n in names)
         for rb in reader_b.read(_FilePartition(path))
         for d in rb.to_pylist()
-    ]
-    # Arrow normalizes timestamps to tz-aware UTC; strip for value compare
-    got_batches = [
-        tuple(
-            v.replace(tzinfo=None) if isinstance(v, _dt.datetime) else v
-            for v in row
-        )
-        for row in got_batches
-    ]
+    )
     assert got_batches == want

@@ -1591,3 +1591,33 @@ def test_xspxml_writer_edge_values_roundtrip(spark, tmp_path):
         ).coalesce(1).write.format("xspxml").mode("overwrite").save(
             str(tmp_path / "ctrl")
         )
+
+
+def test_xspxml_timestamp_paths_agree(spark, tmp_path):
+    """Offset-less timestamp text is interpreted in the source's fixed
+    sessionTz (default UTC) on BOTH hand-off paths.  Before the r10 fix
+    the tuple path went through OS-local time.mktime while the arrow path
+    read naive datetimes as UTC — the same file produced instants shifted
+    by the OS offset depending on arrowBatchSize (measured under
+    TZ=America/New_York: 05:00 vs 00:00)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+    register_xml_source(spark)
+    (tmp_path / "f.xml").write_text(
+        "<rows><row><id>1</id><ts>1996-01-02T00:00:00</ts></row></rows>\n"
+    )
+    got = {}
+    for ab in ("0", "4096"):
+        r = (
+            spark.read.format("xspxml")
+            .schema("id bigint, ts timestamp")
+            .option("rowTag", "row")
+            .option("arrowBatchSize", ab)
+            .load(str(tmp_path))
+        )
+        got[ab] = r.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ).collect()[0][0]
+    assert got["0"] == got["4096"] == "1996-01-02 00:00:00"

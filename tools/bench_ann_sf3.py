@@ -22,9 +22,9 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from xmlstreamprocessor_spark.session import get_session
 
@@ -47,22 +47,12 @@ def main() -> None:
         REPO, ".scale", "sf3emb"
     )
     spark = get_session()
-    from xmlstreamprocessor_spark.operators import REGISTRY
-    from xmlstreamprocessor_spark.operators.dedup import clear_session_memos
-
     n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     print(json.dumps({"sf_dir": sf_dir, "n_vectors": n_vecs}), flush=True)
-    for name in QUERIES:
-        clear_session_memos()
-        fn, _ = REGISTRY[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        print(
-            json.dumps(
-                {"query": name, "rows": n, "wall_sec": round(time.time() - t0, 2)}
-            ),
-            flush=True,
-        )
+    # shared runner: per-query error containment, cold memos, JSON lines
+    import bench_family_stress
+
+    bench_family_stress.run(spark, sf_dir, QUERIES)
 
 
 if __name__ == "__main__":

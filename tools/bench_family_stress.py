@@ -19,10 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from xmlstreamprocessor_spark.session import get_session
 
 
-def main() -> None:
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:]
-    spark = get_session()
+def run(spark, sf_dir: str, names) -> None:
+    """Cold-run each named query against ``sf_dir``, one JSON line per
+    query; a per-query failure becomes an error row (a stress FAILURE is
+    the finding), never an aborted sweep.  Shared by the per-family
+    stress entry points (tools/bench_ann_sf3.py delegates here)."""
     from xmlstreamprocessor_spark.operators import REGISTRY
     from xmlstreamprocessor_spark.operators.dedup import clear_session_memos
 
@@ -34,10 +35,14 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             out = {"query": name, "rows": n,
                    "wall_sec": round(time.time() - t0, 2)}
-        except Exception as e:  # noqa: BLE001 — a stress FAILURE is the finding
+        except Exception as e:  # noqa: BLE001
             out = {"query": name, "error": str(e)[:300],
                    "wall_sec": round(time.time() - t0, 2)}
         print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    run(get_session(), sys.argv[1], sys.argv[2:])
 
 
 if __name__ == "__main__":

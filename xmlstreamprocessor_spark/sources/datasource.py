@@ -103,6 +103,23 @@ class XmlSourceReader(DataSourceReader):
         # records instead of per-record tuples (0 = tuple path).  See
         # read() for the measured rationale and the non-FAILFAST carve-out.
         self.arrow_batch = int(options.get("arrowBatchSize", "4096"))
+        # Offset-less timestamp text is interpreted in ONE fixed zone —
+        # option("sessionTz", ...), default UTC (this engine pins
+        # spark.sql.session.timeZone to UTC, see session.py) — and read()
+        # localizes every parsed timestamp to it, yielding AWARE
+        # datetimes.  Without this the two hand-off paths DISAGREE on any
+        # box whose OS zone is not UTC: Spark converts a naive datetime
+        # yielded as a tuple via OS-local time.mktime, while pyarrow
+        # treats a naive datetime under a tz=UTC field as UTC wall time
+        # (measured: the literal text 1996-01-02T00:00:00 read back as
+        # 05:00 on the tuple path vs 00:00 on the arrow path under
+        # TZ=America/New_York).  An explicit option rather than sniffing
+        # SparkSession.getActiveSession(): the reader may be constructed
+        # in Spark's python planner worker where no session is active
+        # (measured: a post-registration session-zone change did not
+        # reach the capture), and a deterministic default beats a
+        # construction-context-dependent one.
+        self.session_tz = options.get("sessionTz", "UTC")
 
     def pushFilters(self, filters):
         """Partition pruning for the hive-style layout the writer emits:
@@ -197,13 +214,37 @@ class XmlSourceReader(DataSourceReader):
         assert names == out_names, (names, out_names)
         pvals = self._partition_values(partition.path)
 
+        # session-zone localization of parsed timestamps (see __init__):
+        # naive datetimes become aware, so Spark's tuple conversion
+        # (dt.timestamp()) and pyarrow's batch conversion agree on the
+        # instant regardless of the worker's OS zone
+        import datetime as _dtm
+        from zoneinfo import ZoneInfo as _ZoneInfo
+
+        _tz = _ZoneInfo(self.session_tz)
+        _ts_fields = {
+            f.name
+            for f in self.schema.fields
+            if f.dataType.typeName() == "timestamp"
+        }
+
+        def _one(n, rec):
+            if n in pvals:
+                v = pvals[n]
+            elif n in coerce:
+                v = coerce[n](rec.get(n))
+            else:
+                v = rec.get(n)
+            if (
+                n in _ts_fields
+                and isinstance(v, _dtm.datetime)
+                and v.tzinfo is None
+            ):
+                v = v.replace(tzinfo=_tz)
+            return v
+
         def to_tuple(rec):
-            return tuple(
-                pvals[n]
-                if n in pvals
-                else (coerce[n](rec.get(n)) if n in coerce else rec.get(n))
-                for n in names
-            )
+            return tuple(_one(n, rec) for n in names)
 
         def rows(fh):
             for rec in iterparse_records(fh, self.row_tag, compiled):
@@ -549,7 +590,13 @@ def _serialize_value(buf: list, tag: str, v) -> None:
             _serialize_value(buf, "item", item)
         buf.append(f"</{tag}>")
     else:
-        buf.append(f"<{tag}>{escape(_xml_scalar(v))}</{tag}>")
+        # \r must go out as a character reference: a literal CR in element
+        # content is line-ending-NORMALIZED to \n by every conforming
+        # parser (XML 1.0 §2.11) — silent corruption — while &#13;
+        # survives normalization and reads back as \r exactly
+        buf.append(
+            f"<{tag}>{escape(_xml_scalar(v), {chr(13): '&#13;'})}</{tag}>"
+        )
 
 
 def write_rows_xml(rows, names: list[str], path: str, row_tag: str, root_tag: str):

@@ -227,9 +227,10 @@ def pair_graph_foreach_batch(
     ``compact_every`` batches the body therefore writes the already-
     computed base aggregate to ``{state_dir}/df_stats_compact/upto=N``
     (one row per shingle, covering all ``batch_id < N``), and the base
-    read becomes: newest snapshot with ``upto <= N`` plus ONLY the
-    per-batch partitions in ``[upto, N)`` — bounded by the compaction
-    cadence, flat forever.  Idempotency is preserved: the snapshot is a
+    read becomes: newest snapshot with ``upto < N`` (strictly below, so a
+    replayed compacting batch never consumes its own possibly-partial
+    snapshot) plus ONLY the per-batch partitions in ``[upto, N)`` —
+    bounded by the compaction cadence, flat forever.  Idempotency is preserved: the snapshot is a
     pure function of the ``batch_id < N`` partitions (the same base the
     batch itself reads), writes only under its own ``upto=N`` directory
     with mode=overwrite, and a crash-replay of batch N regenerates it
@@ -272,10 +273,16 @@ def pair_graph_foreach_batch(
         per-batch partitions it does not cover — O(compact_every)
         partitions per read instead of O(batch-count)."""
         schema = "shingle string, df bigint"
+        # strictly BELOW batch_id: a replay of compacting batch N must
+        # never read its own upto=N snapshot — a crash mid-snapshot-write
+        # leaves a partial directory, and consuming it would either brick
+        # the read (no committed files) or silently undercount the base.
+        # The previous snapshot plus the [upto, N) per-batch partitions
+        # (never deleted) always reconstruct the exact base.
         uptos = [
             u
             for u in _list_batch_ids(spark, df_compact_dir, prefix="upto=")
-            if u <= batch_id
+            if u < batch_id
         ]
         upto = max(uptos) if uptos else 0
         ids = [
