@@ -1591,6 +1591,18 @@ def test_xspxml_writer_edge_values_roundtrip(spark, tmp_path):
         ).coalesce(1).write.format("xspxml").mode("overwrite").save(
             str(tmp_path / "ctrl")
         )
+    # non-characters and lone surrogates are outside XML 1.0's Char
+    # production too (§2.2) — also rejected at write time (r10 advice)
+    with pytest.raises(Exception, match="U\\+FFFE"):
+        spark.createDataFrame(
+            [(10, "bad\ufffechar")], "id bigint, txt string"
+        ).coalesce(1).write.format("xspxml").mode("overwrite").save(
+            str(tmp_path / "nonchar")
+        )
+    from xmlstreamprocessor_spark.sources.datasource import _XML_ILLEGAL
+
+    assert _XML_ILLEGAL.search("\uffff") and _XML_ILLEGAL.search("\ud800")
+    assert not _XML_ILLEGAL.search("ok \t\n text \ufffd")
 
 
 def test_xspxml_timestamp_paths_agree(spark, tmp_path):

@@ -7,12 +7,16 @@ commit) — verified against a plain SQL projection of the source table,
 so the XML files themselves are the only place the values could drift.
 
 Both queries follow the formats_roundtrip protocol (operators/formatsq.py):
-scratch is a per-invocation private tempdir, results are materialized
-eagerly BEFORE the tempdir is removed, so the returned frame carries no
-lineage into deleted files.  On a real cluster the scratch path must be
-shared storage (the reader lists files driver-side and opens them on
-executors — same contract as every file-based source); local[n] and an
-NFS/DBFS mount both satisfy it.
+scratch is a per-invocation private subdir under the session's WAREHOUSE
+root (r11 verdict #4 — the same cluster-correctness convention as
+``dedup.materialize``: the warehouse is storage every executor and the
+driver share, while a driver-local ``tempfile`` path would scatter part
+files across executor-local disks on a real cluster).  Results are
+materialized eagerly BEFORE the scratch dir is removed, so the returned
+frame carries no lineage into deleted files.  The ``xspxml`` source opens
+files with plain ``open()``, so the warehouse must be POSIX-reachable
+(local[n], NFS, a DBFS fuse mount); a non-``file:`` warehouse scheme
+falls back to a tempdir with the limitation documented here.
 
 Reference parity: the round-trip exercises the same typed-scalar null
 rules as the extraction kernel (Parser.cs:15-95 — missing element ->
@@ -28,8 +32,29 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+import uuid
+
 from xmlstreamprocessor_spark.operators.registry import dec2, money2, query, t
 from xmlstreamprocessor_spark.sources.datasource import register_xml_source
+
+
+def _warehouse_scratch(spark, prefix: str) -> str:
+    """A fresh PLAIN-OS-PATH scratch dir under the session warehouse root
+    (shared storage on a real deployment — see module docstring).  The
+    ``xspxml`` source reads/writes with ``open()``, so a non-local
+    warehouse scheme (hdfs:// etc.) cannot host it; fall back to a
+    driver-local tempdir there, which is still correct on local[n]."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    else:
+        if "://" in wh:  # non-POSIX scheme: xspxml can't open() it
+            return tempfile.mkdtemp(prefix=prefix)
+    base = os.path.join(wh, f"{prefix}{uuid.uuid4().hex[:12]}")
+    os.makedirs(base, exist_ok=True)
+    return base
 
 
 @query(
@@ -61,7 +86,7 @@ def xspxml_roundtrip_orders(spark, sf_dir):
 
     register_xml_source(spark)
     o = t(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="xsp_ds_rt_")
+    base = _warehouse_scratch(spark, "xsp_ds_rt_")
     try:
         out_dir = os.path.join(base, "orders_xml")
         # fan the write out to the session's parallelism: the source
@@ -146,7 +171,7 @@ def xspxml_partition_pruned_read(spark, sf_dir):
         F.col("o_orderkey").alias("order_id"),
         dec2("o_totalprice").alias("total"),
     )
-    base = tempfile.mkdtemp(prefix="xsp_ds_part_")
+    base = _warehouse_scratch(spark, "xsp_ds_part_")
     try:
         out_dir = os.path.join(base, "orders_by_year")
         # repartition by (year, salt): each task still holds O(1) open
