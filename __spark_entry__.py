@@ -24,77 +24,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  ROUND-10 window
-# (r9 verdict task #2): 4 slots are the queries ADDED in round 10 (the two
-# xspxml-DataSource round-trips — the r9 verdict's headline task — the
-# similarity index bundle, and the winnowing bucket-stats gate), keeping
-# cumulative driver coverage complete at 238/238; the other 46 are the
-# ENTIRE remaining stale cohort — every query whose newest driver verdict
-# is r4 (45 queries) or r3 (pack_greedy_shardlocal, carried over as
-# promised in the r8/r9 window notes) — computed by joining
-# CORRECTNESS_r01..r09 for each query's newest green round.  After this
-# round no query's newest driver verdict is older than r6 (the r9 verdict
-# task's done-condition).  The 4 XML round-trips that previous rounds
-# pinned are all r9-fresh and rotate out for exactly one round to make
-# the arithmetic work: 4 new + 46 stale = 50.
+# the head of the ordering is a per-round curated window.  ROUND-11 window
+# (r10 verdict task #2 + r10 advice #4): 2 slots are the queries ADDED in
+# round 11 (the iterative BPE trainer and the containment delta path),
+# keeping cumulative driver coverage complete at 240/240; 4 slots re-pin
+# the XML round-trips (xml_roundtrip_orders_struct[,_jvm],
+# xml_roundtrip_wildcard_tag_events[,_jvm]) after their promised
+# one-round rotation out; the other 44 are the r6-stale cohort (newest
+# driver verdict r6, computed by joining CORRECTNESS_r01..r10).  The r6
+# cohort has 46 members — two short of fitting beside the new queries —
+# so the two members that were independently strict-oracle-verified by
+# the r10 judge AND are untouched by this round's code changes
+# (agg_approx_percentile_accuracy, tokenizer_vocab_coverage) carry to
+# the r12 window; every other r6 query rotates in now, including every
+# consumer of the exact-Jaccard kernel this round modifies
+# (dedup_ngram_jaccard_pairs, dedup_winnowing_pairs,
+# dedup_containment_pairs, dedup_threshold_sweep).
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
 # before shipping a round.
 _PRIORITY = [
     # new queries this round (never driver-checked)
-    "xspxml_roundtrip_orders",
-    "xspxml_partition_pruned_read",
-    "similarity_index_bundle",
-    "dedup_winnowing_bucket_stats",
-    # stalest re-checks: last driver green was round 3
-    "pack_greedy_shardlocal",
-    # stalest re-checks: last driver green was round 4
-    "agg_approx_distinct",
-    "agg_string_concat_nations",
-    "analytic_active_users_dau_wau",
-    "analytic_copurchase_part_pairs",
-    "analytic_event_pareto_share",
-    "analytic_event_transition_matrix",
-    "analytic_funnel_view_click_purchase",
-    "analytic_rfm_segments",
-    "dedup_chunk_exact",
-    "dedup_drop_list",
-    "dedup_keeper_by_quality",
-    "dedup_minhash_delta_pairs",
-    "dedup_minhash_estimate_accuracy",
-    "dedup_minhash_signatures",
-    "dedup_rate_by_source",
-    "dedup_semantic_groups",
-    "dedup_substring_coverage_by_source",
-    "dedup_substring_cut_text",
-    "dedup_substring_spans",
-    "embedding_pq_encode",
-    "interval_join_bucketized_incidents",
-    "join_salted_skewed_events_segment",
-    "mix_temperature_rates",
-    "mix_token_budget_by_quality",
-    "mix_weighted_proportions",
-    "multimodal_frame_dedup",
-    "multimodal_resize_to_box",
-    "pipeline_chunk_pack",
-    "profile_orders_table",
-    "setop_intersect_all_statuses",
-    "shuffle_deterministic_order",
-    "similarity_recall_vs_exact",
-    "similarity_rplsh_bucket_stats",
-    "similarity_topk_pq_adc",
-    "text_bm25_topk",
-    "text_chunk_sliding_window",
-    "text_decontaminate_bloom",
-    "text_fingerprint_documents",
-    "text_lm_bigram_score",
-    "text_ngram_top100",
-    "tokenizer_bpe_first_merges",
-    "window_first_last_value",
-    "window_moving_avg_rows_frame",
-    "window_percent_rank_cume_dist",
-    "window_running_distinct_statuses",
+    "tokenizer_bpe_train_k_merges",
+    "dedup_containment_delta",
+    # the 4 XML round-trips, re-pinned after their one-round rotation
+    "xml_roundtrip_orders_struct",
+    "xml_roundtrip_orders_struct_jvm",
+    "xml_roundtrip_wildcard_tag_events",
+    "xml_roundtrip_wildcard_tag_events_jvm",
+    # stalest re-checks: last driver green was round 6 (44 of 46; see note)
+    "agg_mode_status_by_priority",
+    "analytic_basket_lift",
+    "analytic_burst_rate_outliers",
+    "analytic_cohort_ltv_triangle",
+    "analytic_event_path_top3",
+    "analytic_interpurchase_gaps",
+    "analytic_order_backlog_sweep",
+    "analytic_time_to_convert",
+    "analytic_user_survival_weeks",
+    "analytic_yoy_revenue_growth",
+    "dedup_containment_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_group_lang_purity",
+    "dedup_group_size_histogram",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_source_overlap_matrix",
+    "dedup_threshold_sweep",
+    "dedup_winnowing_pairs",
+    "dq_contract_orders",
+    "dq_referential_orphans",
+    "embedding_pq_residual_encode",
+    "embedding_unitnorm_check",
+    "mix_epoch_plan",
+    "mix_soft_dedup_weights",
+    "multimodal_image_features_png",
+    "pack_efficiency_report",
+    "profile_documents_table",
+    "similarity_index_delta_assign",
+    "similarity_ivf_cell_balance",
+    "similarity_knn_mutual_degree",
+    "similarity_pq_distortion",
+    "similarity_pq_residual_distortion",
+    "similarity_topk_ivfpq_residual_adc",
+    "similarity_triplet_hardest",
+    "similarity_triplet_lsh_negatives",
+    "temporal_seasonality_dow_hour",
+    "text_cms_heavy_hitters",
+    "text_dedup_effective_tokens",
+    "text_jsd_by_source",
+    "text_length_histogram",
+    "text_ngram_novelty",
+    "text_unigram_entropy",
+    "text_zipf_slope",
+    "window_sliding_24h_distinct_users",
 ]
 
 

@@ -44,20 +44,11 @@ def test_prefix_filter_is_lossless(spark, oracle_sf_dir):
     assert len(pref) > 0  # non-vacuous on this corpus
 
 
-def test_jaccard_auto_picks_prefix_on_skewed_vocab(spark, oracle_sf_dir, monkeypatch):
-    """The cost-based chooser must ROUTE a Zipfian corpus (one shingle in
-    every doc) to the prefix path — asserted with a spy, locking the cost
-    model itself, not just output equality — and still return exact
-    results.  A corpus where every doc shares a hot 3-gram makes
-    sum(df^2) ~ n^2 postings-join rows, far past any linear bound."""
+def _spy_auto(spark, oracle_sf_dir, monkeypatch, docs):
+    """Run _jaccard_pairs_auto with spies on both join strategies; return
+    (branches chosen, verified pairs)."""
     from xmlstreamprocessor_spark.operators import dedup as dd
 
-    hot = "the quick brown"  # one shared 3-gram across all docs
-    rows = [
-        (i, f"{hot} doc {i % 7} body variant {i % 7} tail {i % 7}")
-        for i in range(200)
-    ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
     chosen = []
     real_prefix, real_naive = dd._jaccard_pairs_prefix, dd._jaccard_pairs
     monkeypatch.setattr(
@@ -72,7 +63,55 @@ def test_jaccard_auto_picks_prefix_on_skewed_vocab(spark, oracle_sf_dir, monkeyp
         dd._jaccard_pairs_auto(spark, oracle_sf_dir, 0.5, docs=docs, max_blowup=4),
         "doc_a", "doc_b", "jaccard",
     )
+    monkeypatch.undo()
+    return chosen, got
+
+
+def test_jaccard_auto_picks_prefix_on_hot_shingle_few_dups(
+    spark, oracle_sf_dir, monkeypatch
+):
+    """The r11 two-plan cost compare must ROUTE a corpus with a hot
+    shingle but FEW true near-dups to the prefix path — asserted with a
+    spy, locking the cost model itself, not just output equality.  One
+    3-gram shared by every doc puts n^2 rows in the direct self-join,
+    while rarest-first prefixes (unique per doc) generate almost no
+    candidates — the exact regime prefix filtering exists for."""
+    hot = "the quick brown"  # one shared 3-gram across all docs
+    rows = [
+        (i, f"{hot} unique{i} tokens{i} for{i} doc{i} number{i}")
+        for i in range(200)
+    ] + [  # one true near-dup pair so the output is non-vacuous
+        (900, "dup body alpha beta gamma delta epsilon"),
+        (901, "dup body alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chosen, got = _spy_auto(spark, oracle_sf_dir, monkeypatch, docs)
     assert chosen == ["prefix"], f"cost model picked {chosen}, wanted prefix"
+    want = _pairs(
+        _jaccard_pairs(spark, oracle_sf_dir, 0.5, docs=docs),
+        "doc_a", "doc_b", "jaccard",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_jaccard_auto_picks_direct_on_dup_heavy_vocab(
+    spark, oracle_sf_dir, monkeypatch
+):
+    """A dup-saturated corpus (3 variant groups of ~67 identical docs)
+    is skewed past the linear ratio, but its prefix CANDIDATES are the
+    quadratic object itself (every group collides on every prefix
+    shingle) — enumeration via the direct self-join is cheaper than
+    verifying, and the r11 cost compare must pick it (the pre-r11
+    ratio-only rule took the prefix path here: the 10x sf1 defect,
+    BASELINE round-11 addendum)."""
+    hot = "the quick brown"
+    rows = [
+        (i, f"{hot} doc {i % 3} body variant {i % 3} tail {i % 3}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chosen, got = _spy_auto(spark, oracle_sf_dir, monkeypatch, docs)
+    assert chosen == ["naive"], f"cost model picked {chosen}, wanted direct"
     want = _pairs(
         _jaccard_pairs(spark, oracle_sf_dir, 0.5, docs=docs),
         "doc_a", "doc_b", "jaccard",
@@ -1066,3 +1105,43 @@ def test_verify_scratch_released_when_materialized(spark, oracle_sf_dir):
     assert lazy.count() >= 0  # consuming it later still works
     dd.clear_session_memos()
     assert len(dd._SCRATCH_PERSISTS) == 0
+
+
+def test_containment_delta_union_base_equals_full_recompute(spark, oracle_sf_dir):
+    """The containment chain's incremental path loses nothing (r11
+    verdict #7): directed containment pairs over the base corpus alone,
+    UNIONed with the delta query's pairs (any pair with a delta
+    endpoint), must equal the full-corpus recompute — including the
+    ASYMMETRIC direction the Jaccard delta has no analogue for (a base
+    doc contained in a newly-arrived container, found by probing the
+    base docs' prefixes with the delta's postings)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        containment_pairs,
+        dedup_containment_delta,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    full = _pairs(
+        containment_pairs(spark, oracle_sf_dir),
+        "contained_id", "container_id", "containment",
+    )
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_docs = docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    base_only = _pairs(
+        containment_pairs(spark, oracle_sf_dir, docs=base_docs),
+        "contained_id", "container_id", "containment",
+    )
+    delta = _pairs(
+        dedup_containment_delta(spark, oracle_sf_dir),
+        "contained_id", "container_id", "containment",
+    )
+    assert set(base_only).isdisjoint(delta)
+    assert {**base_only, **delta} == full
+    assert len(delta) > 0  # non-vacuous: the batch has contained docs
+    # both directions present: delta doc as contained AND as container
+    assert any(a % _DELTA_MOD == _DELTA_REM for (a, b) in delta)
+    assert any(b % _DELTA_MOD == _DELTA_REM for (a, b) in delta)

@@ -224,3 +224,100 @@ def test_unigram_entropy_bounds(spark, oracle_sf_dir):
         assert -slack <= r["entropy_nats"] <= math.log(r["n_words"]) + slack
     # corpus has variation: not all docs share one entropy value
     assert len({r["entropy_nats"] for r in rows}) > 10
+
+
+def test_bpe_train_k_merges_determinism_and_loop(spark):
+    """Merge-order determinism (two runs, identical tables) and the LOOP
+    property: on a corpus built so that merge 2 can only exist after
+    merge 1's re-segmentation ('ab' then 'ab'+'c'), the trainer must
+    emit the composite merge."""
+    from xmlstreamprocessor_spark.operators.textops import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abc ab ab xy")], "doc_id long, text string"
+    )
+
+    def run():
+        out, wf = bpe_train(spark, None, k=3, docs=_vocab())
+        rows = [tuple(r) for r in out.collect()]
+        wf.unpersist()
+        return rows
+
+    def _vocab():
+        from pyspark.sql import functions as FF
+
+        return (
+            docs.select(
+                FF.explode(
+                    FF.split(FF.trim(FF.lower(FF.col("text"))), r"\s+")
+                ).alias("w")
+            )
+            .filter((FF.length("w") >= 2) & FF.col("w").rlike("^[a-z]+$"))
+            .groupBy("w")
+            .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
+            .select("freq", FF.regexp_replace("w", "(.)", "$1|").alias("seg"))
+        )
+
+    r1, r2 = run(), run()
+    assert r1 == r2  # determinism
+    # corpus: 'abc' x4 + 'ab' x2 + 'xy'.  Pair counts at iter 1:
+    # (a,b)=6, (b,c)=4, (x,y)=1 -> merge 1 = ab.  After re-segmentation
+    # the ONLY way (ab,c) exists is iter 2 counting over iter 1's segs.
+    assert r1[0][1:4] == ("a", "b", "ab") and r1[0][4] == 6
+    assert r1[1][1:4] == ("ab", "c", "abc") and r1[1][4] == 4
+    assert r1[2][1:4] == ("x", "y", "xy") and r1[2][4] == 1
+
+
+def test_bpe_incremental_counts_match_full_recount(spark):
+    """The invariant behind the incremental maintenance: after k merges,
+    the counts table the loop CARRIES must equal a from-scratch recount
+    of the final vocabulary (r11 verdict #6 done-criterion)."""
+    from pyspark.sql import functions as FF
+
+    from xmlstreamprocessor_spark.operators.textops import (
+        _bpe_pair_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana banana cabana"),
+            (2, "an and hand andante banana band"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = (
+        docs.select(
+            FF.explode(
+                FF.split(FF.trim(FF.lower(FF.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter((FF.length("w") >= 2) & FF.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
+        .select("freq", FF.regexp_replace("w", "(.)", "$1|").alias("seg"))
+    )
+    out, wf = bpe_train(spark, None, k=4, docs=vocab)
+    assert out.count() == 4
+    # full recount over the final segmentation == what an incremental
+    # chain of 4 deltas must also produce for merge 5's decision
+    full = {
+        (r["lft"], r["rgt"]): r["wc"]
+        for r in _bpe_pair_counts(wf).collect()
+        if r["wc"] != 0
+    }
+    # drive ONE more merge with the carried state and with the recount:
+    # identical argmax proves the carried counts are the true counts
+    out5, wf5 = bpe_train(spark, None, k=5, docs=vocab)
+    seq4 = [tuple(r) for r in out.collect()]
+    seq5 = [tuple(r) for r in out5.collect()]
+    assert seq5[:4] == seq4
+    # recompute the deterministic argmax the same way the trainer does
+    best_full = min(
+        [kv for kv in full.items() if kv[1] == max(full.values())],
+        key=lambda kv: kv[0],
+    )
+    assert (seq5[4][1], seq5[4][2]) == best_full[0]
+    assert seq5[4][4] == best_full[1]
+    wf.unpersist()
+    wf5.unpersist()

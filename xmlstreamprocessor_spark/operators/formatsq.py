@@ -20,7 +20,12 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from xmlstreamprocessor_spark.operators.registry import query, t
+from xmlstreamprocessor_spark.operators.registry import (
+    audit_active,
+    audit_frame,
+    query,
+    t,
+)
 from xmlstreamprocessor_spark.sources import formats
 
 
@@ -79,6 +84,9 @@ def formats_roundtrip_orders(spark, sf_dir):
         for fmt, df in back.items():
             cs = _checksum(df.select(*[f.name for f in schema.fields]), fmt)
             out = cs if out is None else out.unionByName(cs)
+        # the REAL plan (4-format scans -> checksum aggregates -> union);
+        # the returned frame is a rebuilt 4-row local relation
+        audit_frame(out)
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -126,6 +134,20 @@ def formats_partition_pruned_read(spark, sf_dir):
             )
             .orderBy("order_year")
         )
+        if audit_active():
+            import glob
+
+            allf = glob.glob(
+                os.path.join(base, "**", "*.parquet"), recursive=True
+            )
+            pruned = [
+                p
+                for p in allf
+                if "order_year=1996" in p or "order_year=1997" in p
+            ]
+            audit_frame(
+                out, files_total=len(allf), files_pruned_scan=len(pruned)
+            )
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -178,6 +200,8 @@ def formats_bucketed_join_no_shuffle(spark, sf_dir):
             )
             .orderBy("o_orderpriority")
         )
+        # the REAL plan: the no-exchange-on-join-keys co-bucketed SMJ
+        audit_frame(out)
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         for tbl in (t_o, t_l):

@@ -28,6 +28,32 @@ from xmlstreamprocessor_spark.session import tune_for_oracle
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {}
 
+# Cooperative plan-audit hook (r11 verdict #3).  Queries that eagerly
+# materialize and return a rebuilt / scratch-scan frame (the roundtrip
+# protocol) have a VACUOUS returned-frame plan — the audit would record
+# the post-collect LocalTableScan, so the plan gate could never catch a
+# regression that un-prunes the real scan.  Such queries publish their
+# pre-materialization frame through ``audit_frame`` while their scratch
+# is still alive; ``tools/plan_audit.py`` installs the hook (which
+# executes the frame and extracts the REAL plan), and everywhere else it
+# is None so the call is a no-op passthrough.
+_AUDIT_HOOK: Callable | None = None
+
+
+def audit_active() -> bool:
+    """True while a plan auditor has the hook installed — lets queries
+    skip computing audit-only extras (file counts etc.) in normal runs."""
+    return _AUDIT_HOOK is not None
+
+
+def audit_frame(df: DataFrame, **extras) -> DataFrame:
+    """Publish a query's pre-materialization frame (plus optional
+    informational extras, e.g. pruned-scan file counts) to the active
+    plan auditor.  Returns the frame unchanged."""
+    if _AUDIT_HOOK is not None:
+        _AUDIT_HOOK(df, **extras)
+    return df
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):

@@ -1132,6 +1132,208 @@ def tokenizer_bpe_first_merges(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# iterative BPE trainer (r11 verdict #6): k greedy merges, incremental counts
+# ---------------------------------------------------------------------------
+
+_BPE_K = 10
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-stage DuckDB twin of the trainer.  Segmentations are
+    '|'-terminated symbol strings ("w|o|r|d|"), so one greedy BPE merge is
+    a plain string replace — both engines scan left-to-right over
+    non-overlapping occurrences, giving identical re-segmentation (the
+    classic Sennrich et al. merge); vocabulary restricted to ^[a-z]+$
+    keeps '|' out of symbols."""
+    stages = ["""
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ),
+    seg0 AS (
+      SELECT freq, regexp_replace(w, '(.)', '\\1|', 'g') AS seg FROM vocab
+    )"""]
+    sel = []
+    for i in range(k):
+        stages.append(f"""
+    cnt{i} AS (
+      SELECT l[i] AS lft, l[i + 1] AS rgt, CAST(sum(freq) AS BIGINT) AS wc
+      FROM (
+        SELECT freq, l, unnest(generate_series(1, len(l) - 2)) AS i
+        FROM (SELECT freq, string_split(seg, '|') AS l FROM seg{i}) s
+      ) p
+      GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT lft, rgt, wc FROM cnt{i} ORDER BY wc DESC, lft, rgt LIMIT 1
+    ),
+    seg{i + 1} AS (
+      SELECT freq,
+             replace(seg, b.lft || '|' || b.rgt || '|',
+                     b.lft || b.rgt || '|') AS seg
+      FROM seg{i}, best{i} b
+    )""")
+        sel.append(
+            f"SELECT {i + 1} AS merge_rank, lft AS left_sym,"
+            f" rgt AS right_sym, lft || rgt AS merged,"
+            f" wc AS weighted_count FROM best{i}"
+        )
+    return (
+        "WITH" + ",".join(stages) + "\n"
+        + "\nUNION ALL ".join(sel) + "\nORDER BY merge_rank"
+    )
+
+
+def _bpe_vocab(spark, sf_dir):
+    """(freq, seg) vocabulary table: distinct lowercase alphabetic words
+    with their corpus frequency, segmented as '|'-terminated characters."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "freq",
+            F.regexp_replace("w", "(.)", "$1|").alias("seg"),
+        )
+    )
+
+
+def _bpe_pair_counts(wf):
+    """(lft, rgt, wc) adjacent-symbol pair counts of a (freq, seg) frame —
+    map-side-combinable aggregate over the VOCABULARY (never the corpus)."""
+    # split keeps the trailing empty element ("w|o|r|d|" -> [w,o,r,d,'']),
+    # so pair i = (l[i], l[i+1]) for i in 1..size-1 and the LAST pair's
+    # rgt is always the '' sentinel — filtered below.  This also makes a
+    # fully-merged single-symbol word ("ab|" -> [ab,'']) emit zero pairs
+    # without a size CASE: sequence(1, size-1) stays ascending at size=2,
+    # where sequence(1, size-2) would run DESCENDING ([1,0]) and
+    # element_at(l, 0) throws
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(seg, '[|]')) - 1),"
+                " i -> struct(element_at(split(seg, '[|]'), i) AS lft,"
+                "             element_at(split(seg, '[|]'), i + 1) AS rgt))"
+            )
+        ).alias("pr"),
+    ).filter(F.col("pr.rgt") != "")
+    return pairs.groupBy(
+        F.col("pr.lft").alias("lft"), F.col("pr.rgt").alias("rgt")
+    ).agg(F.sum("freq").cast("bigint").alias("wc"))
+
+
+def bpe_train(spark, sf_dir, k: int = _BPE_K, docs=None):
+    """Train k BPE merges (Sennrich et al., ACL'16 "Neural Machine
+    Translation of Rare Words with Subword Units") over the corpus
+    vocabulary; returns (merge-table DataFrame, final (freq, seg) vocab).
+
+    Driver-side loop over k bounded iterations (the kmeans_lloyd /
+    connected_components pattern).  The expensive statistic — adjacent-
+    pair counts weighted by word frequency — is maintained INCREMENTALLY:
+    iteration i+1 starts from iteration i's counts and applies a delta
+    computed from only the words that CONTAINED the merged pair (their
+    old pairs enter with -freq, their re-segmented pairs with +freq),
+    instead of recounting the whole vocabulary k times.  At web scale the
+    vocabulary is millions of rows but each merge touches a shrinking
+    slice of it, so the per-iteration cost after the first count is
+    proportional to the affected words — the same argument as the
+    delta-ingest dedup paths.  Per-iteration frames are persisted and the
+    predecessor released once the successor is materialized, so lineage
+    and executor state stay O(1) across iterations; determinism: counts
+    are exact integer sums and ties break on (lft, rgt) ascending."""
+    wf = (docs if docs is not None else _bpe_vocab(spark, sf_dir)).persist()
+    counts = _bpe_pair_counts(wf).persist()
+    merges = []
+    try:
+        for rank in range(1, k + 1):
+            best = (
+                counts.filter(F.col("wc") > 0)
+                .orderBy(F.desc("wc"), F.asc("lft"), F.asc("rgt"))
+                .first()
+            )
+            if best is None:
+                break
+            lft, rgt, wc = best["lft"], best["rgt"], best["wc"]
+            merges.append((rank, lft, rgt, lft + rgt, wc))
+            pat, rep = f"{lft}|{rgt}|", f"{lft}{rgt}|"
+            hit = F.col("seg").contains(pat)
+            affected = wf.filter(hit)
+            delta = _bpe_pair_counts(affected).select(
+                "lft", "rgt", (-F.col("wc")).alias("wc")
+            ).unionAll(
+                _bpe_pair_counts(
+                    affected.select(
+                        "freq",
+                        F.expr(
+                            f"replace(seg, {_sql_str(pat)}, {_sql_str(rep)})"
+                        ).alias("seg"),
+                    )
+                )
+            )
+            new_counts = (
+                counts.unionAll(delta)
+                .groupBy("lft", "rgt")
+                .agg(F.sum("wc").cast("bigint").alias("wc"))
+                .filter(F.col("wc") != 0)
+                .persist()
+            )
+            new_wf = wf.withColumn(
+                "seg",
+                F.when(
+                    hit,
+                    F.expr(f"replace(seg, {_sql_str(pat)}, {_sql_str(rep)})"),
+                ).otherwise(F.col("seg")),
+            ).persist()
+            # materialize successors, then release predecessors — O(1)
+            # executor state and a lineage cut per iteration
+            new_counts.count()
+            new_wf.count()
+            counts.unpersist()
+            wf.unpersist()
+            counts, wf = new_counts, new_wf
+        out = spark.createDataFrame(
+            merges,
+            "merge_rank int, left_sym string, right_sym string,"
+            " merged string, weighted_count bigint",
+        ).orderBy("merge_rank")
+        return out, wf
+    finally:
+        counts.unpersist()
+
+
+def _sql_str(s: str) -> str:
+    """Escape a Python string as a SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+@query("tokenizer_bpe_train_k_merges", oracle=_bpe_oracle(_BPE_K))
+def tokenizer_bpe_train_k_merges(spark, sf_dir):
+    """Iterative BPE tokenizer training: the first k=10 greedy merges over
+    the corpus vocabulary — rank, merged pair, and the pair's weighted
+    count AT MERGE TIME.  The first-merge query proves the counting; this
+    proves the LOOP: merges 6+ routinely pair previously-merged symbols
+    (e.g. m+er -> mer), which only happens if iteration i+1 runs over
+    iteration i's re-segmented vocabulary.  See bpe_train for the
+    incremental-count design; the DuckDB twin is the same algorithm
+    unrolled into k WITH stages over the same '|'-string segmentation,
+    so every intermediate (not just the final table) is cross-checked by
+    construction of the merge sequence."""
+    out, wf = bpe_train(spark, sf_dir, _BPE_K)
+    wf.unpersist()  # the merge table is driver-built; the vocab can go
+    return out
+
+
 @query(
     "text_unigram_entropy",
     oracle=f"""

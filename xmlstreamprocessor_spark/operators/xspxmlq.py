@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 
 import uuid
 
-from xmlstreamprocessor_spark.operators.registry import dec2, money2, query, t
+from xmlstreamprocessor_spark.operators.registry import (
+    audit_active,
+    audit_frame,
+    dec2,
+    money2,
+    query,
+    t,
+)
 from xmlstreamprocessor_spark.sources.datasource import register_xml_source
 
 
@@ -127,6 +134,9 @@ def xspxml_roundtrip_orders(spark, sf_dir):
             money2(F.col("total")).alias("total"),
             F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
         )
+        # the REAL plan (xspxml scan -> projection) — the returned frame
+        # is a parquet-scratch rescan; see registry.audit_frame
+        audit_frame(res)
         return materialize(res)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -209,6 +219,24 @@ def xspxml_partition_pruned_read(spark, sf_dir):
             )
             .orderBy("order_year")
         )
+        if audit_active():
+            # pin the pruning evidence in the snapshot: part files the
+            # pruned scan opens (the two matching year dirs) vs the
+            # layout total (pushFilters' partitions() list is pinned by
+            # tests/test_xml_spark.py; this records the ratio per SF)
+            import glob
+
+            allf = glob.glob(
+                os.path.join(out_dir, "**", "part-*.xml"), recursive=True
+            )
+            pruned = [
+                p
+                for p in allf
+                if "order_year=1996" in p or "order_year=1997" in p
+            ]
+            audit_frame(
+                res, files_total=len(allf), files_pruned_scan=len(pruned)
+            )
         return spark.createDataFrame(res.collect(), schema=res.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
