@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     "xspxml_partition_pruned_read",
     "dedup_winnowing_bucket_stats",
     "similarity_index_bundle",
+    # round 11: the iterative BPE trainer (driver-side bounded loop,
+    # incremental pair counts), the containment delta path, and the
+    # exact-Jaccard kernel whose cost model this round fixed (12.9x at
+    # sf1 — benched so a routing regression is wall-visible)
+    "tokenizer_bpe_train_k_merges",
+    "dedup_containment_delta",
+    "dedup_ngram_jaccard_pairs",
 ]
 
 

@@ -1003,17 +1003,23 @@ def test_verify_jaccard_postings_route_parity(spark, oracle_sf_dir):
     }
     assert arrays  # non-degenerate corpus
     old = dd._VERIFY_ARRAYS_MAX_CAND
+    old_f = dd._VERIFY_ENUM_FACTOR
     dd._VERIFY_ARRAYS_MAX_CAND = 0
     try:
-        routed = dd._jaccard_pairs_prefix(
-            spark, oracle_sf_dir, 0.5, order="hash"
-        )
-        plan = routed._jdf.queryExecution().executedPlan().toString()
-        assert "array_intersect" not in plan
-        got = {(r.doc_a, r.doc_b, r.jaccard) for r in routed.collect()}
+        # both dense sub-routes (r11): the two narrow equi-joins and the
+        # pruned-corpus self-join ENUMERATE plan, forced via the factor
+        for factor in (float("inf"), 0.0):
+            dd._VERIFY_ENUM_FACTOR = factor
+            routed = dd._jaccard_pairs_prefix(
+                spark, oracle_sf_dir, 0.5, order="hash"
+            )
+            plan = routed._jdf.queryExecution().executedPlan().toString()
+            assert "array_intersect" not in plan
+            got = {(r.doc_a, r.doc_b, r.jaccard) for r in routed.collect()}
+            assert got == arrays, f"factor={factor}"
     finally:
         dd._VERIFY_ARRAYS_MAX_CAND = old
-    assert got == arrays
+        dd._VERIFY_ENUM_FACTOR = old_f
 
 
 def test_winnowing_gate_consulted(spark, oracle_sf_dir):

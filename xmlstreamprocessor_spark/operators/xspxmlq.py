@@ -29,10 +29,9 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
-
-import uuid
 
 from xmlstreamprocessor_spark.operators.registry import (
     audit_active,

@@ -262,7 +262,9 @@ class XmlSourceReader(DataSourceReader):
                 # pool, alternating runs): tuple path [1.53, 2.26, 1.05]s
                 # vs batched [1.31, 1.43, 1.30]s — a slight win with much
                 # flatter variance, value-identical aggregates (sums over
-                # every column type incl. decimal/timestamp).  Kept
+                # every column type incl. decimal/timestamp).  Re-measured
+                # r11 after the from_arrays rewrite below: tuple median
+                # 0.85 s vs batched 0.79 s — still a modest, flat win.  Kept
                 # because the per-record pickle hand-off is the part that
                 # grows with records-per-task, while the batch build is
                 # one columnar conversion per 4096 records.  Only the
