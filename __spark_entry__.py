@@ -25,17 +25,19 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
 # the head of the ordering is a per-round curated window.  ROUND-11 window
-# (r10 verdict task #2 + r10 advice #4): 2 slots are the queries ADDED in
-# round 11 (the iterative BPE trainer and the containment delta path),
-# keeping cumulative driver coverage complete at 240/240; 4 slots re-pin
+# (r10 verdict task #2 + r10 advice #4): 3 slots are the queries ADDED in
+# round 11 (the iterative BPE trainer, its apply/encode counterpart, and
+# the containment delta path), keeping cumulative driver coverage
+# complete at 241/241; 4 slots re-pin
 # the XML round-trips (xml_roundtrip_orders_struct[,_jvm],
 # xml_roundtrip_wildcard_tag_events[,_jvm]) after their promised
-# one-round rotation out; the other 44 are the r6-stale cohort (newest
+# one-round rotation out; the other 43 are the r6-stale cohort (newest
 # driver verdict r6, computed by joining CORRECTNESS_r01..r10).  The r6
-# cohort has 46 members — two short of fitting beside the new queries —
-# so the two members that were independently strict-oracle-verified by
+# cohort has 46 members — three short of fitting beside the new queries —
+# so the three members that were independently strict-oracle-verified by
 # the r10 judge AND are untouched by this round's code changes
-# (agg_approx_percentile_accuracy, tokenizer_vocab_coverage) carry to
+# (agg_approx_percentile_accuracy, tokenizer_vocab_coverage,
+# analytic_cohort_ltv_triangle) carry to
 # the r12 window; every other r6 query rotates in now, including every
 # consumer of the exact-Jaccard kernel this round modifies
 # (dedup_ngram_jaccard_pairs, dedup_winnowing_pairs,
@@ -47,6 +49,7 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 _PRIORITY = [
     # new queries this round (never driver-checked)
     "tokenizer_bpe_train_k_merges",
+    "tokenizer_bpe_encode_corpus",
     "dedup_containment_delta",
     # the 4 XML round-trips, re-pinned after their one-round rotation
     "xml_roundtrip_orders_struct",
@@ -57,7 +60,6 @@ _PRIORITY = [
     "agg_mode_status_by_priority",
     "analytic_basket_lift",
     "analytic_burst_rate_outliers",
-    "analytic_cohort_ltv_triangle",
     "analytic_event_path_top3",
     "analytic_interpurchase_gaps",
     "analytic_order_backlog_sweep",

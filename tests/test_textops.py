@@ -321,3 +321,64 @@ def test_bpe_incremental_counts_match_full_recount(spark):
     assert seq5[4][4] == best_full[1]
     wf.unpersist()
     wf5.unpersist()
+
+
+def test_bpe_apply_reproduces_training_segmentation(spark):
+    """The invariant the encode query's oracle compare rests on, pinned
+    directly: replaying the collected merge table with bpe_apply_expr
+    over fresh character segmentations reproduces the trainer's final
+    vocabulary segmentation exactly — and extends greedily (rank order)
+    to words the trainer never saw."""
+    from pyspark.sql import functions as FF
+
+    from xmlstreamprocessor_spark.operators.textops import (
+        bpe_apply_expr,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana banana cabana"),
+            (2, "an and hand andante banana band"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = (
+        docs.select(
+            FF.explode(
+                FF.split(FF.trim(FF.lower(FF.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter((FF.length("w") >= 2) & FF.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "w", "freq", FF.regexp_replace("w", "(.)", "$1|").alias("seg")
+        )
+    )
+    merges, trained = bpe_train(spark, None, k=4, docs=vocab)
+    rows = merges.orderBy("merge_rank").collect()
+    # apply path: raw chars -> replay the merge table
+    applied = vocab.select(
+        "w", bpe_apply_expr(rows, FF.col("seg")).alias("seg")
+    )
+    got = {r["w"]: r["seg"] for r in applied.collect()}
+    # trained wf kept only (freq, seg); recover the word by stripping '|'
+    want = {
+        r["seg"].replace("|", ""): r["seg"] for r in trained.collect()
+    }
+    trained.unpersist()
+    assert got == {w: want[w] for w in got}
+    # unseen word: replay the same fold in plain Python and pin equality
+    seq = [(r["left_sym"], r["right_sym"], r["merged"]) for r in rows]
+    word = "bandanas"
+    py = "".join(c + "|" for c in word)
+    for lft, rgt, merged in seq:
+        py = py.replace(f"{lft}|{rgt}|", f"{merged}|")
+    unseen = spark.createDataFrame([(word,)], "w string")
+    one = unseen.select(
+        bpe_apply_expr(
+            rows, FF.regexp_replace("w", "(.)", "$1|")
+        ).alias("seg")
+    ).first()["seg"]
+    assert one == py  # Spark replace fold == Python replace fold

@@ -1139,13 +1139,14 @@ def tokenizer_bpe_first_merges(spark, sf_dir):
 _BPE_K = 10
 
 
-def _bpe_oracle(k: int) -> str:
-    """Unrolled k-stage DuckDB twin of the trainer.  Segmentations are
-    '|'-terminated symbol strings ("w|o|r|d|"), so one greedy BPE merge is
-    a plain string replace — both engines scan left-to-right over
-    non-overlapping occurrences, giving identical re-segmentation (the
-    classic Sennrich et al. merge); vocabulary restricted to ^[a-z]+$
-    keeps '|' out of symbols."""
+def _bpe_stages(k: int) -> str:
+    """Shared WITH-clause body for the BPE oracles: vocab -> seg0 ->
+    (cnt{i}, best{i}, seg{i+1}) x k.  Segmentations are '|'-terminated
+    symbol strings ("w|o|r|d|"), so one greedy BPE merge is a plain string
+    replace — both engines scan left-to-right over non-overlapping
+    occurrences, giving identical re-segmentation (the classic Sennrich
+    et al. merge); vocabulary restricted to ^[a-z]+$ keeps '|' out of
+    symbols."""
     stages = ["""
     vocab AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -1157,7 +1158,6 @@ def _bpe_oracle(k: int) -> str:
     seg0 AS (
       SELECT freq, regexp_replace(w, '(.)', '\\1|', 'g') AS seg FROM vocab
     )"""]
-    sel = []
     for i in range(k):
         stages.append(f"""
     cnt{i} AS (
@@ -1177,14 +1177,46 @@ def _bpe_oracle(k: int) -> str:
                      b.lft || b.rgt || '|') AS seg
       FROM seg{i}, best{i} b
     )""")
-        sel.append(
-            f"SELECT {i + 1} AS merge_rank, lft AS left_sym,"
-            f" rgt AS right_sym, lft || rgt AS merged,"
-            f" wc AS weighted_count FROM best{i}"
-        )
+    return "WITH" + ",".join(stages)
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-stage DuckDB twin of the trainer: the merge table
+    (rank, pair, weighted count at merge time).  See _bpe_stages."""
+    sel = [
+        f"SELECT {i + 1} AS merge_rank, lft AS left_sym,"
+        f" rgt AS right_sym, lft || rgt AS merged,"
+        f" wc AS weighted_count FROM best{i}"
+        for i in range(k)
+    ]
     return (
-        "WITH" + ",".join(stages) + "\n"
+        _bpe_stages(k) + "\n"
         + "\nUNION ALL ".join(sel) + "\nORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """DuckDB twin of the encode query: token frequencies of the corpus
+    encoded with the k trained merges.  The oracle reads the TRAINING
+    segmentation (seg{k}) directly, while the Spark query re-encodes from
+    scratch by replaying the collected merge table as chained replaces —
+    so the compare pins the textbook invariant that rank-ordered apply
+    reproduces the training segmentation."""
+    return (
+        _bpe_stages(k)
+        + f""",
+    tok AS (
+      SELECT freq, unnest(string_split(seg, '|')) AS token FROM seg{k}
+    )
+    SELECT token,
+           CAST(sum(freq) AS BIGINT) AS token_count,
+           CAST(count(*) AS BIGINT) AS distinct_words
+    FROM tok
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY token_count DESC, token
+    LIMIT 100
+    """
     )
 
 
@@ -1332,6 +1364,67 @@ def tokenizer_bpe_train_k_merges(spark, sf_dir):
     out, wf = bpe_train(spark, sf_dir, _BPE_K)
     wf.unpersist()  # the merge table is driver-built; the vocab can go
     return out
+
+
+def bpe_apply_expr(merge_rows, seg_col):
+    """Column expression encoding a '|'-terminated character segmentation
+    with an ordered merge table: the k merges replay as k chained literal
+    `replace` calls (rank order), which is EXACTLY the fold the trainer
+    performed — so apply reproduces the training segmentation on corpus
+    words and extends it greedily to unseen words.  One whole-stage-
+    codegen expression chain, zero Python, zero shuffle: at 100 TB the
+    encode is a map-only pass whose cost is k string scans per word.
+
+    merge_rows: iterable of Rows/dicts with left_sym/right_sym/merged in
+    merge_rank order (bounded: k rows, driver-side by design — the merge
+    table IS the trained artifact)."""
+    col = seg_col
+    for r in merge_rows:
+        col = F.replace(
+            col,
+            F.lit(f"{r['left_sym']}|{r['right_sym']}|"),
+            F.lit(f"{r['merged']}|"),
+        )
+    return col
+
+
+@query("tokenizer_bpe_encode_corpus", oracle=_bpe_encode_oracle(_BPE_K))
+def tokenizer_bpe_encode_corpus(spark, sf_dir):
+    """BPE tokenizer APPLICATION — the production counterpart of the
+    trainer: train k=10 merges, then encode the corpus with the trained
+    merge table and report the resulting subword token distribution
+    (top-100 by weighted frequency, with how many distinct words emit
+    each token).  The encode path is deliberately NOT the trainer's final
+    vocabulary: it re-segments from raw characters and replays the
+    COLLECTED merge table as chained `replace` expressions
+    (bpe_apply_expr), the same single-pass map-only shape a real pipeline
+    uses to tokenize held-out text at 100 TB.  The DuckDB oracle reads
+    the training-time segmentation instead, so the hash compare pins
+    apply == training segmentation — the invariant BPE correctness rests
+    on (Sennrich et al., ACL'16).
+
+    Scale: train cost is the trainer's (vocab-sized, incremental counts);
+    encode cost is vocab-sized here (corpus collapses to the distinct-
+    word table first) and corpus-sized-but-map-only when applied to new
+    text; the merge-table collect is k=10 rows."""
+    merges, trained = bpe_train(spark, sf_dir, _BPE_K)
+    trained.unpersist()  # re-encode from scratch via the apply path
+    rows = merges.orderBy("merge_rank").collect()  # bounded: k rows
+    enc = _bpe_vocab(spark, sf_dir).select(
+        "freq", bpe_apply_expr(rows, F.col("seg")).alias("seg")
+    )
+    tok = enc.select(
+        "freq", F.explode(F.split("seg", "[|]")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.sum("freq").cast("bigint").alias("token_count"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_words"),
+        )
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(100)
+    )
 
 
 @query(
