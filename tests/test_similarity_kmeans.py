@@ -294,3 +294,36 @@ def test_similarity_index_bundle_matches_standalones(spark):
         assert all(0.0 <= r["v2"] <= 1.0 for r in rr)
     finally:
         bundle.unpersist()
+
+
+def test_mrl_prefix_topk_at_full_width_equals_bruteforce(spark, oracle_sf_dir):
+    """Structural pin for the MRL recall report: the prefix top-k kernel
+    at d=64 (the full width) must produce EXACTLY the bruteforce top-10
+    sets — the prefix path differs only by the slice, so recall at full
+    width is 1.0 by construction, and the report's numbers at 8/16/32
+    measure the slice, not a kernel divergence."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import _topk_prefix
+    from xmlstreamprocessor_spark.operators.registry import t as _t
+
+    e = _t(spark, oracle_sf_dir, "embeddings")
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["similarity_topk_bruteforce"][0](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    pfx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _topk_prefix(e, 64).collect()
+    }
+    assert pfx == full
+    # and the registered report is complete: 10 queries x 3 dims, recall
+    # in [0, 1], hits == recall * 10
+    rows = REGISTRY["similarity_mrl_prefix_recall"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert r["hits"] == round(r["recall_at_10"] * 10)

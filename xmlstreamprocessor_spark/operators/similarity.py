@@ -623,6 +623,146 @@ def _recall_from(exact, ivf, mp, pq):
     )
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) prefix-dimension recall: how much of the exact full-dim
+# top-k survives when ranking uses only the first d dims of the embedding.
+# Matryoshka-trained embeddings (Kusupati et al., NeurIPS'22) front-load
+# information so a d/8 or d/4 prefix is a usable cheap index; this report
+# measures that tradeoff on the actual corpus — the evidence a deployment
+# needs before swapping the 64-dim scan for a 8/16/32-dim prefilter.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _topk_prefix(e, d: int):
+    """Exact cosine top-k over the FIRST d dims only — same broadcast-
+    query linear-scan shape as similarity_topk_bruteforce (the corpus
+    never shuffles; only per-query top-k rows do), but each distance is
+    d/64ths of the arithmetic and, in a column store, d/64ths of the
+    bytes read."""
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(as_double_array("embedding"), 1, d).alias("qe"),
+        )
+        .withColumn("nq", norm(F.col("qe")))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice(as_double_array("embedding"), 1, d).alias("ce"),
+    ).withColumn("nc", norm(F.col("ce")))
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(
+                F.col("nq") * F.col("nc") != 0,
+                dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _mrl_oracle() -> str:
+    def sliced(side: str, d: int) -> str:
+        return f"list_slice({side}.embedding, 1, {d})"
+
+    ctes = []
+    for d in _MRL_DIMS:
+        ctes.append(f"""
+    pfx{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {duck_cosine6(sliced('q', d), sliced('c', d))} DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rnk <= {_TOP_K}
+    )""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT query_id, neighbor_id, {d} AS prefix_dims FROM pfx{d}"
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH full_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {duck_cosine6('q.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rnk <= {_TOP_K}
+    ),{",".join(ctes)},
+    pfx AS ({unions})
+    SELECT f.query_id, dims.prefix_dims,
+           CAST(count(p.neighbor_id) AS BIGINT) AS hits,
+           round(count(p.neighbor_id) * 1.0 / {_TOP_K}, 6) AS recall_at_10
+    FROM full_topk f
+    CROSS JOIN (SELECT unnest(ARRAY{list(_MRL_DIMS)}) AS prefix_dims) dims
+    LEFT JOIN pfx p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+     AND p.prefix_dims = dims.prefix_dims
+    GROUP BY f.query_id, dims.prefix_dims
+    ORDER BY f.query_id, dims.prefix_dims
+    """
+
+
+@query("similarity_mrl_prefix_recall", oracle=_mrl_oracle())
+def similarity_mrl_prefix_recall(spark, sf_dir):
+    """Matryoshka prefix-dimension recall report: for each query vector,
+    recall@10 of the exact top-10 computed with only the first 8/16/32
+    dims against the full-64-dim exact top-10.  This is the measurement
+    that justifies (or rejects) an MRL-style cheap prefilter: rank with
+    a prefix, rerank survivors with full dims.
+
+    Scale: each prefix top-k is the audited bruteforce shape (broadcast
+    queries, linear corpus scan, per-query heap) at d/64ths of the
+    arithmetic; the recall join is Q*k rows per side, broadcast."""
+    e = t(spark, sf_dir, "embeddings")
+    full = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    pfx = None
+    for d in _MRL_DIMS:
+        part = _topk_prefix(e, d).withColumn(
+            "prefix_dims", F.lit(d).cast("int")
+        ).withColumn("hit", F.lit(1))
+        pfx = part if pfx is None else pfx.unionAll(part)
+    fanned = full.withColumn(
+        "prefix_dims",
+        F.explode(F.array(*[F.lit(d).cast("int") for d in _MRL_DIMS])),
+    )
+    return (
+        fanned
+        .join(
+            F.broadcast(pfx),
+            ["query_id", "neighbor_id", "prefix_dims"],
+            "left",
+        )
+        .groupBy("query_id", "prefix_dims")
+        .agg(
+            F.count("hit").cast("bigint").alias("hits"),
+            F.round(F.count("hit") / F.lit(_TOP_K), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id", "prefix_dims")
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) encode: compress each 64-dim embedding to 4
