@@ -1280,68 +1280,71 @@ def bpe_train(spark, sf_dir, k: int = _BPE_K, docs=None):
     vocabulary is millions of rows but each merge touches a shrinking
     slice of it, so the per-iteration cost after the first count is
     proportional to the affected words — the same argument as the
-    delta-ingest dedup paths.  Per-iteration frames are persisted and the
-    predecessor released once the successor is materialized, so lineage
-    and executor state stay O(1) across iterations; determinism: counts
-    are exact integer sums and ties break on (lft, rgt) ascending."""
-    wf = (docs if docs is not None else _bpe_vocab(spark, sf_dir)).persist()
-    counts = _bpe_pair_counts(wf).persist()
+    delta-ingest dedup paths.
+
+    Iteration state is cut to a parquet scan every iteration
+    (``materialize`` — the warehouse-scratch lineage cut the dedup
+    substrate uses): the first version of this loop carried
+    persist+count chains instead, and although the DATA was cached, the
+    ANALYZED PLAN grew by a constant factor per iteration, so
+    driver-side planning went geometric — measured 0.42 s -> 8.1 s per
+    iteration by merge 10 on a 30-word vocabulary, which at a real
+    tokenizer's k=500 merges would dominate everything.  With the
+    parquet cut every iteration plans against a flat two-scan tree, so
+    per-iteration cost is constant in k and proportional to the affected
+    slice in data.  Determinism: counts are exact integer sums and ties
+    break on (lft, rgt) ascending."""
+    from xmlstreamprocessor_spark.operators.dedup import materialize
+
+    wf = materialize(docs if docs is not None else _bpe_vocab(spark, sf_dir))
+    counts = materialize(_bpe_pair_counts(wf))
     merges = []
-    try:
-        for rank in range(1, k + 1):
-            best = (
-                counts.filter(F.col("wc") > 0)
-                .orderBy(F.desc("wc"), F.asc("lft"), F.asc("rgt"))
-                .first()
-            )
-            if best is None:
-                break
-            lft, rgt, wc = best["lft"], best["rgt"], best["wc"]
-            merges.append((rank, lft, rgt, lft + rgt, wc))
-            pat, rep = f"{lft}|{rgt}|", f"{lft}{rgt}|"
-            hit = F.col("seg").contains(pat)
-            affected = wf.filter(hit)
-            delta = _bpe_pair_counts(affected).select(
-                "lft", "rgt", (-F.col("wc")).alias("wc")
-            ).unionAll(
-                _bpe_pair_counts(
-                    affected.select(
-                        "freq",
-                        F.expr(
-                            f"replace(seg, {_sql_str(pat)}, {_sql_str(rep)})"
-                        ).alias("seg"),
-                    )
+    for rank in range(1, k + 1):
+        best = (
+            counts.filter(F.col("wc") > 0)
+            .orderBy(F.desc("wc"), F.asc("lft"), F.asc("rgt"))
+            .first()
+        )
+        if best is None:
+            break
+        lft, rgt, wc = best["lft"], best["rgt"], best["wc"]
+        merges.append((rank, lft, rgt, lft + rgt, wc))
+        pat, rep = f"{lft}|{rgt}|", f"{lft}{rgt}|"
+        hit = F.col("seg").contains(pat)
+        affected = wf.filter(hit)
+        delta = _bpe_pair_counts(affected).select(
+            "lft", "rgt", (-F.col("wc")).alias("wc")
+        ).unionAll(
+            _bpe_pair_counts(
+                affected.select(
+                    "freq",
+                    F.expr(
+                        f"replace(seg, {_sql_str(pat)}, {_sql_str(rep)})"
+                    ).alias("seg"),
                 )
             )
-            new_counts = (
-                counts.unionAll(delta)
-                .groupBy("lft", "rgt")
-                .agg(F.sum("wc").cast("bigint").alias("wc"))
-                .filter(F.col("wc") != 0)
-                .persist()
-            )
-            new_wf = wf.withColumn(
+        )
+        counts = materialize(
+            counts.unionAll(delta)
+            .groupBy("lft", "rgt")
+            .agg(F.sum("wc").cast("bigint").alias("wc"))
+            .filter(F.col("wc") != 0)
+        )
+        wf = materialize(
+            wf.withColumn(
                 "seg",
                 F.when(
                     hit,
                     F.expr(f"replace(seg, {_sql_str(pat)}, {_sql_str(rep)})"),
                 ).otherwise(F.col("seg")),
-            ).persist()
-            # materialize successors, then release predecessors — O(1)
-            # executor state and a lineage cut per iteration
-            new_counts.count()
-            new_wf.count()
-            counts.unpersist()
-            wf.unpersist()
-            counts, wf = new_counts, new_wf
-        out = spark.createDataFrame(
-            merges,
-            "merge_rank int, left_sym string, right_sym string,"
-            " merged string, weighted_count bigint",
-        ).orderBy("merge_rank")
-        return out, wf
-    finally:
-        counts.unpersist()
+            )
+        )
+    out = spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, weighted_count bigint",
+    ).orderBy("merge_rank")
+    return out, wf
 
 
 def _sql_str(s: str) -> str:
