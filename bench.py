@@ -93,6 +93,14 @@ BENCH_QUERIES = [
     "tokenizer_bpe_train_k_merges",
     "dedup_containment_delta",
     "dedup_ngram_jaccard_pairs",
+    # round 11 (second batch): tokenizer APPLICATION (train + replay the
+    # merge table as chained codegen replaces), the MRL prefix-recall
+    # report (4 bruteforce-shaped scans) + its rerank serving twin, and
+    # the snapshot diff (digest-only full-outer shuffle)
+    "tokenizer_bpe_encode_corpus",
+    "similarity_mrl_prefix_recall",
+    "similarity_topk_mrl_rerank",
+    "dq_snapshot_diff",
 ]
 
 

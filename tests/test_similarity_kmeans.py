@@ -327,3 +327,36 @@ def test_mrl_prefix_topk_at_full_width_equals_bruteforce(spark, oracle_sf_dir):
     for r in rows:
         assert 0.0 <= r["recall_at_10"] <= 1.0
         assert r["hits"] == round(r["recall_at_10"] * 10)
+
+
+def test_mrl_rerank_recall_dominates_prefix_only(spark, oracle_sf_dir):
+    """Provable dominance: prefix-top10 is a subset of the 30-candidate
+    shortlist, and the exact rerank keeps every exact-top10 member the
+    shortlist contains, so rerank recall@10 >= prefix-only recall@10 per
+    query (the same invariant pinned for ADC -> rerank)."""
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import _topk_prefix
+    from xmlstreamprocessor_spark.operators.registry import t as _t
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["similarity_topk_bruteforce"][0](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    e = _t(spark, oracle_sf_dir, "embeddings")
+    prefix10 = [
+        (r["query_id"], r["neighbor_id"])
+        for r in _topk_prefix(e, 16).collect()
+    ]
+    rerank = [
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["similarity_topk_mrl_rerank"][0](
+            spark, oracle_sf_dir
+        ).collect()
+    ]
+    qids = {q for q, _ in exact}
+    for q in qids:
+        pre_hits = sum(1 for p in prefix10 if p[0] == q and p in exact)
+        rr_hits = sum(1 for p in rerank if p[0] == q and p in exact)
+        assert rr_hits >= pre_hits, (q, rr_hits, pre_hits)

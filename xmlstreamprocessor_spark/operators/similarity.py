@@ -635,7 +635,7 @@ def _recall_from(exact, ivf, mp, pq):
 _MRL_DIMS = (8, 16, 32)
 
 
-def _topk_prefix(e, d: int):
+def _topk_prefix(e, d: int, k: int = _TOP_K):
     """Exact cosine top-k over the FIRST d dims only — same broadcast-
     query linear-scan shape as similarity_topk_bruteforce (the corpus
     never shuffles; only per-query top-k rows do), but each distance is
@@ -669,7 +669,7 @@ def _topk_prefix(e, d: int):
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id")
     )
 
@@ -760,6 +760,99 @@ def similarity_mrl_prefix_recall(spark, sf_dir):
             F.round(F.count("hit") / F.lit(_TOP_K), 6).alias("recall_at_10"),
         )
         .orderBy("query_id", "prefix_dims")
+    )
+
+
+_MRL_RERANK_D = 16  # shortlist ranks on the first 16 of 64 dims
+_MRL_SHORTLIST = 30
+
+
+def _mrl_rerank_oracle() -> str:
+    d = _MRL_RERANK_D
+
+    def sliced(side: str) -> str:
+        return f"list_slice({side}.embedding, 1, {d})"
+
+    return f"""
+    WITH shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {duck_cosine6(sliced('q'), sliced('c'))} DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rnk <= {_MRL_SHORTLIST}
+    ), exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             {duck_cosine6('q.embedding', 'c.embedding')} AS cos_sim
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+    ), reranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM reranked WHERE rnk <= {_TOP_K}
+    """
+
+
+@query("similarity_topk_mrl_rerank", oracle=_mrl_rerank_oracle())
+def similarity_topk_mrl_rerank(spark, sf_dir):
+    """Two-stage MRL retrieval — the serving operator the prefix-recall
+    report justifies: rank the corpus with only the FIRST
+    {_MRL_RERANK_D} of 64 dims (quarter the arithmetic and, in a column
+    store, quarter the bytes) to a shortlist of {_MRL_SHORTLIST}, then
+    rerank just that shortlist with the exact full-precision cosine to
+    the final top-{_TOP_K}.  Same shape as similarity_topk_ivfpq_rerank
+    with the compressed index swapped for the Matryoshka prefix — the
+    prefix's job shrinks to recall@shortlist, a far easier bar than
+    ranking (similarity_mrl_prefix_recall measures exactly that bar).
+
+    Scale: stage 1 is the audited prefix scan (broadcast queries, corpus
+    never shuffles); stage 2 touches queries x {_MRL_SHORTLIST}
+    full-precision vectors via a broadcast point-lookup join, never a
+    second corpus scan."""
+    e = t(spark, sf_dir, "embeddings")
+    shortlist = _topk_prefix(e, _MRL_RERANK_D, _MRL_SHORTLIST)
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("qe"),
+        )
+        .withColumn("nq", norm(F.col("qe")))
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("ce"),
+    ).withColumn("nc", norm(F.col("ce")))
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(
+                    F.col("nq") * F.col("nc") != 0,
+                    dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
 
 
