@@ -239,9 +239,7 @@ def test_bpe_train_k_merges_determinism_and_loop(spark):
 
     def run():
         out, wf = bpe_train(spark, None, k=3, docs=_vocab())
-        rows = [tuple(r) for r in out.collect()]
-        wf.unpersist()
-        return rows
+        return [tuple(r) for r in out.collect()]
 
     def _vocab():
         from pyspark.sql import functions as FF
@@ -255,7 +253,12 @@ def test_bpe_train_k_merges_determinism_and_loop(spark):
             .filter((FF.length("w") >= 2) & FF.col("w").rlike("^[a-z]+$"))
             .groupBy("w")
             .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
-            .select("freq", FF.regexp_replace("w", "(.)", "$1|").alias("seg"))
+            .select(
+                "freq",
+                FF.concat(
+                    FF.lit("|"), FF.regexp_replace("w", "(.)", "$1|")
+                ).alias("seg"),
+            )
         )
 
     r1, r2 = run(), run()
@@ -295,7 +298,12 @@ def test_bpe_incremental_counts_match_full_recount(spark):
         .filter((FF.length("w") >= 2) & FF.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
-        .select("freq", FF.regexp_replace("w", "(.)", "$1|").alias("seg"))
+        .select(
+                "freq",
+                FF.concat(
+                    FF.lit("|"), FF.regexp_replace("w", "(.)", "$1|")
+                ).alias("seg"),
+            )
     )
     out, wf = bpe_train(spark, None, k=4, docs=vocab)
     assert out.count() == 4
@@ -319,8 +327,6 @@ def test_bpe_incremental_counts_match_full_recount(spark):
     )
     assert (seq5[4][1], seq5[4][2]) == best_full[0]
     assert seq5[4][4] == best_full[1]
-    wf.unpersist()
-    wf5.unpersist()
 
 
 def test_bpe_apply_reproduces_training_segmentation(spark):
@@ -353,7 +359,11 @@ def test_bpe_apply_reproduces_training_segmentation(spark):
         .groupBy("w")
         .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
         .select(
-            "w", "freq", FF.regexp_replace("w", "(.)", "$1|").alias("seg")
+            "w",
+            "freq",
+            FF.concat(
+                FF.lit("|"), FF.regexp_replace("w", "(.)", "$1|")
+            ).alias("seg"),
         )
     )
     merges, trained = bpe_train(spark, None, k=4, docs=vocab)
@@ -367,18 +377,74 @@ def test_bpe_apply_reproduces_training_segmentation(spark):
     want = {
         r["seg"].replace("|", ""): r["seg"] for r in trained.collect()
     }
-    trained.unpersist()
     assert got == {w: want[w] for w in got}
-    # unseen word: replay the same fold in plain Python and pin equality
+    # unseen word: replay textbook Sennrich merges on the SYMBOL LIST in
+    # plain Python (independent of the string-fold encoding) and pin the
+    # Spark expression equal — this is the semantic ground truth the
+    # string fold must match, including the symbol-boundary rules
     seq = [(r["left_sym"], r["right_sym"], r["merged"]) for r in rows]
     word = "bandanas"
-    py = "".join(c + "|" for c in word)
+    syms = list(word)
     for lft, rgt, merged in seq:
-        py = py.replace(f"{lft}|{rgt}|", f"{merged}|")
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    py = "|" + "".join(s + "|" for s in syms)
     unseen = spark.createDataFrame([(word,)], "w string")
     one = unseen.select(
         bpe_apply_expr(
-            rows, FF.regexp_replace("w", "(.)", "$1|")
+            rows,
+            FF.concat(FF.lit("|"), FF.regexp_replace("w", "(.)", "$1|")),
         ).alias("seg")
     ).first()["seg"]
-    assert one == py  # Spark replace fold == Python replace fold
+    assert one == py  # Spark string fold == symbol-list Sennrich merge
+
+
+def test_bpe_merge_never_crosses_symbol_boundaries(spark):
+    """Regression pin for the code-review finding: merge (h,e) must NOT
+    apply inside a word whose segmentation is [th, e] — the pair there
+    is (th, e), not (h, e); the old string-replace re-segmentation
+    matched the TAIL of the 'th' symbol and produced the token 'the'
+    that no merge ever created.  Corpus built so merge 1 = (t,h) and
+    merge 2 = (h,e): 'th' x10 -> (t,h)=15 with 'the' x5; 'he' x6 ->
+    (h,e)=11 before merge 1, 6 after ('the' re-segments to [th, e])."""
+    from pyspark.sql import functions as FF
+
+    from xmlstreamprocessor_spark.operators.textops import bpe_train
+
+    words = ["th"] * 10 + ["he"] * 6 + ["the"] * 5
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    vocab = (
+        docs.select(
+            FF.explode(
+                FF.split(FF.trim(FF.lower(FF.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter((FF.length("w") >= 2) & FF.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "w",
+            "freq",
+            FF.concat(
+                FF.lit("|"), FF.regexp_replace("w", "(.)", "$1|")
+            ).alias("seg"),
+        )
+    )
+    merges, trained = bpe_train(spark, None, k=2, docs=vocab)
+    seq = [tuple(r) for r in merges.collect()]
+    assert seq[0][1:] == ("t", "h", "th", 15)
+    # after merge 1 'the' is [th, e] and contributes to (th,e), NOT (h,e)
+    assert seq[1][1:] == ("h", "e", "he", 6)
+    segs = {r["seg"].replace("|", ""): r["seg"] for r in trained.collect()}
+    assert segs["the"] == "|th|e|"  # NOT '|the|' — boundary respected
+    assert segs["he"] == "|he|"
+    assert segs["th"] == "|th|"

@@ -254,66 +254,6 @@ def run_v3(spark, sf_dir):
         e.unpersist()
 
 
-def run_v1(spark, sf_dir):
-    e = _postings(spark, sf_dir).persist()
-    try:
-        stats = (
-            e.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(
-                F.sum(F.col("df") * F.col("df")).alias("join_rows"),
-                F.sum("df").alias("postings"),
-            )
-            .first()
-        )
-        assert stats["join_rows"] > 64 * stats["postings"]
-        pref = _prefix(e).persist(StorageLevel.DISK_ONLY)
-        try:
-            bound = pref.groupBy("shingle").agg(
-                F.count(F.lit(1)).alias("c")
-            ).agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("bound")).first()[
-                "bound"
-            ]
-            cand = _candidates(pref).persist(StorageLevel.DISK_ONLY)
-            try:
-                arrays = bound <= _VERIFY_ARRAYS_MAX_CAND
-                head = _materialize_pairs(
-                    _verify(spark, sf_dir, cand, arrays)
-                )
-                return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in head}
-            finally:
-                cand.unpersist()
-        finally:
-            pref.unpersist()
-    finally:
-        e.unpersist()
-
-
-def run_v2(spark, sf_dir):
-    e = _postings(spark, sf_dir).persist()
-    try:
-        stats = (
-            e.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(
-                F.sum(F.col("df") * F.col("df")).alias("join_rows"),
-                F.sum("df").alias("postings"),
-            )
-            .first()
-        )
-        assert stats["join_rows"] > 64 * stats["postings"]
-        cand = _candidates(_prefix(e)).persist(StorageLevel.DISK_ONLY)
-        try:
-            head = _materialize_pairs(
-                _verify(spark, sf_dir, cand, arrays=False)
-            )
-            return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in head}
-        finally:
-            cand.unpersist()
-    finally:
-        e.unpersist()
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1"
     spark = get_session("xsp-jac-attrib")

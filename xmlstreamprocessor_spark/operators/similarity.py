@@ -675,6 +675,12 @@ def _topk_prefix(e, d: int, k: int = _TOP_K):
 
 
 def _mrl_oracle() -> str:
+    # zero-norm PREFIXES are newly reachable here (a valid nonzero
+    # vector can have an all-zero first-8 slice), so the engines'
+    # degenerate-cosine semantics must agree: Spark's when-guard yields
+    # NULL, and DuckDB float division by zero ALSO yields NULL (verified:
+    # SELECT 1.0/0.0 -> NULL, not NaN), with NULLS LAST under DESC in
+    # both — so a zero-prefix row ranks last identically on both sides.
     def sliced(side: str, d: int) -> str:
         return f"list_slice({side}.embedding, 1, {d})"
 

@@ -1141,12 +1141,27 @@ _BPE_K = 10
 
 def _bpe_stages(k: int) -> str:
     """Shared WITH-clause body for the BPE oracles: vocab -> seg0 ->
-    (cnt{i}, best{i}, seg{i+1}) x k.  Segmentations are '|'-terminated
-    symbol strings ("w|o|r|d|"), so one greedy BPE merge is a plain string
-    replace — both engines scan left-to-right over non-overlapping
-    occurrences, giving identical re-segmentation (the classic Sennrich
-    et al. merge); vocabulary restricted to ^[a-z]+$ keeps '|' out of
-    symbols."""
+    (cnt{i}, best{i}, seg{i+1}) x k.  Segmentations are '|'-WRAPPED
+    symbol strings ("|w|o|r|d|": every symbol both preceded and followed
+    by '|'), and one greedy BPE merge re-segments via a left-to-right
+    STRING FOLD over the symbol list (DuckDB ``list_reduce``, Spark
+    ``aggregate`` — the same fold), appending each symbol unless the
+    accumulator ends with the complete symbol "|lft|" and the incoming
+    symbol IS rgt, in which case the pair collapses to "lftrgt".  A
+    plain string ``replace`` CANNOT express this (code-review finding):
+    the '|'-terminated pattern "h|e|" also matches the TAIL of a longer
+    symbol ("th|e|" -> "the|" — true BPE never crosses a symbol
+    boundary), and anchoring a leading '|' instead breaks consecutive
+    repeated pairs because adjacent matches share one separator
+    ("|a|a|a|a|" must give [aa,aa], but the anchored replace consumes
+    the shared '|' and yields [aa,a,a]).  The fold checks both
+    boundaries exactly and reproduces Sennrich et al.'s non-overlapping
+    left-to-right pass: after a collapse the accumulator ends with the
+    MERGED symbol (never lft, since rgt is non-empty), so an immediate
+    re-merge of the just-merged token is impossible — [a,a,a] gives
+    [aa,a].  Vocabulary restricted to ^[a-z]+$ keeps '|' out of
+    symbols; both engines' folds are sequential left-to-right, so
+    re-segmentations agree exactly."""
     stages = ["""
     vocab AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -1156,14 +1171,15 @@ def _bpe_stages(k: int) -> str:
       GROUP BY w
     ),
     seg0 AS (
-      SELECT freq, regexp_replace(w, '(.)', '\\1|', 'g') AS seg FROM vocab
+      SELECT freq, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS seg
+      FROM vocab
     )"""]
     for i in range(k):
         stages.append(f"""
     cnt{i} AS (
       SELECT l[i] AS lft, l[i + 1] AS rgt, CAST(sum(freq) AS BIGINT) AS wc
       FROM (
-        SELECT freq, l, unnest(generate_series(1, len(l) - 2)) AS i
+        SELECT freq, l, unnest(generate_series(2, len(l) - 2)) AS i
         FROM (SELECT freq, string_split(seg, '|') AS l FROM seg{i}) s
       ) p
       GROUP BY 1, 2
@@ -1173,8 +1189,14 @@ def _bpe_stages(k: int) -> str:
     ),
     seg{i + 1} AS (
       SELECT freq,
-             replace(seg, b.lft || '|' || b.rgt || '|',
-                     b.lft || b.rgt || '|') AS seg
+             list_reduce(
+               list_prepend('|', list_filter(string_split(seg, '|'),
+                                             x -> x <> '')),
+               (acc, x) -> CASE
+                 WHEN ends_with(acc, '|' || b.lft || '|') AND x = b.rgt
+                 THEN substr(acc, 1, length(acc) - length(b.lft) - 1)
+                      || b.lft || b.rgt || '|'
+                 ELSE acc || x || '|' END) AS seg
       FROM seg{i}, best{i} b
     )""")
     return "WITH" + ",".join(stages)
@@ -1222,7 +1244,8 @@ def _bpe_encode_oracle(k: int) -> str:
 
 def _bpe_vocab(spark, sf_dir):
     """(freq, seg) vocabulary table: distinct lowercase alphabetic words
-    with their corpus frequency, segmented as '|'-terminated characters."""
+    with their corpus frequency, segmented as '|'-wrapped characters
+    ("|w|o|r|d|" — see _bpe_stages for why both sentinels matter)."""
     d = t(spark, sf_dir, "documents")
     return (
         d.select(
@@ -1235,7 +1258,9 @@ def _bpe_vocab(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
             "freq",
-            F.regexp_replace("w", "(.)", "$1|").alias("seg"),
+            F.concat(
+                F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
+            ).alias("seg"),
         )
     )
 
@@ -1243,13 +1268,12 @@ def _bpe_vocab(spark, sf_dir):
 def _bpe_pair_counts(wf):
     """(lft, rgt, wc) adjacent-symbol pair counts of a (freq, seg) frame —
     map-side-combinable aggregate over the VOCABULARY (never the corpus)."""
-    # split keeps the trailing empty element ("w|o|r|d|" -> [w,o,r,d,'']),
-    # so pair i = (l[i], l[i+1]) for i in 1..size-1 and the LAST pair's
-    # rgt is always the '' sentinel — filtered below.  This also makes a
-    # fully-merged single-symbol word ("ab|" -> [ab,'']) emit zero pairs
-    # without a size CASE: sequence(1, size-1) stays ascending at size=2,
-    # where sequence(1, size-2) would run DESCENDING ([1,0]) and
-    # element_at(l, 0) throws
+    # split keeps BOTH sentinel empties ("|w|o|r|d|" -> ['',w,o,r,d,'']),
+    # so pair i = (l[i], l[i+1]) for i in 1..size-1, where the FIRST
+    # pair's lft and the LAST pair's rgt are the '' sentinels — filtered
+    # below.  This also makes a fully-merged single-symbol word
+    # ("|ab|" -> ['',ab,'']) emit zero pairs without a size CASE:
+    # sequence(1, size-1) stays ascending at the minimum size
     pairs = wf.select(
         "freq",
         F.explode(
@@ -1259,10 +1283,32 @@ def _bpe_pair_counts(wf):
                 "             element_at(split(seg, '[|]'), i + 1) AS rgt))"
             )
         ).alias("pr"),
-    ).filter(F.col("pr.rgt") != "")
+    ).filter((F.col("pr.rgt") != "") & (F.col("pr.lft") != ""))
     return pairs.groupBy(
         F.col("pr.lft").alias("lft"), F.col("pr.rgt").alias("rgt")
     ).agg(F.sum("freq").cast("bigint").alias("wc"))
+
+
+def _bpe_merge_expr(seg_col, lft: str, rgt: str):
+    """One greedy BPE merge over a '|'-wrapped segmentation as a
+    left-to-right string fold (Spark ``aggregate`` — the exact twin of
+    the oracle's ``list_reduce``; see _bpe_stages for why a plain string
+    replace cannot express this).  Per-word cost is O(len^2) character
+    copies in the worst case, bounded by WORD length (tens of chars) —
+    not document length, the trap the r10 winnowing fix was about."""
+    return F.aggregate(
+        F.filter(
+            F.split(seg_col, "[|]"), lambda x: x != F.lit("")
+        ),
+        F.lit("|"),
+        lambda acc, x: F.when(
+            acc.endswith(F.lit(f"|{lft}|")) & (x == F.lit(rgt)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - (len(lft) + 1)),
+                F.lit(f"{lft}{rgt}|"),
+            ),
+        ).otherwise(F.concat(acc, x, F.lit("|"))),
+    )
 
 
 def bpe_train(spark, sf_dir, k: int = _BPE_K, docs=None):
@@ -1292,12 +1338,26 @@ def bpe_train(spark, sf_dir, k: int = _BPE_K, docs=None):
     tokenizer's k=500 merges would dominate everything.  With the
     parquet cut every iteration plans against a flat two-scan tree, so
     per-iteration cost is constant in k and proportional to the affected
-    slice in data.  Determinism: counts are exact integer sums and ties
-    break on (lft, rgt) ascending."""
-    from xmlstreamprocessor_spark.operators.dedup import materialize
+    slice in data.  Superseded iteration snapshots are DELETED in the
+    loop (drop_scratch) the moment their successors are written — at a
+    real tokenizer's k=500 over a web-scale vocabulary, leaving them to
+    interpreter-exit cleanup would accumulate O(k * vocab) dead parquet
+    on shared storage (code-review finding); only the RETURNED vocab's
+    final snapshot outlives the call, owned by the session scratch root.
+    Determinism: counts are exact integer sums and ties break on
+    (lft, rgt) ascending."""
+    from xmlstreamprocessor_spark.operators.dedup import (
+        drop_scratch,
+        scratch_path,
+    )
 
-    wf = materialize(docs if docs is not None else _bpe_vocab(spark, sf_dir))
-    counts = materialize(_bpe_pair_counts(wf))
+    def _mat(df):
+        p = scratch_path(df.sparkSession)
+        df.write.parquet(p)
+        return df.sparkSession.read.parquet(p), p
+
+    wf, wf_path = _mat(docs if docs is not None else _bpe_vocab(spark, sf_dir))
+    counts, c_path = _mat(_bpe_pair_counts(wf))
     merges = []
     for rank in range(1, k + 1):
         best = (
@@ -1309,8 +1369,11 @@ def bpe_train(spark, sf_dir, k: int = _BPE_K, docs=None):
             break
         lft, rgt, wc = best["lft"], best["rgt"], best["wc"]
         merges.append((rank, lft, rgt, lft + rgt, wc))
-        pat, rep = f"{lft}|{rgt}|", f"{lft}{rgt}|"
-        hit = F.col("seg").contains(pat)
+        # in the '|'-wrapped format, substring containment of
+        # "|lft|rgt|" is EXACTLY "the symbol pair (lft, rgt) occurs"
+        # (both sides anchored), so the affected-word predicate is
+        # precise — unaffected words are never re-folded or re-counted
+        hit = F.col("seg").contains(f"|{lft}|{rgt}|")
         affected = wf.filter(hit)
         delta = _bpe_pair_counts(affected).select(
             "lft", "rgt", (-F.col("wc")).alias("wc")
@@ -1318,27 +1381,31 @@ def bpe_train(spark, sf_dir, k: int = _BPE_K, docs=None):
             _bpe_pair_counts(
                 affected.select(
                     "freq",
-                    F.expr(
-                        f"replace(seg, {_sql_str(pat)}, {_sql_str(rep)})"
-                    ).alias("seg"),
+                    _bpe_merge_expr(F.col("seg"), lft, rgt).alias("seg"),
                 )
             )
         )
-        counts = materialize(
+        new_counts, new_c_path = _mat(
             counts.unionAll(delta)
             .groupBy("lft", "rgt")
             .agg(F.sum("wc").cast("bigint").alias("wc"))
             .filter(F.col("wc") != 0)
         )
-        wf = materialize(
+        new_wf, new_wf_path = _mat(
             wf.withColumn(
                 "seg",
                 F.when(
-                    hit,
-                    F.expr(f"replace(seg, {_sql_str(pat)}, {_sql_str(rep)})"),
+                    hit, _bpe_merge_expr(F.col("seg"), lft, rgt)
                 ).otherwise(F.col("seg")),
             )
         )
+        # successors are fully written (parquet write is eager), so the
+        # predecessors' snapshots are dead — release the disk now
+        drop_scratch(c_path)
+        drop_scratch(wf_path)
+        counts, c_path = new_counts, new_c_path
+        wf, wf_path = new_wf, new_wf_path
+    drop_scratch(c_path)  # the counts table is not part of the result
     out = spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string,"
@@ -1364,30 +1431,28 @@ def tokenizer_bpe_train_k_merges(spark, sf_dir):
     unrolled into k WITH stages over the same '|'-string segmentation,
     so every intermediate (not just the final table) is cross-checked by
     construction of the merge sequence."""
-    out, wf = bpe_train(spark, sf_dir, _BPE_K)
-    wf.unpersist()  # the merge table is driver-built; the vocab can go
+    out, _wf = bpe_train(spark, sf_dir, _BPE_K)
+    # the returned vocab frame is parquet-scratch-backed (not persisted);
+    # its final snapshot is owned by the session scratch root
     return out
 
 
 def bpe_apply_expr(merge_rows, seg_col):
-    """Column expression encoding a '|'-terminated character segmentation
-    with an ordered merge table: the k merges replay as k chained literal
-    `replace` calls (rank order), which is EXACTLY the fold the trainer
-    performed — so apply reproduces the training segmentation on corpus
-    words and extends it greedily to unseen words.  One whole-stage-
-    codegen expression chain, zero Python, zero shuffle: at 100 TB the
-    encode is a map-only pass whose cost is k string scans per word.
+    """Column expression encoding a '|'-wrapped character segmentation
+    with an ordered merge table: the k merges replay as k chained
+    symbol-fold expressions (rank order, `_bpe_merge_expr`) — EXACTLY
+    the fold the trainer performed — so apply reproduces the training
+    segmentation on corpus words and extends it greedily to unseen
+    words.  One whole-stage-codegen expression chain, zero Python, zero
+    shuffle: at 100 TB the encode is a map-only pass whose cost is k
+    symbol folds per word.
 
-    merge_rows: iterable of Rows/dicts with left_sym/right_sym/merged in
+    merge_rows: iterable of Rows/dicts with left_sym/right_sym in
     merge_rank order (bounded: k rows, driver-side by design — the merge
     table IS the trained artifact)."""
     col = seg_col
     for r in merge_rows:
-        col = F.replace(
-            col,
-            F.lit(f"{r['left_sym']}|{r['right_sym']}|"),
-            F.lit(f"{r['merged']}|"),
-        )
+        col = _bpe_merge_expr(col, r["left_sym"], r["right_sym"])
     return col
 
 
@@ -1410,8 +1475,9 @@ def tokenizer_bpe_encode_corpus(spark, sf_dir):
     encode cost is vocab-sized here (corpus collapses to the distinct-
     word table first) and corpus-sized-but-map-only when applied to new
     text; the merge-table collect is k=10 rows."""
-    merges, trained = bpe_train(spark, sf_dir, _BPE_K)
-    trained.unpersist()  # re-encode from scratch via the apply path
+    merges, _trained = bpe_train(spark, sf_dir, _BPE_K)
+    # _trained is parquet-scratch-backed (nothing to unpersist); the
+    # encode path deliberately re-segments from raw characters instead
     rows = merges.orderBy("merge_rank").collect()  # bounded: k rows
     enc = _bpe_vocab(spark, sf_dir).select(
         "freq", bpe_apply_expr(rows, F.col("seg")).alias("seg")

@@ -50,14 +50,13 @@ def _warehouse_scratch(spark, prefix: str) -> str:
     ``xspxml`` source reads/writes with ``open()``, so a non-local
     warehouse scheme (hdfs:// etc.) cannot host it; fall back to a
     driver-local tempdir there, which is still correct on local[n]."""
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
-    for pre in ("file://", "file:"):
-        if wh.startswith(pre):
-            wh = wh[len(pre):]
-            break
-    else:
-        if "://" in wh:  # non-POSIX scheme: xspxml can't open() it
-            return tempfile.mkdtemp(prefix=prefix)
+    from xmlstreamprocessor_spark.session import local_os_path
+
+    wh = local_os_path(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
+    )
+    if wh is None:  # non-POSIX scheme: xspxml can't open() it
+        return tempfile.mkdtemp(prefix=prefix)
     base = os.path.join(wh, f"{prefix}{uuid.uuid4().hex[:12]}")
     os.makedirs(base, exist_ok=True)
     return base

@@ -79,3 +79,15 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
+
+
+def local_os_path(path: str) -> str | None:
+    """The plain-OS path for a Spark warehouse-scheme path, or None when
+    the scheme is non-local (hdfs:// etc.).  Shared by every scratch
+    writer (dedup's result scratch, the xspxml query scratch) so the
+    cluster-correctness-critical 'resolve warehouse root to a POSIX
+    path' rule cannot drift between copies (code-review finding)."""
+    for pre in ("file://", "file:"):
+        if path.startswith(pre):
+            return path[len(pre):]
+    return None if "://" in path else path
