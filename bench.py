@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "dedup_containment_delta",
     "dedup_ngram_jaccard_pairs",
     # round 11 (second batch): tokenizer APPLICATION (train + replay the
-    # merge table as chained codegen replaces), the MRL prefix-recall
+    # merge table as chained codegen symbol folds), the MRL prefix-recall
     # report (4 bruteforce-shaped scans) + its rerank serving twin, and
     # the snapshot diff (digest-only full-outer shuffle)
     "tokenizer_bpe_encode_corpus",

@@ -1464,7 +1464,7 @@ def tokenizer_bpe_encode_corpus(spark, sf_dir):
     (top-100 by weighted frequency, with how many distinct words emit
     each token).  The encode path is deliberately NOT the trainer's final
     vocabulary: it re-segments from raw characters and replays the
-    COLLECTED merge table as chained `replace` expressions
+    COLLECTED merge table as chained symbol-fold expressions
     (bpe_apply_expr), the same single-pass map-only shape a real pipeline
     uses to tokenize held-out text at 100 TB.  The DuckDB oracle reads
     the training-time segmentation instead, so the hash compare pins
