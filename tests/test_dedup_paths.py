@@ -1151,3 +1151,107 @@ def test_containment_delta_union_base_equals_full_recompute(spark, oracle_sf_dir
     # both directions present: delta doc as contained AND as container
     assert any(a % _DELTA_MOD == _DELTA_REM for (a, b) in delta)
     assert any(b % _DELTA_MOD == _DELTA_REM for (a, b) in delta)
+
+
+def test_containment_delta_with_persisted_prefix(spark, oracle_sf_dir, tmp_path):
+    """r11 verdict #4: the persisted base-PREFIX artifact
+    (:func:`persist_prefix`, Hive-partitioned by shingle-hash bucket,
+    bucketed by shingle) must yield the identical directed pair set as
+    the per-call derived prefix, while the plan shows the two scale
+    properties: a static PartitionFilter on ``sb`` (the delta's postings
+    name the touched buckets) and a bucketed artifact scan (no
+    artifact-side exchange in the prefix x delta-postings join)."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        _CONTAIN_T,
+        _DELTA_MOD,
+        _DELTA_REM,
+        containment_pairs_delta,
+        df_stats_for,
+        persist_prefix,
+        shingle_sets,
+    )
+    from xmlstreamprocessor_spark.operators.registry import t
+
+    docs = t(spark, oracle_sf_dir, "documents")
+    base_sh = shingle_sets(
+        docs.filter((F.col("doc_id") % _DELTA_MOD) != _DELTA_REM)
+    )
+    spark.sql("DROP TABLE IF EXISTS xsp_t_prefix")
+    pref = persist_prefix(
+        base_sh, "xsp_t_prefix", str(tmp_path / "prefix"), _CONTAIN_T
+    )
+    try:
+        assert dict(pref.schema["sb"].metadata)["xsp_n_sb"] == 16
+        from_artifact = containment_pairs_delta(
+            spark, oracle_sf_dir,
+            base_shingle_sets=base_sh,
+            df_stats=df_stats_for(base_sh),
+            base_prefix=pref,
+        )
+        got = _pairs(
+            from_artifact, "contained_id", "container_id", "containment"
+        )
+        recomputed = _pairs(
+            containment_pairs_delta(spark, oracle_sf_dir),
+            "contained_id", "container_id", "containment",
+        )
+        assert got == recomputed and len(got) > 0
+        plan = from_artifact._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert " INSET " in plan.split("PartitionFilters: [sb", 1)[1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS xsp_t_prefix")
+
+
+def test_persisted_prefix_prunes_small_delta(spark, tmp_path):
+    """Pruning effectiveness for the prefix artifact: a delta batch whose
+    postings touch few buckets must statically prune the artifact scan
+    to those ``sb`` directories only, and the pruned run still finds the
+    base-contained-in-delta pair (losslessness of hash-pruning)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        containment_pairs_delta,
+        persist_prefix,
+        shingle_sets,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),      # base: contained in 7
+        (2, "one two three four five six seven"),   # base: unrelated
+        (7, "alpha beta gamma delta epsilon zeta"), # delta: container of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base_sh = shingle_sets(docs.filter(F.col("doc_id") != 7))
+    spark.sql("DROP TABLE IF EXISTS xsp_t_prefix_sm")
+    pref = persist_prefix(
+        base_sh, "xsp_t_prefix_sm", str(tmp_path / "prefix_sm"), 0.8
+    )
+    try:
+        pairs_df = containment_pairs_delta(
+            spark, sf_dir=None, threshold=0.8,
+            docs=docs, is_delta=F.col("doc_id") == 7,
+            base_shingle_sets=base_sh, base_prefix=pref,
+        )
+        got = {
+            (r.contained_id, r.container_id) for r in pairs_df.collect()
+        }
+        # doc1's 3 shingles all appear in doc7 (containment 1.0 >= 0.8);
+        # doc7 has 4 shingles, only 3 in doc1 (0.75 < 0.8); doc2 disjoint
+        assert got == {(1, 7)}
+        plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(
+            r"PartitionFilters: \[sb#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+)\])",
+            plan,
+        )
+        assert m, "prefix artifact scan lost its static partition filter"
+        touched = [int(v) for v in (m.group(1) or m.group(2)).split(",")]
+        # the delta's postings are doc7's 4 shingles -> at most 4 of the
+        # 16 sb directories are opened
+        assert len(touched) <= 4, f"expected <=4 pruned buckets: {touched}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS xsp_t_prefix_sm")
