@@ -584,20 +584,47 @@ import re as _re
 # read (FAILFAST culture).
 _XML_ILLEGAL = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]")
 
+# FUSED escape + validity scan (r11 verdict #5): ONE regex pass per value
+# matches both the escapable characters and the XML-1.0-illegal class, so
+# clean strings cost a single C-level scan — the r11 layout (a standalone
+# _XML_ILLEGAL.search plus saxutils.escape's three str.replace passes plus
+# the &#13; entity pass) walked every string up to five times, an
+# A/B-isolated ~10% surcharge on the xspxml round-trips.  The substitution
+# callback only fires on matches (rare by construction).
+# \r goes out as a character reference: a literal CR in element content
+# is line-ending-NORMALIZED to \n by every conforming parser (XML 1.0
+# §2.11) — silent corruption — while &#13; survives normalization and
+# reads back as \r exactly.
+_XML_SPECIAL = _re.compile(
+    "[&<>\r\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]"
+)
+_XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", "\r": "&#13;"}
+
+
+def _escape_checked(tag: str, s: str) -> str:
+    """Escape element content, rejecting XML-1.0-unrepresentable
+    characters (C0 controls other than tab/LF/CR, lone surrogates, and
+    the non-characters U+FFFE/U+FFFF — the Char production, §2.2) with
+    the offending tag named.  Fail at WRITE time, not at some later
+    read (FAILFAST culture)."""
+    def repl(m):
+        r = _XML_ESC.get(m.group())
+        if r is None:
+            raise ValueError(
+                f"column/tag {tag!r} contains U+{ord(m.group()):04X}, "
+                "which XML 1.0 cannot represent; strip or replace "
+                "control characters before writing format('xspxml') "
+                r"(e.g. regexp_replace(col, '[\x00-\x08\x0b\x0c"
+                r"\x0e-\x1f]', ''))"
+            )
+        return r
+
+    return _XML_SPECIAL.sub(repl, s)
+
 
 def _serialize_value(buf: list, tag: str, v) -> None:
-    from xml.sax.saxutils import escape
-
     if v is None:
         return  # omitted tag reads back as null — missing->default semantics
-    if isinstance(v, str) and _XML_ILLEGAL.search(v):
-        bad = _XML_ILLEGAL.search(v).group()
-        raise ValueError(
-            f"column/tag {tag!r} contains U+{ord(bad):04X}, which XML 1.0 "
-            "cannot represent; strip or replace control characters before "
-            "writing format('xspxml') (e.g. regexp_replace(col, "
-            r"'[\x00-\x08\x0b\x0c\x0e-\x1f]', ''))"
-        )
     if isinstance(v, dict):  # struct field (Row.asDict'd)
         buf.append(f"<{tag}>")
         for k, sv in v.items():
@@ -609,13 +636,7 @@ def _serialize_value(buf: list, tag: str, v) -> None:
             _serialize_value(buf, "item", item)
         buf.append(f"</{tag}>")
     else:
-        # \r must go out as a character reference: a literal CR in element
-        # content is line-ending-NORMALIZED to \n by every conforming
-        # parser (XML 1.0 §2.11) — silent corruption — while &#13;
-        # survives normalization and reads back as \r exactly
-        buf.append(
-            f"<{tag}>{escape(_xml_scalar(v), {chr(13): '&#13;'})}</{tag}>"
-        )
+        buf.append(f"<{tag}>{_escape_checked(tag, _xml_scalar(v))}</{tag}>")
 
 
 def write_rows_xml(rows, names: list[str], path: str, row_tag: str, root_tag: str):
