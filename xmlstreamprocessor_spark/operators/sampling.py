@@ -28,19 +28,19 @@ from xmlstreamprocessor_spark.operators.registry import query, t
 _MOD = 1000
 
 
-def _hash_bucket(key_col):
-    """0..999 bucket from an md5 prefix of the (stringified) key."""
+def _hash_bucket(key_col, mod: int = _MOD):
+    """0..mod-1 bucket from an md5 prefix of the (stringified) key."""
     return (
         F.conv(F.substring(F.md5(key_col.cast("string").cast("binary")), 1, 7), 16, 10)
         .cast("bigint")
-        % _MOD
+        % mod
     )
 
 
-def _duck_bucket(key_sql: str) -> str:
+def _duck_bucket(key_sql: str, mod: int = _MOD) -> str:
     return (
         f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 7)) AS BIGINT) "
-        f"% {_MOD}"
+        f"% {mod}"
     )
 
 
@@ -404,3 +404,200 @@ def _install_leakage_free_split() -> None:
 
 
 _install_leakage_free_split()
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al., NeurIPS'23 "Data Selection
+# for Language Models via Importance Resampling"): hashed-ngram bag-of-words
+# importance weights target/raw, then a deterministic Gumbel top-k resample.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256          # feature-hash buckets
+_DSIR_SCALE = 1_000_000  # fixed-point scale for log-weights (the _LM_SCALE rule)
+_DSIR_N = 100          # resample size
+_DSIR_GRID = 1000      # Gumbel uniform grid (md5 bucket domain)
+_DSIR_TARGET = "en"    # target-domain proxy: English documents
+
+
+def _dsir_feats_spark():
+    """Unigram + bigram feature array of lowercased whitespace tokens —
+    the hashed-ngram featurization of DSIR §3.  The bigram transform is
+    guarded for size<2 docs (Spark's sequence(1,0) DESCENDS, it is not
+    empty)."""
+    return F.expr(
+        "concat("
+        " filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''),"
+        " CASE WHEN size(filter(split(trim(lower(text)), '\\\\s+'),"
+        "                       x -> x != '')) >= 2 THEN"
+        "   transform(sequence(1, size(filter(split(trim(lower(text)),"
+        "                                     '\\\\s+'), x -> x != '')) - 1),"
+        "     i -> concat(element_at(filter(split(trim(lower(text)),"
+        "                                   '\\\\s+'), x -> x != ''), i),"
+        "                 ' ',"
+        "                 element_at(filter(split(trim(lower(text)),"
+        "                                   '\\\\s+'), x -> x != ''), i + 1)))"
+        " ELSE array() END)"
+    )
+
+
+def _dsir_oracle() -> str:
+    b_tok = _duck_bucket("tok", _DSIR_B)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, source,
+             list_concat(l,
+               CASE WHEN len(l) >= 2 THEN
+                 list_transform(generate_series(1, len(l) - 1),
+                                i -> l[i] || ' ' || l[i + 1])
+               ELSE [] END) AS f
+      FROM docs
+    ), tok AS (
+      SELECT doc_id, lang = '{_DSIR_TARGET}' AS is_t, unnest(f) AS tok
+      FROM feats
+    ), bc AS (
+      SELECT {b_tok} AS b,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM tok GROUP BY 1
+    ), fullb AS (
+      SELECT gs.b, COALESCE(bc.ct, 0) AS ct, COALESCE(bc.cr, 0) AS cr
+      FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b) gs
+      LEFT JOIN bc ON bc.b = gs.b
+    ), tot AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS t_tot,
+             CAST(sum(cr) AS BIGINT) AS r_tot
+      FROM fullb
+    ), w AS (
+      SELECT b,
+             CAST(floor({_DSIR_SCALE} *
+                  (ln((ct + 1.0) / (t_tot + {_DSIR_B}))
+                   - ln((cr + 1.0) / (r_tot + {_DSIR_B})))) AS BIGINT) AS w
+      FROM fullb CROSS JOIN tot
+    ), docw AS (
+      SELECT tk.doc_id, CAST(sum(w.w) AS BIGINT) AS logw
+      FROM tok tk JOIN w ON w.b = {_duck_bucket('tk.tok', _DSIR_B)}
+      WHERE NOT tk.is_t
+      GROUP BY tk.doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.lang, d.source,
+             COALESCE(dw.logw, 0) AS logw,
+             COALESCE(dw.logw, 0)
+               + CAST(floor({_DSIR_SCALE} *
+                      -ln(-ln(({_duck_bucket('d.doc_id', _DSIR_GRID)} + 0.5)
+                              / {_DSIR_GRID}))) AS BIGINT) AS score_int
+      FROM documents d LEFT JOIN docw dw ON dw.doc_id = d.doc_id
+      WHERE d.lang <> '{_DSIR_TARGET}'
+    )
+    SELECT doc_id, lang, source,
+           round(logw / {_DSIR_SCALE}.0, 6) AS log_weight,
+           round(score_int / {_DSIR_SCALE}.0, 6) AS score
+    FROM scored
+    ORDER BY score_int DESC, doc_id
+    LIMIT {_DSIR_N}
+    """
+
+
+@query("mix_dsir_importance_resample", oracle=_dsir_oracle())
+def mix_dsir_importance_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al., NeurIPS'23): select the
+    raw (non-target) documents whose hashed-ngram importance weights
+    log(p_target/p_raw) — bag of hashed unigram+bigram features,
+    add-one-smoothed bucket models fit on the target-language slice vs
+    the rest — rank highest under Gumbel top-k (the paper's
+    sampling-without-replacement trick, log w + Gumbel noise), with the
+    Gumbel uniform drawn DETERMINISTICALLY from the document's md5 hash
+    bucket so the resample is reproducible across reruns, engines, and
+    cluster sizes (the module's no-rand() rule).
+
+    Exactness: bucket counts are exact BIGINTs; per-bucket log-ratios
+    are floored to fixed-point (the _LM_SCALE rule) so per-doc sums are
+    exact integer arithmetic; the Gumbel term is floored the same way;
+    ranking and tie-breaks are integer (score_int desc, doc_id asc).
+
+    Scale (100 TB posture): featurization is a projection; the bucket
+    model is ONE map-side-combinable aggregate collapsing the corpus
+    token stream to _DSIR_B rows; the fitted weights come back as a
+    bounded _DSIR_B-row collect (the bloom-bitmap pattern) and are
+    replayed as a LITERAL MAP inside a whole-stage-codegen fold, so
+    SCORING IS A PURE MAP-ONLY PROJECTION — no join, no shuffle — and
+    the final top-N is TakeOrdered.  Per-ingest re-scoring against
+    frozen weights touches only the new batch, like every other
+    frozen-artifact path in this repo."""
+    d = t(spark, sf_dir, "documents")
+    is_t = F.col("lang") == _DSIR_TARGET
+    feats = _dsir_feats_spark()
+    tok = d.select(is_t.alias("is_t"), F.explode(feats).alias("tok"))
+    bc = tok.groupBy(
+        _hash_bucket(F.col("tok"), _DSIR_B).alias("b")
+    ).agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("cr"),
+    )
+    full = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").cast("bigint").alias("b"))
+        .join(bc, "b", "left")
+        .na.fill(0, ["ct", "cr"])
+    )
+    tot = full.agg(
+        F.sum("ct").cast("bigint").alias("t_tot"),
+        F.sum("cr").cast("bigint").alias("r_tot"),
+    ).first()
+    # empty corpus: sum() is NULL -> degenerate uniform model (w == 0)
+    t_tot, r_tot = tot["t_tot"] or 0, tot["r_tot"] or 0
+    w_rows = full.select(
+        "b",
+        F.floor(
+            F.lit(_DSIR_SCALE)
+            * (
+                F.log(
+                    (F.col("ct") + F.lit(1.0))
+                    / F.lit(float(t_tot + _DSIR_B))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / F.lit(float(r_tot + _DSIR_B))
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("w"),
+    ).collect()  # bounded by construction: _DSIR_B rows
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(r["b"]) for r in w_rows]),
+        F.array(*[F.lit(r["w"]) for r in w_rows]),
+    )
+    logw = F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.element_at(wmap, _hash_bucket(x, _DSIR_B)),
+    )
+    u = (
+        _hash_bucket(F.col("doc_id"), _DSIR_GRID).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_DSIR_GRID))
+    g_int = F.floor(F.lit(_DSIR_SCALE) * -F.log(-F.log(u))).cast("bigint")
+    scored = d.filter(~is_t).select(
+        "doc_id",
+        "lang",
+        "source",
+        logw.alias("logw"),
+        (logw + g_int).alias("score_int"),
+    )
+    return (
+        scored.orderBy(F.desc("score_int"), F.asc("doc_id"))
+        .limit(_DSIR_N)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(F.col("logw") / F.lit(float(_DSIR_SCALE)), 6)
+            .alias("log_weight"),
+            F.round(F.col("score_int") / F.lit(float(_DSIR_SCALE)), 6)
+            .alias("score"),
+        )
+    )
