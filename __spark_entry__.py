@@ -24,87 +24,91 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  ROUND-11 window
-# (r10 verdict task #2 + r10 advice #4): 6 slots are the queries ADDED in
-# round 11 (the iterative BPE trainer, its apply/encode counterpart, the
-# containment delta path, the MRL prefix-recall report + its two-stage
-# rerank serving twin, and the snapshot
-# reconciliation diff), keeping
-# cumulative driver coverage complete at 244/244; 4 slots re-pin
-# the XML round-trips (xml_roundtrip_orders_struct[,_jvm],
-# xml_roundtrip_wildcard_tag_events[,_jvm]) after their promised
-# one-round rotation out; the other 40 are the r6-stale cohort (newest
-# driver verdict r6, computed by joining CORRECTNESS_r01..r10).  The r6
-# cohort has 46 members — six short of fitting beside the new queries —
-# so the six members that were independently strict-oracle-verified by
-# the r10 judge AND whose code paths are untouched by this round's
-# changes (agg_approx_percentile_accuracy, tokenizer_vocab_coverage,
+# the head of the ordering is a per-round curated window.  ROUND-12 window
+# (r11 verdict task #2): 3 slots are the queries ADDED in round 12 (DSIR
+# importance resampling, the MRL funnel cascade, the containment delta's
+# persisted-prefix protocol); the SIX r6-stale carries LEAD the rotation
+# as the r11 verdict required (agg_approx_percentile_accuracy,
 # analytic_cohort_ltv_triangle, multimodal_image_features_png,
-# window_sliding_24h_distinct_users, similarity_topk_ivfpq_residual_adc
-# — the last one lives in a module this round touched, but purely
-# additively: no helper it consumes changed) carry to
-# the r12 window; every other r6 query rotates in now, including every
-# consumer of the exact-Jaccard kernel this round modifies
-# (dedup_ngram_jaccard_pairs, dedup_winnowing_pairs,
-# dedup_containment_pairs, dedup_threshold_sweep).
+# similarity_topk_ivfpq_residual_adc, tokenizer_vocab_coverage,
+# window_sliding_24h_distinct_users — after r12 no query's newest driver
+# verdict is older than r7); 7 slots re-pin queries whose CODE this round
+# changed (the overlay BPE trainer -> both tokenizer queries; the fused
+# xspxml writer escape -> both xspxml round-trips; the explicit-broadcast
+# rerank -> similarity_topk_mrl_rerank; the sb-helper refactor ->
+# dedup_pairs_delta_postings; the pruned-artifact branch ->
+# dedup_containment_delta); the remaining 34 come from the r7-stale
+# cohort (46 members, newest driver verdict r7 by joining
+# CORRECTNESS_r01..r11), including its two members this round touched
+# (similarity_topk_ivfpq_rerank — explicit broadcast — and
+# dedup_pairs_delta — refactored helper).  The 12 r7 members that don't
+# fit (agg_argmax_order_per_customer, agg_cube_lineitem_flags,
+# agg_distinct_counts, agg_grouping_sets_mixed, agg_minmax_stats,
+# distinct_order_status_priority, join_anti_customers_without_orders,
+# join_cross_region_pairs, join_full_outer_nation_presence,
+# q10_returned_items, q13_customer_order_distribution, q14_promo_revenue)
+# carry to r13: all live in relational.py — untouched this round — and
+# all are re-verified by the local strict gate below before shipping.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
 # before shipping a round.
 _PRIORITY = [
+    # the six r6-stale carries — they lead, per the r11 verdict
+    "agg_approx_percentile_accuracy",
+    "analytic_cohort_ltv_triangle",
+    "multimodal_image_features_png",
+    "similarity_topk_ivfpq_residual_adc",
+    "tokenizer_vocab_coverage",
+    "window_sliding_24h_distinct_users",
     # new queries this round (never driver-checked)
+    "mix_dsir_importance_resample",
+    "similarity_topk_mrl_funnel",
+    "dedup_containment_delta_prefix",
+    # queries whose code round 12 changed
     "tokenizer_bpe_train_k_merges",
     "tokenizer_bpe_encode_corpus",
-    "dedup_containment_delta",
-    "similarity_mrl_prefix_recall",
+    "xspxml_roundtrip_orders",
+    "xspxml_partition_pruned_read",
     "similarity_topk_mrl_rerank",
-    "dq_snapshot_diff",
-    # the 4 XML round-trips, re-pinned after their one-round rotation
-    "xml_roundtrip_orders_struct",
-    "xml_roundtrip_orders_struct_jvm",
-    "xml_roundtrip_wildcard_tag_events",
-    "xml_roundtrip_wildcard_tag_events_jvm",
-    # stalest re-checks: last driver green was round 6 (40 of 46; see note)
-    "agg_mode_status_by_priority",
-    "analytic_basket_lift",
-    "analytic_burst_rate_outliers",
-    "analytic_event_path_top3",
-    "analytic_interpurchase_gaps",
-    "analytic_order_backlog_sweep",
-    "analytic_time_to_convert",
-    "analytic_user_survival_weeks",
-    "analytic_yoy_revenue_growth",
-    "dedup_containment_pairs",
-    "dedup_embedding_cosine_pairs",
-    "dedup_group_lang_purity",
-    "dedup_group_size_histogram",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_source_overlap_matrix",
-    "dedup_threshold_sweep",
-    "dedup_winnowing_pairs",
-    "dq_contract_orders",
-    "dq_referential_orphans",
-    "embedding_pq_residual_encode",
-    "embedding_unitnorm_check",
-    "mix_epoch_plan",
-    "mix_soft_dedup_weights",
-    "pack_efficiency_report",
-    "profile_documents_table",
-    "similarity_index_delta_assign",
-    "similarity_ivf_cell_balance",
-    "similarity_knn_mutual_degree",
-    "similarity_pq_distortion",
-    "similarity_pq_residual_distortion",
-    "similarity_triplet_hardest",
-    "similarity_triplet_lsh_negatives",
-    "temporal_seasonality_dow_hour",
-    "text_cms_heavy_hitters",
-    "text_dedup_effective_tokens",
-    "text_jsd_by_source",
-    "text_length_histogram",
-    "text_ngram_novelty",
-    "text_unigram_entropy",
-    "text_zipf_slope",
+    "dedup_pairs_delta_postings",
+    "dedup_containment_delta",
+    # stalest re-checks: newest driver green was round 7 (34 of 46; the
+    # 12 relational.py carries are listed in the note above)
+    "agg_percentiles_price_by_returnflag",
+    "agg_rollup_order_year_priority",
+    "agg_salted_skewed_event_totals",
+    "analytic_new_vs_returning_weekly",
+    "asof_forward_view_next_purchase",
+    "asof_join_purchase_last_view",
+    "dedup_exact_documents",
+    "dedup_lsh_band_stats",
+    "dedup_lsh_plan",
+    "dedup_minhash_lsh_pairs",
+    "dedup_pairs_delta",
+    "dedup_simhash_pairs",
+    "formats_bucketed_join_no_shuffle",
+    "formats_partition_pruned_read",
+    "graph_components_incremental",
+    "join_nonequi_price_band",
+    "join_right_orders_customer_segment",
+    "join_salted_skewed_fact_dim",
+    "join_semi_customers_with_high_value_order",
+    "pipeline_drop_contained_stats",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "sample_leakage_free_split",
+    "scalar_date_functions",
+    "similarity_topk_ivfpq_rerank",
+    "subquery_in_top_nations",
+    "xml_udtf_lineitem_array",
 ]
 
 

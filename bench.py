@@ -101,13 +101,55 @@ BENCH_QUERIES = [
     "similarity_mrl_prefix_recall",
     "similarity_topk_mrl_rerank",
     "dq_snapshot_diff",
+    # round 12: DSIR importance resampling (corpus token stream collapsed
+    # to a 256-bucket model, map-only scoring), the MRL funnel cascade
+    # (one 8-dim corpus scan + two broadcast point-lookup stages), and
+    # the containment delta's persisted-prefix protocol (statically
+    # pruned artifact scan — benched so a pruning regression is
+    # wall-visible)
+    "mix_dsir_importance_resample",
+    "similarity_topk_mrl_funnel",
+    "dedup_containment_delta_prefix",
 ]
+
+
+# Ambient-noise canary (r11 verdict #3): the bench box shows up to 3x
+# same-code swings mid-session, which made two r11 A/Bs unresolvable.
+# The canary is a FIXED shuffle+agg micro-benchmark on generated data
+# (no I/O, no caches to clear) run before and after the query loop in
+# --quiet mode; its median against the calibrated reference (see
+# BASELINE.md §5 protocol note) certifies the window quiet or marks the
+# run ambient-contaminated — gates and sub-2x A/Bs only count inside
+# the band.
+CANARY_REF_SEC = 0.52  # calibrated quiet-window median (BASELINE.md §5
+# protocol note: x4 fresh-session samples 0.632/0.524/0.497/0.452 on the
+# r12 bench box; the first triple runs warmest, hence the asymmetric band)
+CANARY_BAND = (0.6, 1.45)  # fraction of ref outside which the run is dirty
+
+
+def _canary(spark) -> float:
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(30_000_000)
+            .selectExpr("id % 9973 AS k", "id % 31 AS v")
+            .groupBy("k")
+            .sum("v")
+            .count()
+        )
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 3)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    quiet_mode = "--quiet" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_CANARY"
+    ) == "1"
     spark = get_session("xsp-bench")
     spark.range(1).count()  # warm the session
+    canary_before = _canary(spark) if quiet_mode else None
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -140,6 +182,16 @@ def main() -> None:
         "protocol": "cold (session memos cleared before each run)",
         "raw_runs_file": "BENCH_RAW_LATEST.json",
     }
+    if quiet_mode:
+        canary_after = _canary(spark)
+        lo, hi = (CANARY_BAND[0] * CANARY_REF_SEC,
+                  CANARY_BAND[1] * CANARY_REF_SEC)
+        summary["canary_before"] = canary_before
+        summary["canary_after"] = canary_after
+        summary["canary_ref"] = CANARY_REF_SEC
+        summary["ambient_quiet"] = bool(
+            lo <= canary_before <= hi and lo <= canary_after <= hi
+        )
     raw_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RAW_LATEST.json"
     )
