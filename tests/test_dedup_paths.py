@@ -1253,5 +1253,25 @@ def test_persisted_prefix_prunes_small_delta(spark, tmp_path):
         # the delta's postings are doc7's 4 shingles -> at most 4 of the
         # 16 sb directories are opened
         assert len(touched) <= 4, f"expected <=4 pruned buckets: {touched}"
+        # threshold contract (code-review r12): prefixes written at
+        # t=0.8 are too SHORT for a t=0.5 query — must fail fast, not
+        # silently drop candidates
+        import pytest
+
+        with pytest.raises(ValueError, match="too SHORT"):
+            containment_pairs_delta(
+                spark, sf_dir=None, threshold=0.5,
+                docs=docs, is_delta=F.col("doc_id") == 7,
+                base_shingle_sets=base_sh, base_prefix=pref,
+            )
+        # and a LOWER write-time threshold (longer prefixes) is accepted
+        ok = containment_pairs_delta(
+            spark, sf_dir=None, threshold=0.9,
+            docs=docs, is_delta=F.col("doc_id") == 7,
+            base_shingle_sets=base_sh, base_prefix=pref,
+        )
+        assert {(r.contained_id, r.container_id) for r in ok.collect()} == {
+            (1, 7)
+        }
     finally:
         spark.sql("DROP TABLE IF EXISTS xsp_t_prefix_sm")

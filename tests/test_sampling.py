@@ -153,6 +153,10 @@ def test_dsir_weights_separate_target_like_docs(spark, tmp_path):
         rows.append((did, f"{a_words} {a_words}", "fr", "srcA")); did += 1
     for _ in range(20):  # raw, off-target (vocabulary B)
         rows.append((did, f"{b_words} {b_words}", "de", "srcB")); did += 1
+    # NULL text must score logw=0 on BOTH engines (code-review r12: a
+    # NULL feature array would propagate NULL through Spark's scoring
+    # fold while the oracle coalesces to 0)
+    rows.append((did, None, "de", "srcNull")); did += 1
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
@@ -164,7 +168,9 @@ def test_dsir_weights_separate_target_like_docs(spark, tmp_path):
     fn, _ = REGISTRY["mix_dsir_importance_resample"]
     got1 = [tuple(r) for r in fn(spark, sf).collect()]
     got2 = [tuple(r) for r in fn(spark, sf).collect()]
-    assert got1 == got2 and len(got1) == 40  # deterministic; all raw docs
+    assert got1 == got2 and len(got1) == 41  # deterministic; all raw docs
+    null_rows = [r for r in got1 if r[2] == "srcNull"]
+    assert len(null_rows) == 1 and null_rows[0][3] == 0.0
     by_src = {}
     for r in fn(spark, sf).collect():
         by_src.setdefault(r["source"], []).append(r)

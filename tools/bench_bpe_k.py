@@ -117,11 +117,15 @@ def main() -> None:
 
     dd.scratch_path, dd.drop_scratch = scratch, drop
     walls: list[float] = []
+    setup = [0.0]
     prev = [time.perf_counter()]
 
     def hook(rank: int) -> None:
         now = time.perf_counter()
-        walls.append(round(now - prev[0], 3))
+        if rank == 0:  # setup boundary: base vocab + initial counts
+            setup[0] = round(now - prev[0], 3)
+        else:
+            walls.append(round(now - prev[0], 3))
         prev[0] = now
 
     docs = synth_vocab(spark, synth_n) if synth_n else None
@@ -151,6 +155,7 @@ def main() -> None:
         "vocab_rows": vocab_rows,
         "sf": sf_dir,
         "total_sec": round(total, 2),
+        "setup_sec": setup[0],
         "sec_per_iter_median": round(sorted(walls)[len(walls) // 2], 3),
         "sec_per_iter_first_decile_mean": round(first_dec, 3),
         "sec_per_iter_last_decile_mean": round(last_dec, 3),

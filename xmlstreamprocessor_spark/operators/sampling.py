@@ -419,24 +419,37 @@ _DSIR_GRID = 1000      # Gumbel uniform grid (md5 bucket domain)
 _DSIR_TARGET = "en"    # target-domain proxy: English documents
 
 
-def _dsir_feats_spark():
-    """Unigram + bigram feature array of lowercased whitespace tokens —
-    the hashed-ngram featurization of DSIR §3.  The bigram transform is
-    guarded for size<2 docs (Spark's sequence(1,0) DESCENDS, it is not
-    empty)."""
-    return F.expr(
-        "concat("
-        " filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''),"
-        " CASE WHEN size(filter(split(trim(lower(text)), '\\\\s+'),"
-        "                       x -> x != '')) >= 2 THEN"
-        "   transform(sequence(1, size(filter(split(trim(lower(text)),"
-        "                                     '\\\\s+'), x -> x != '')) - 1),"
-        "     i -> concat(element_at(filter(split(trim(lower(text)),"
-        "                                   '\\\\s+'), x -> x != ''), i),"
-        "                 ' ',"
-        "                 element_at(filter(split(trim(lower(text)),"
-        "                                   '\\\\s+'), x -> x != ''), i + 1)))"
-        " ELSE array() END)"
+def _dsir_with_feats(d):
+    """Bind the unigram+bigram feature array of lowercased whitespace
+    tokens — the hashed-ngram featurization of DSIR §3 — as a ``feats``
+    column, tokenizing ONCE (a ``toks`` binding the bigram transform
+    reuses; code-review r12: the first version restated the tokenize
+    subexpression five times, a hand-sync hazard).  Guards: the bigram
+    branch is gated on size>=2 (Spark's sequence(1,0) DESCENDS, it is
+    not empty), and NULL text coalesces to an EMPTY feature array so a
+    null-text doc scores logw=0 exactly like the oracle's LEFT JOIN +
+    COALESCE (a NULL array would propagate NULL through the scoring
+    fold and rank the doc last instead — cross-engine divergence)."""
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("toks"), i),
+                F.lit(" "),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(empty)
+    return (
+        d.withColumn("toks", F.coalesce(toks, empty))
+        .withColumn("feats", F.concat(F.col("toks"), bigrams))
+        .drop("toks")
     )
 
 
@@ -528,10 +541,9 @@ def mix_dsir_importance_resample(spark, sf_dir):
     the final top-N is TakeOrdered.  Per-ingest re-scoring against
     frozen weights touches only the new batch, like every other
     frozen-artifact path in this repo."""
-    d = t(spark, sf_dir, "documents")
+    d = _dsir_with_feats(t(spark, sf_dir, "documents"))
     is_t = F.col("lang") == _DSIR_TARGET
-    feats = _dsir_feats_spark()
-    tok = d.select(is_t.alias("is_t"), F.explode(feats).alias("tok"))
+    tok = d.select(is_t.alias("is_t"), F.explode("feats").alias("tok"))
     bc = tok.groupBy(
         _hash_bucket(F.col("tok"), _DSIR_B).alias("b")
     ).agg(
@@ -573,7 +585,7 @@ def mix_dsir_importance_resample(spark, sf_dir):
         F.array(*[F.lit(r["w"]) for r in w_rows]),
     )
     logw = F.aggregate(
-        feats,
+        F.col("feats"),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + F.element_at(wmap, _hash_bucket(x, _DSIR_B)),
     )

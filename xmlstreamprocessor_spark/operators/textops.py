@@ -1386,6 +1386,12 @@ def bpe_train(
     wf_layers = [(base, base_path, 0)]
     counts0, c_path0 = _mat(_bpe_pair_counts(base))
     cnt_layers = [(counts0, c_path0)]
+    if iter_hook is not None:
+        # rank 0 marks the setup boundary (base vocab + initial counts
+        # materialized) so the measurement tool can separate one-time
+        # setup from per-merge walls (code-review r12: folding setup
+        # into walls[0] biased the flatness metric favorably)
+        iter_hook(0)
 
     def _wf_view():
         parts = []

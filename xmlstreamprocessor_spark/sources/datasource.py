@@ -582,7 +582,12 @@ import re as _re
 # every conforming parser (including this source's own reader) rejects.
 # Fail at WRITE time with the offending tag named, not at some later
 # read (FAILFAST culture).
-_XML_ILLEGAL = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]")
+# ONE class string defines XML 1.0's unrepresentable characters; both
+# compiled forms derive from it so they cannot drift apart (code-review
+# r12: after the escape fusion the standalone regex survives only as
+# the contract pin the writer tests assert against).
+_XML_ILLEGAL_CLASS = "\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff"
+_XML_ILLEGAL = _re.compile(f"[{_XML_ILLEGAL_CLASS}]")
 
 # FUSED escape + validity scan (r11 verdict #5): ONE regex pass per value
 # matches both the escapable characters and the XML-1.0-illegal class, so
@@ -595,9 +600,7 @@ _XML_ILLEGAL = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff
 # is line-ending-NORMALIZED to \n by every conforming parser (XML 1.0
 # §2.11) — silent corruption — while &#13; survives normalization and
 # reads back as \r exactly.
-_XML_SPECIAL = _re.compile(
-    "[&<>\r\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]"
-)
+_XML_SPECIAL = _re.compile(f"[&<>\r{_XML_ILLEGAL_CLASS}]")
 _XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", "\r": "&#13;"}
 
 
