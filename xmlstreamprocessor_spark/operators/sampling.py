@@ -550,19 +550,25 @@ def mix_dsir_importance_resample(spark, sf_dir):
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("ct"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("cr"),
     )
-    full = (
+    # ONE corpus-token aggregation: collect the 256-row bucket-count
+    # table, derive totals in the driver, and compute the log-ratio
+    # weights over a LOCAL 256-row frame (LocalTableScan — the ln stays
+    # JVM-side for cross-engine exactness, but no second corpus pass;
+    # the first version aggregated the token stream twice, ~2x the
+    # query's wall at sf0.1)
+    counts = (
         spark.range(_DSIR_B)
         .select(F.col("id").cast("bigint").alias("b"))
         .join(bc, "b", "left")
         .na.fill(0, ["ct", "cr"])
+        .collect()  # bounded by construction: _DSIR_B rows
     )
-    tot = full.agg(
-        F.sum("ct").cast("bigint").alias("t_tot"),
-        F.sum("cr").cast("bigint").alias("r_tot"),
-    ).first()
-    # empty corpus: sum() is NULL -> degenerate uniform model (w == 0)
-    t_tot, r_tot = tot["t_tot"] or 0, tot["r_tot"] or 0
-    w_rows = full.select(
+    t_tot = sum(r["ct"] for r in counts)
+    r_tot = sum(r["cr"] for r in counts)
+    w_rows = spark.createDataFrame(
+        [(r["b"], r["ct"], r["cr"]) for r in counts],
+        "b bigint, ct bigint, cr bigint",
+    ).select(
         "b",
         F.floor(
             F.lit(_DSIR_SCALE)
@@ -579,7 +585,7 @@ def mix_dsir_importance_resample(spark, sf_dir):
         )
         .cast("bigint")
         .alias("w"),
-    ).collect()  # bounded by construction: _DSIR_B rows
+    ).collect()
     wmap = F.map_from_arrays(
         F.array(*[F.lit(r["b"]) for r in w_rows]),
         F.array(*[F.lit(r["w"]) for r in w_rows]),
