@@ -149,6 +149,11 @@ def main() -> None:
     ) == "1"
     spark = get_session("xsp-bench")
     spark.range(1).count()  # warm the session
+    if quiet_mode:
+        _canary(spark)  # DISCARDED warm-up triple: a fresh session's
+        # first canary reads high on JIT/page-cache warm-up (calibration:
+        # first triple 0.63 s vs 0.45-0.52 after), which is session
+        # state, not ambient — the recorded reading must measure ambient
     canary_before = _canary(spark) if quiet_mode else None
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
