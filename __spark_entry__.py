@@ -25,9 +25,10 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
 # the head of the ordering is a per-round curated window.  ROUND-12 window
-# (r11 verdict task #2): 3 slots are the queries ADDED in round 12 (DSIR
+# (r11 verdict task #2): 4 slots are the queries ADDED in round 12 (DSIR
 # importance resampling, the MRL funnel cascade, the containment delta's
-# persisted-prefix protocol); the SIX r6-stale carries LEAD the rotation
+# persisted-prefix protocol, the greedy k-center coreset); the SIX
+# r6-stale carries LEAD the rotation
 # as the r11 verdict required (agg_approx_percentile_accuracy,
 # analytic_cohort_ltv_triangle, multimodal_image_features_png,
 # similarity_topk_ivfpq_residual_adc, tokenizer_vocab_coverage,
@@ -37,9 +38,10 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # xspxml writer escape -> both xspxml round-trips; the explicit-broadcast
 # rerank -> similarity_topk_mrl_rerank; the sb-helper refactor ->
 # dedup_pairs_delta_postings; the pruned-artifact branch ->
-# dedup_containment_delta); the remaining 34 come from the r7-stale
+# dedup_containment_delta); the remaining 33 come from the r7-stale
 # cohort (46 members, newest driver verdict r7 by joining
-# CORRECTNESS_r01..r11), including its two members this round touched
+# CORRECTNESS_r01..r11; 33 fit after the 4th new query), including its
+# two members this round touched
 # (similarity_topk_ivfpq_rerank — explicit broadcast — and
 # dedup_pairs_delta — refactored helper).  The 12 r7 members that don't
 # fit (agg_argmax_order_per_customer, agg_cube_lineitem_flags,
@@ -47,8 +49,10 @@ from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 # distinct_order_status_priority, join_anti_customers_without_orders,
 # join_cross_region_pairs, join_full_outer_nation_presence,
 # q10_returned_items, q13_customer_order_distribution, q14_promo_revenue)
-# carry to r13: all live in relational.py — untouched this round — and
-# all are re-verified by the local strict gate below before shipping.
+# carry to r13 — as does scalar_date_functions, displaced by the 4th new
+# query (sample_kcenter_coreset): all 13 live in relational.py —
+# untouched this round — and all are re-verified by the local strict
+# gate below before shipping.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
@@ -65,6 +69,7 @@ _PRIORITY = [
     "mix_dsir_importance_resample",
     "similarity_topk_mrl_funnel",
     "dedup_containment_delta_prefix",
+    "sample_kcenter_coreset",
     # queries whose code round 12 changed
     "tokenizer_bpe_train_k_merges",
     "tokenizer_bpe_encode_corpus",
@@ -73,8 +78,8 @@ _PRIORITY = [
     "similarity_topk_mrl_rerank",
     "dedup_pairs_delta_postings",
     "dedup_containment_delta",
-    # stalest re-checks: newest driver green was round 7 (34 of 46; the
-    # 12 relational.py carries are listed in the note above)
+    # stalest re-checks: newest driver green was round 7 (33 of 46; the
+    # 13 relational.py carries are listed in the note above)
     "agg_percentiles_price_by_returnflag",
     "agg_rollup_order_year_priority",
     "agg_salted_skewed_event_totals",
@@ -105,7 +110,6 @@ _PRIORITY = [
     "q6_revenue_forecast",
     "q8_market_share",
     "sample_leakage_free_split",
-    "scalar_date_functions",
     "similarity_topk_ivfpq_rerank",
     "subquery_in_top_nations",
     "xml_udtf_lineitem_array",

@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "mix_dsir_importance_resample",
     "similarity_topk_mrl_funnel",
     "dedup_containment_delta_prefix",
+    # round 12 (second batch): greedy k-center coreset — k bounded
+    # driver-loop scans, benched so a loop-cost regression is visible
+    "sample_kcenter_coreset",
 ]
 
 

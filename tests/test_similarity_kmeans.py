@@ -405,3 +405,43 @@ def test_mrl_funnel_dominates_single_prefix_rerank(spark, oracle_sf_dir):
     single_hits = sum(1 for p in single if p in exact)
     funnel_hits = sum(1 for p in funnel if p in exact)
     assert funnel_hits >= single_hits, (funnel_hits, single_hits)
+
+
+def test_kcenter_greedy_invariants(spark, oracle_sf_dir):
+    """Greedy k-center pins (r12): the selection sequence is
+    deterministic across runs; gaps are NON-INCREASING after the seed
+    (greedy always picks the current farthest point, so later picks
+    cannot be farther); and the last gap is a coverage CERTIFICATE —
+    every corpus point lies within gap_k of some selected center
+    (computed with the operator's own distance expression)."""
+    from pyspark.sql import functions as FF
+
+    from xmlstreamprocessor_spark.functions.vectors import as_double_array
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.registry import t as _t
+    from xmlstreamprocessor_spark.operators.similarity import _kc_dist
+
+    fn, _ = REGISTRY["sample_kcenter_coreset"]
+    rows = fn(spark, oracle_sf_dir).collect()
+    again = fn(spark, oracle_sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    assert [r["sel_rank"] for r in rows] == list(range(1, 13))
+    assert len({r["vec_id"] for r in rows}) == 12  # distinct on real data
+    gaps = [r["gap"] for r in rows]
+    assert gaps[0] == 2.0  # seed convention: the metric's diameter bound
+    for a, b in zip(gaps[1:], gaps[2:]):
+        assert a >= b, (a, b)
+    # coverage certificate
+    e = _t(spark, oracle_sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    ids = [r["vec_id"] for r in rows]
+    centers = {
+        r["vec_id"]: r["v"] for r in e.filter(FF.col("vec_id").isin(ids)).collect()
+    }
+    mind = None
+    for cid in ids:
+        d = _kc_dist(FF.col("v"), FF.array(*[FF.lit(float(x)) for x in centers[cid]]))
+        mind = d if mind is None else FF.least(mind, d)
+    worst = e.select(mind.alias("mind")).agg(FF.max("mind")).first()[0]
+    assert worst <= gaps[-1] + 1e-9, (worst, gaps[-1])

@@ -2587,3 +2587,127 @@ def _install_similarity_index_bundle() -> None:
 
 
 _install_similarity_index_bundle()
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez '85 "Clustering to minimize the maximum
+# intercluster distance", 2-approximation): the diversity-sampling operator
+# a curation pipeline uses to pick a maximally-spread subset — eval seeds,
+# SemDeDup-style cluster anchors, annotation batches.
+# ---------------------------------------------------------------------------
+
+_KC_K = 12
+
+
+def _kc_dist(vcol, center_lit):
+    """Cosine DISTANCE round(1 - cos6, 6) with the zero-norm convention
+    COALESCE(cos, -1) -> distance 2.0 (the metric's diameter bound):
+    degenerate vectors rank maximally far in BOTH engines instead of
+    NULL-ordering apart."""
+    return F.round(
+        F.lit(1.0) - F.coalesce(cosine6(vcol, center_lit), F.lit(-1.0)), 6
+    )
+
+
+def _kc_duck_dist(a: str, b: str) -> str:
+    return f"round(1 - COALESCE({duck_cosine6(a, b)}, -1), 6)"
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled k-stage DuckDB twin: c0 = min vec_id seed; m{i} carries
+    every point's min distance to the chosen set; c{i+1} = argmax of
+    m{i} (vec_id tiebreak) — the exact greedy recurrence, so the whole
+    SELECTION SEQUENCE is hash-checked, not just the final set.  Every
+    m{i} is AS MATERIALIZED: each is referenced twice (by c{i+1} and
+    m{i+1}), and DuckDB's default inlining re-evaluates the whole
+    prefix chain per reference — 2^k blowup, measured 385 s at k=12 /
+    sf0.01 vs ~1 s materialized."""
+    stages = ["""
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+    m0 AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {d} AS mind
+      FROM e CROSS JOIN c0
+    )""".format(d=_kc_duck_dist("e.embedding", "c0.embedding"))]
+    for i in range(1, k):
+        stages.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT vec_id, embedding, mind FROM m{i - 1}
+      ORDER BY mind DESC, vec_id LIMIT 1),
+    m{i} AS MATERIALIZED (
+      SELECT m.vec_id, m.embedding,
+             least(m.mind,
+                   {_kc_duck_dist('m.embedding', f'c{i}.embedding')}) AS mind
+      FROM m{i - 1} m CROSS JOIN c{i}
+    )""")
+    sels = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,"
+        " CAST(2.0 AS DOUBLE) AS gap FROM c0"
+    ] + [
+        f"SELECT CAST({i + 1} AS BIGINT), vec_id, mind FROM c{i}"
+        for i in range(1, k)
+    ]
+    return (
+        "WITH" + ",".join(stages) + "\n"
+        + "\nUNION ALL ".join(sels) + "\nORDER BY sel_rank"
+    )
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle(_KC_K))
+def sample_kcenter_coreset(spark, sf_dir, k: int = _KC_K):
+    """Greedy k-center coreset over the embedding corpus (Gonzalez '85,
+    the classic 2-approximation): seed with the smallest vec_id, then
+    k-1 times select the point FARTHEST from the chosen set (max of
+    min-cosine-distance, vec_id tiebreak).  Output is the selection
+    sequence with each pick's ``gap`` — its distance to the set at
+    selection time, which is also a certificate: every unselected point
+    lies within gap_k of some center, and no (k-1)-subset can cover
+    tighter than gap_k / 2.  This is the diversity-sampling shape a
+    curation pipeline runs for eval-seed selection and SemDeDup-style
+    anchor picking; the seed's gap is the 2.0 diameter bound by
+    convention (no prior centers).
+
+    Scale (100 TB posture): a driver loop of k bounded iterations (the
+    kmeans_lloyd pattern); each iteration is ONE linear corpus scan — the
+    chosen centers ride along as literal arrays (k * dim doubles, "
+    broadcast-by-constant), the running min-distance column folds via
+    least(), and the argmax is TakeOrdered — no shuffle, no join, no
+    state beyond k rows on the driver.  Total work O(k * n * dim).
+
+    Exactness: distances are the family's 6-decimal-rounded cosine with
+    the zero-norm -> 2.0 convention (both engines), least/argmax compare
+    those rounded doubles, ties break on vec_id — the full greedy
+    SEQUENCE is deterministic and the oracle replays it stage by stage."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    seed = e.orderBy("vec_id").first()
+    out_schema = "sel_rank bigint, vec_id bigint, gap double"
+    if seed is None:  # empty corpus -> empty coreset, never a throw
+        return spark.createDataFrame([], out_schema)
+
+    def lit_vec(vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
+
+    picks = [(1, seed["vec_id"], 2.0)]
+    cur = e.select(
+        "vec_id", "v", _kc_dist(F.col("v"), lit_vec(seed["v"])).alias("mind")
+    )
+    for rank in range(2, k + 1):
+        far = cur.orderBy(F.desc("mind"), F.asc("vec_id")).first()
+        # NO early break on mind == 0: with fewer than k distinct
+        # vectors the greedy recurrence keeps selecting zero-gap rows
+        # (smallest vec_id first), and the unrolled oracle does exactly
+        # the same — an early break would row-count-diverge on
+        # degenerate corpora
+        picks.append((rank, far["vec_id"], float(far["mind"])))
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.least(
+                F.col("mind"), _kc_dist(F.col("v"), lit_vec(far["v"]))
+            ).alias("mind"),
+        )
+    return spark.createDataFrame(picks, out_schema).orderBy("sel_rank")

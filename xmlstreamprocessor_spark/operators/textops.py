@@ -1161,22 +1161,29 @@ def _bpe_stages(k: int) -> str:
     re-merge of the just-merged token is impossible — [a,a,a] gives
     [aa,a].  Vocabulary restricted to ^[a-z]+$ keeps '|' out of
     symbols; both engines' folds are sequential left-to-right, so
-    re-segmentations agree exactly."""
+    re-segmentations agree exactly.
+
+    Every stage is AS MATERIALIZED (r12): seg{i} is referenced twice
+    (by cnt{i} and seg{i+1}), and DuckDB's default CTE inlining
+    re-evaluates the whole prefix chain per reference — 2^k blowup,
+    measured 28.1 s -> 0.3 s (train) and 21.8 s -> 0.2 s (encode) at
+    k=10/sf0.01 with identical results.  The same trap was found first
+    on the k-center oracle (BASELINE round-12 addendum C)."""
     stages = ["""
-    vocab AS (
+    vocab AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
             FROM documents)
       WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
       GROUP BY w
     ),
-    seg0 AS (
+    seg0 AS MATERIALIZED (
       SELECT freq, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS seg
       FROM vocab
     )"""]
     for i in range(k):
         stages.append(f"""
-    cnt{i} AS (
+    cnt{i} AS MATERIALIZED (
       SELECT l[i] AS lft, l[i + 1] AS rgt, CAST(sum(freq) AS BIGINT) AS wc
       FROM (
         SELECT freq, l, unnest(generate_series(2, len(l) - 2)) AS i
@@ -1184,10 +1191,10 @@ def _bpe_stages(k: int) -> str:
       ) p
       GROUP BY 1, 2
     ),
-    best{i} AS (
+    best{i} AS MATERIALIZED (
       SELECT lft, rgt, wc FROM cnt{i} ORDER BY wc DESC, lft, rgt LIMIT 1
     ),
-    seg{i + 1} AS (
+    seg{i + 1} AS MATERIALIZED (
       -- LEFT JOIN ON TRUE, not a cross join: when pair counts exhaust
       -- before k merges, best{i} is EMPTY and a cross join would
       -- silently empty seg{{i+1}}..seg{{k}} while the Spark trainer
@@ -1234,7 +1241,7 @@ def _bpe_encode_oracle(k: int) -> str:
     return (
         _bpe_stages(k)
         + f""",
-    tok AS (
+    tok AS MATERIALIZED (
       SELECT freq, unnest(string_split(seg, '|')) AS token FROM seg{k}
     )
     SELECT token,
