@@ -1556,3 +1556,48 @@ def test_pair_graph_df_stats_compaction_equivalent_and_idempotent(spark, tmp_pat
     assert {tuple(r) for r in c3.collect()} == {tuple(r) for r in c1.collect()}
     snap2 = spark.read.parquet(os.path.join(snap_dir, "upto=4"))
     assert {tuple(r) for r in snap2.collect()} == snap_rows
+
+
+def test_stream_dsir_scoring_equals_batch(spark, tmp_path):
+    """The DSIR scorer against FROZEN fitted weights is a pure
+    projection (literal weight map inside a codegen fold — no join, no
+    state), so it must run AS a streaming transformation and produce
+    bit-identical scores to the batch path on the same documents — the
+    frozen-artifact streaming pattern the minhash/index families pin."""
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.sampling import (
+        _DSIR_TARGET,
+        dsir_fit_weights,
+        dsir_score,
+    )
+    from xmlstreamprocessor_spark.streaming.sources import stream_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = dsir_fit_weights(spark, docs)  # fit ONCE on the static corpus
+    batch = {
+        r["doc_id"]: (r["logw"], r["score_int"])
+        for r in dsir_score(
+            docs.filter(F.col("lang") != _DSIR_TARGET), w
+        ).collect()
+    }
+    assert batch
+
+    got: dict[int, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["doc_id"]] = (r["logw"], r["score_int"])
+
+    q = (
+        dsir_score(
+            stream_documents(spark, SF).filter(F.col("lang") != _DSIR_TARGET),
+            w,
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch

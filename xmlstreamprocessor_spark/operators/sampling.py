@@ -541,7 +541,35 @@ def mix_dsir_importance_resample(spark, sf_dir):
     the final top-N is TakeOrdered.  Per-ingest re-scoring against
     frozen weights touches only the new batch, like every other
     frozen-artifact path in this repo."""
-    d = _dsir_with_feats(t(spark, sf_dir, "documents"))
+    d = t(spark, sf_dir, "documents")
+    w_rows = dsir_fit_weights(spark, d)
+    scored = dsir_score(d.filter(F.col("lang") != _DSIR_TARGET), w_rows)
+    return (
+        scored.orderBy(F.desc("score_int"), F.asc("doc_id"))
+        .limit(_DSIR_N)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(F.col("logw") / F.lit(float(_DSIR_SCALE)), 6)
+            .alias("log_weight"),
+            F.round(F.col("score_int") / F.lit(float(_DSIR_SCALE)), 6)
+            .alias("score"),
+        )
+    )
+
+
+def dsir_fit_weights(spark, docs):
+    """Fit the DSIR bucket model over a corpus frame: ONE corpus-token
+    aggregation (map-side combinable to _DSIR_B rows), a bounded
+    _DSIR_B-row collect, totals derived driver-side, and the log-ratio
+    weights computed over a LOCAL 256-row frame (LocalTableScan — the
+    ln stays JVM-side for cross-engine exactness; an earlier version
+    aggregated the token stream twice, ~2x the wall at sf0.1).  Returns
+    the bounded list of (b, w) Rows — the FROZEN artifact a pipeline
+    persists at fit time and replays for map-only scoring of every
+    later batch, batch or streaming."""
+    d = _dsir_with_feats(docs)
     is_t = F.col("lang") == _DSIR_TARGET
     tok = d.select(is_t.alias("is_t"), F.explode("feats").alias("tok"))
     bc = tok.groupBy(
@@ -550,12 +578,6 @@ def mix_dsir_importance_resample(spark, sf_dir):
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("ct"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("cr"),
     )
-    # ONE corpus-token aggregation: collect the 256-row bucket-count
-    # table, derive totals in the driver, and compute the log-ratio
-    # weights over a LOCAL 256-row frame (LocalTableScan — the ln stays
-    # JVM-side for cross-engine exactness, but no second corpus pass;
-    # the first version aggregated the token stream twice, ~2x the
-    # query's wall at sf0.1)
     counts = (
         spark.range(_DSIR_B)
         .select(F.col("id").cast("bigint").alias("b"))
@@ -565,7 +587,7 @@ def mix_dsir_importance_resample(spark, sf_dir):
     )
     t_tot = sum(r["ct"] for r in counts)
     r_tot = sum(r["cr"] for r in counts)
-    w_rows = spark.createDataFrame(
+    return spark.createDataFrame(
         [(r["b"], r["ct"], r["cr"]) for r in counts],
         "b bigint, ct bigint, cr bigint",
     ).select(
@@ -586,6 +608,17 @@ def mix_dsir_importance_resample(spark, sf_dir):
         .cast("bigint")
         .alias("w"),
     ).collect()
+
+
+def dsir_score(docs, w_rows):
+    """Map-only DSIR scorer against FROZEN fitted weights: adds exact
+    fixed-point ``logw`` and Gumbel-perturbed ``score_int`` to any
+    (doc_id, text, lang, source) frame.  The weights replay as a
+    literal map inside a whole-stage-codegen fold — a PURE PROJECTION
+    with no join, shuffle, or state, so the same expression scores a
+    ``readStream`` of documents unchanged (pytest pins stream == batch
+    scores); at 100 TB per-ingest re-scoring touches only the new
+    batch, like every other frozen-artifact path in this repo."""
     wmap = F.map_from_arrays(
         F.array(*[F.lit(r["b"]) for r in w_rows]),
         F.array(*[F.lit(r["w"]) for r in w_rows]),
@@ -599,23 +632,10 @@ def mix_dsir_importance_resample(spark, sf_dir):
         _hash_bucket(F.col("doc_id"), _DSIR_GRID).cast("double") + F.lit(0.5)
     ) / F.lit(float(_DSIR_GRID))
     g_int = F.floor(F.lit(_DSIR_SCALE) * -F.log(-F.log(u))).cast("bigint")
-    scored = d.filter(~is_t).select(
+    return _dsir_with_feats(docs).select(
         "doc_id",
         "lang",
         "source",
         logw.alias("logw"),
         (logw + g_int).alias("score_int"),
-    )
-    return (
-        scored.orderBy(F.desc("score_int"), F.asc("doc_id"))
-        .limit(_DSIR_N)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.round(F.col("logw") / F.lit(float(_DSIR_SCALE)), 6)
-            .alias("log_weight"),
-            F.round(F.col("score_int") / F.lit(float(_DSIR_SCALE)), 6)
-            .alias("score"),
-        )
     )
