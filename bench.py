@@ -118,12 +118,18 @@ BENCH_QUERIES = [
 
 # Ambient-noise canary (r11 verdict #3): the bench box shows up to 3x
 # same-code swings mid-session, which made two r11 A/Bs unresolvable.
-# The canary is a FIXED shuffle+agg micro-benchmark on generated data
-# (no I/O, no caches to clear) run before and after the query loop in
+# The canary is a FIXED shuffle micro-benchmark on generated data (no
+# I/O, no caches to clear) run before and after the query loop in
 # --quiet mode; its median against the calibrated reference (see
 # BASELINE.md §5 protocol note) certifies the window quiet or marks the
 # run ambient-contaminated — gates and sub-2x A/Bs only count inside
-# the band.
+# the band.  NOTE (judge advice r12): the action is .count() on the
+# aggregated frame, so Catalyst PRUNES the sum(v) aggregate — the
+# measured workload is a distinct-group-count shuffle over 30M rows,
+# not a full shuffle+sum.  That is fine (the canary only needs a fixed,
+# ambient-sensitive workload) and the reference below was calibrated
+# with this exact code, so the pruned plan IS the calibrated plan; do
+# not "fix" the action without recalibrating CANARY_REF_SEC.
 CANARY_REF_SEC = 0.52  # calibrated quiet-window median (BASELINE.md §5
 # protocol note: x4 fresh-session samples 0.632/0.524/0.497/0.452 on the
 # r12 bench box; the first triple runs warmest, hence the asymmetric band)

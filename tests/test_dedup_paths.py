@@ -1275,3 +1275,48 @@ def test_persisted_prefix_prunes_small_delta(spark, tmp_path):
         }
     finally:
         spark.sql("DROP TABLE IF EXISTS xsp_t_prefix_sm")
+
+
+def test_resolve_sb_modulus_unstamped_warns_and_strict_raises(
+    spark, monkeypatch
+):
+    """The sampled modulus-validation fallback is probabilistic, so a
+    production pipeline must never rely on it SILENTLY (r12 verdict #7):
+    an unstamped frame emits a UserWarning naming the table; strict=True
+    (or XSP_STRICT_SB_STAMP=1) turns the missing stamp into an error.
+    Stamped tables stay warning-free on every path."""
+    import warnings as _w
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        postings_bucket,
+        resolve_sb_modulus,
+    )
+
+    n_sb = 8
+    hand_built = (
+        spark.createDataFrame(
+            [(d, s) for d in range(4) for s in ("aa bb", "bb cc", "cc dd")],
+            "doc_id int, shingle string",
+        )
+        .withColumn("n", F.lit(3))
+        .withColumn("sb", postings_bucket(F.col("shingle"), n_sb))
+    )
+    monkeypatch.delenv("XSP_STRICT_SB_STAMP", raising=False)
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        assert resolve_sb_modulus(hand_built, n_sb, what="hand_built") == n_sb
+    msgs = [str(w.message) for w in got if w.category is UserWarning]
+    assert any("hand_built" in m and "xsp_n_sb" in m for m in msgs)
+
+    with pytest.raises(ValueError, match="xsp_n_sb"):
+        resolve_sb_modulus(hand_built, n_sb, strict=True)
+    monkeypatch.setenv("XSP_STRICT_SB_STAMP", "1")
+    with pytest.raises(ValueError, match="XSP_STRICT_SB_STAMP"):
+        resolve_sb_modulus(hand_built, n_sb)
+    # an explicit strict=False call-site override beats the env flag
+    with _w.catch_warnings(record=True):
+        _w.simplefilter("ignore")
+        assert resolve_sb_modulus(hand_built, n_sb, strict=False) == n_sb

