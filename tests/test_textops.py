@@ -550,3 +550,80 @@ def test_bpe_oracle_agrees_when_pairs_exhaust_before_k(spark):
     sm, st = bpe_train(spark, None, k=3, docs=vocab)
     assert [tuple(r)[:4] for r in sm.collect()] == [(1, "a", "b", "ab")]
     assert [r["seg"] for r in st.collect()] == ["|ab|"]
+
+
+def _vocab_from_words(spark, words):
+    from pyspark.sql import functions as FF
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    return (
+        docs.select(
+            FF.explode(
+                FF.split(FF.trim(FF.lower(FF.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "freq",
+            FF.concat(
+                FF.lit("|"), FF.regexp_replace("w", "(.)", "$1|")
+            ).alias("seg"),
+        )
+    )
+
+
+def test_bpe_batched_equals_sequential_adversarial_tie(spark):
+    """The case the batcher's strict-dominance trim exists for (r12
+    verdict #2): corpus 'cab' x5 / 'de' x5 / 'fg' x4.  Round 1's argmax
+    is (a,b) (tie with (c,a) and (d,e), lexicographic win); merging it
+    CREATES (c,ab) with count 5, which beats (d,e) on the (lft, rgt)
+    tie-break under its new name — so batching [(a,b), (d,e)] in one
+    round (they are symbol-disjoint!) would diverge from sequential
+    greedy.  The trim must cut (d,e) because its count does not STRICTLY
+    exceed the first excluded candidate's ((c,a), wc 5), making merge 2
+    (c,ab) exactly as the sequential trainer picks it."""
+    from xmlstreamprocessor_spark.operators.textops import bpe_train
+
+    words = ["cab"] * 5 + ["de"] * 5 + ["fg"] * 4
+    seqs = {}
+    for m in (1, 8):
+        vocab = _vocab_from_words(spark, words)
+        out, _ = bpe_train(spark, None, k=4, docs=vocab, batch_m=m)
+        seqs[m] = [tuple(r) for r in out.collect()]
+    assert seqs[1] == seqs[8]
+    assert [(s[1], s[2]) for s in seqs[8][:2]] == [("a", "b"), ("c", "ab")]
+
+
+def test_bpe_batched_equals_sequential_random_corpora(spark):
+    """Batch == sequential over seeded random corpora: same merge table
+    (rank, pair, weighted count) and same final vocabulary for
+    batch_m in {2, 8} vs the sequential batch_m=1 trainer, across
+    corpora dense enough to force conflicts, ties, and multi-merge
+    batches in the same run."""
+    import random
+
+    from xmlstreamprocessor_spark.operators.textops import bpe_train
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        words = [
+            "".join(
+                rng.choice("abcd") for _ in range(rng.randint(2, 7))
+            )
+            for _ in range(120)
+        ]
+        ref = None
+        for m in (1, 2, 8):
+            vocab = _vocab_from_words(spark, words)
+            out, wf = bpe_train(spark, None, k=9, docs=vocab, batch_m=m)
+            got = (
+                [tuple(r) for r in out.collect()],
+                sorted((r["freq"], r["seg"]) for r in wf.collect()),
+            )
+            if ref is None:
+                ref = got
+            else:
+                assert got == ref, (seed, m)

@@ -17,8 +17,10 @@ the moment the trainer drops it (plus whatever survives the run), via
 wrappers around dedup.scratch_path/drop_scratch — the same seam the
 slice-write pytest spies on.
 
-Usage: python tools/bench_bpe_k.py [k] [sf_dir] [--synth N]
-One JSON line on stdout; per-iteration walls to BENCH_BPE_K_LATEST.json.
+Usage: python tools/bench_bpe_k.py [k] [sf_dir] [--synth N] [--batch-m M]
+One JSON line on stdout; per-merge walls (round wall / merges applied
+that round — multi-merge batching, r13) to BENCH_BPE_K_LATEST.json.
+``--batch-m 1`` measures the pre-r13 sequential behavior.
 
 ``--synth N``: the sf-dir corpora have only ~30 distinct words (merge
 pressure exhausts at ~89 — measured), so the k=500 regime needs a
@@ -95,6 +97,13 @@ def main() -> None:
         i = rest.index("--synth")
         synth_n = int(rest[i + 1])
         rest = rest[:i] + rest[i + 2:]
+    from xmlstreamprocessor_spark.operators.textops import _BPE_BATCH_M
+
+    batch_m = _BPE_BATCH_M
+    if "--batch-m" in rest:
+        i = rest.index("--batch-m")
+        batch_m = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2:]
     sf_dir = rest[0] if rest else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -116,22 +125,32 @@ def main() -> None:
         real_drop(p)
 
     dd.scratch_path, dd.drop_scratch = scratch, drop
-    walls: list[float] = []
+    walls: list[float] = []  # PER-MERGE walls (round wall / merges in
+    # round — the hook fires once per driver round-trip since the r13
+    # multi-merge batching, with the rank of the round's LAST merge)
+    rounds: list[list[float]] = []  # (merges_in_round, round_wall)
     setup = [0.0]
     prev = [time.perf_counter()]
+    prev_rank = [0]
 
     def hook(rank: int) -> None:
         now = time.perf_counter()
         if rank == 0:  # setup boundary: base vocab + initial counts
             setup[0] = round(now - prev[0], 3)
         else:
-            walls.append(round(now - prev[0], 3))
+            n_in_round = rank - prev_rank[0]
+            wall = now - prev[0]
+            rounds.append([n_in_round, round(wall, 3)])
+            walls.extend([round(wall / n_in_round, 4)] * n_in_round)
         prev[0] = now
+        prev_rank[0] = rank
 
     docs = synth_vocab(spark, synth_n) if synth_n else None
     t0 = time.perf_counter()
     try:
-        merges, wf = bpe_train(spark, sf_dir, k=k, docs=docs, iter_hook=hook)
+        merges, wf = bpe_train(
+            spark, sf_dir, k=k, docs=docs, batch_m=batch_m, iter_hook=hook
+        )
         n_merges = merges.count()
         vocab_rows = wf.count()
     finally:
@@ -151,6 +170,11 @@ def main() -> None:
     summary = {
         "metric": "bpe_train_k",
         "k": k,
+        "batch_m": batch_m,
+        "rounds": len(rounds),
+        "sec_per_round_median": round(
+            sorted(r[1] for r in rounds)[len(rounds) // 2], 3
+        ),
         "merges_produced": n_merges,
         "vocab_rows": vocab_rows,
         "sf": sf_dir,
@@ -173,7 +197,11 @@ def main() -> None:
         "BENCH_BPE_K_LATEST.json",
     )
     with open(side, "w") as f:
-        json.dump({**summary, "per_iter_walls": walls}, f, indent=1)
+        json.dump(
+            {**summary, "per_iter_walls": walls, "round_walls": rounds},
+            f,
+            indent=1,
+        )
     print(json.dumps(summary))
     spark.stop()
 

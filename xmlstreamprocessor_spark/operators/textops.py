@@ -1326,11 +1326,13 @@ def _bpe_merge_expr(seg_col, lft: str, rgt: str):
 
 
 _BPE_COMPACT_EVERY = 8  # overlay fragments folded into the base every m
+_BPE_BATCH_M = 8  # max merges applied per driver round-trip (see below)
 
 
 def bpe_train(
     spark, sf_dir, k: int = _BPE_K, docs=None,
     compact_every: int = _BPE_COMPACT_EVERY,
+    batch_m: int = _BPE_BATCH_M,
     iter_hook=None,
 ):
     """Train k BPE merges (Sennrich et al., ACL'16 "Neural Machine
@@ -1369,9 +1371,44 @@ def bpe_train(
     and amortized write volume per merge is the affected slice plus
     vocab/compact_every, not the full vocabulary.  Measured walls and
     write volumes at k=100/500 are in BASELINE.md (round-12 addendum).
-    ``iter_hook(rank)``, when given, fires after each completed merge —
-    the measurement seam ``tools/bench_bpe_k.py`` uses to record
-    per-iteration walls without duplicating the loop.
+
+    MULTI-MERGE BATCHING (r12 verdict #2 — the fastBPE / HF-tokenizers
+    practice): the remaining cost floor was ~1 s of driver round-trips
+    PER MERGE (~3 jobs + 2 slice writes), putting a Sennrich-scale
+    k=30,000 run at 8+ hours.  Each round-trip now applies up to
+    ``batch_m`` merges chosen so the batched sequence is EXACTLY the
+    sequential greedy sequence — provable, not heuristic:
+
+    * the batch is the maximal pairwise-SYMBOL-DISJOINT *prefix* of the
+      (wc DESC, lft, rgt) candidate order, cut at the first conflict;
+    * a merge (a,b) only changes counts of pairs having a or b as a
+      member (two adjacency pairs can only interact through a shared
+      position, which forces a shared symbol), so every batched member's
+      own count is invariant under the batch's earlier merges;
+    * every pair a batch merge can CREATE — (x,ab), (ab,y), (ab,ab) —
+      is count-bounded by a pre-existing pair that CONFLICTS with the
+      batch ((x,a), (b,y), (b,a) respectively), hence lies outside the
+      disjoint prefix, hence has wc <= the first excluded candidate's;
+    * so requiring every member after the argmax to have wc STRICTLY
+      greater than the first excluded candidate's wc makes each member
+      the true sequential argmax at its turn — strict, because a
+      created pair with an EQUAL count could win the (lft, rgt)
+      tie-break under its new merged name.  The argmax itself is always
+      exact and is kept unconditionally (batch size never 0).
+
+    The recorded weighted_count per merge is the count AT MERGE TIME
+    (= the shared snapshot's count, by the invariance above); the merge
+    table is identical to batch_m=1's for every batch_m, and the k=10
+    oracle query runs WITH batching on — the unrolled SEQUENTIAL DuckDB
+    twin hash-checks the equivalence every round.  All batch merges
+    apply as one chained fold in ONE slice write (a fold can never
+    recreate an earlier batch pair: merges only create adjacencies
+    involving the new merged symbol, and batch pairs are old symbols).
+
+    ``iter_hook(rank)``, when given, fires after each completed
+    ROUND-TRIP with the rank of the last merge applied (rank 0 = the
+    setup boundary) — the measurement seam ``tools/bench_bpe_k.py``
+    uses to record per-round walls without duplicating the loop.
     Determinism: counts are exact integer sums and ties break on
     (lft, rgt) ascending."""
     from xmlstreamprocessor_spark.operators.dedup import (
@@ -1431,16 +1468,46 @@ def bpe_train(
         return new, p
 
     merges = []
-    for rank in range(1, k + 1):
-        best = (
+    while len(merges) < k:
+        room = k - len(merges)
+        want = max(1, min(batch_m, room))
+        # fetch enough of the head to see past the first conflict: the
+        # batch is a PREFIX, so a fetch of ~4x the batch size either
+        # contains the conflict that cuts it or (list shorter than the
+        # fetch) proves the candidate list is exhausted
+        fetch = max(want * 4, want + 1)
+        cands = (
             _cnt_view().filter(F.col("wc") > 0)
             .orderBy(F.desc("wc"), F.asc("lft"), F.asc("rgt"))
-            .first()
+            .limit(fetch)
+            .collect()
         )
-        if best is None:
+        if not cands:
             break
-        lft, rgt, wc = best["lft"], best["rgt"], best["wc"]
-        merges.append((rank, lft, rgt, lft + rgt, wc))
+        batch = [cands[0]]
+        used = {cands[0]["lft"], cands[0]["rgt"]}
+        excl_wc = 0  # exhausted list: no pair outside the batch exists,
+        # so nothing (existing or created) can overtake any member
+        for c in cands[1:]:
+            if len(batch) >= want or {c["lft"], c["rgt"]} & used:
+                excl_wc = c["wc"]
+                break
+            batch.append(c)
+            used |= {c["lft"], c["rgt"]}
+        else:
+            if len(cands) == fetch:
+                # list may continue past the fetch: the unseen head has
+                # wc <= the last fetched — treat it as the excluded cut
+                excl_wc = cands[-1]["wc"]
+        # strict-dominance trim (see docstring): members tied with the
+        # first excluded candidate could lose a tie-break to a renamed
+        # created pair — the argmax itself is exact unconditionally
+        batch = [batch[0]] + [b for b in batch[1:] if b["wc"] > excl_wc]
+        for b in batch:
+            merges.append(
+                (len(merges) + 1, b["lft"], b["rgt"],
+                 b["lft"] + b["rgt"], b["wc"])
+            )
         # in the '|'-wrapped format, substring containment of
         # "|lft|rgt|" is EXACTLY "the symbol pair (lft, rgt) occurs"
         # (both sides anchored), so the affected-word predicate is
@@ -1448,18 +1515,19 @@ def bpe_train(
         # or (since r12) re-WRITTEN.  persist (bounded: slice-sized,
         # unpersisted at iteration end — a localCheckpoint could not be
         # released and would accumulate k cached slices) so the overlay
-        # view is scanned ONCE per iteration — the slice write and the
+        # view is scanned ONCE per round-trip — the slice write and the
         # negative count delta both read the cached rows, not the
         # multi-layer union again
-        affected = (
-            _wf_view()
-            .filter(F.col("seg").contains(f"|{lft}|{rgt}|"))
-            .persist()
-        )
+        pred = None
+        for b in batch:
+            c = F.col("seg").contains(f"|{b['lft']}|{b['rgt']}|")
+            pred = c if pred is None else (pred | c)
+        affected = _wf_view().filter(pred).persist()
+        folded = F.col("seg")
+        for b in batch:  # chained fold = sequential application order
+            folded = _bpe_merge_expr(folded, b["lft"], b["rgt"])
         slice_frame, slice_path = _mat(
-            affected.withColumn(
-                "seg", _bpe_merge_expr(F.col("seg"), lft, rgt)
-            )
+            affected.withColumn("seg", folded)
         )
         # the count delta reads the just-written slice back (one scan of
         # slice-sized parquet) rather than re-running the fold
@@ -1468,7 +1536,7 @@ def bpe_train(
             .select("lft", "rgt", (-F.col("wc")).alias("wc"))
             .unionAll(_bpe_pair_counts(slice_frame))
         )
-        applied.append((lft, rgt))
+        applied.extend((b["lft"], b["rgt"]) for b in batch)
         wf_layers.append((slice_frame, slice_path, len(applied)))
         cnt_layers.append((delta_frame, delta_path))
         affected.unpersist()  # both consumers (slice, delta) are written
@@ -1476,7 +1544,7 @@ def bpe_train(
             wf_layers = [(*_compact(wf_layers, _wf_view()), len(applied))]
             cnt_layers = [_compact(cnt_layers, _cnt_view())]
         if iter_hook is not None:
-            iter_hook(rank)
+            iter_hook(len(merges))
     if len(wf_layers) > 1 or wf_layers[0][2] < len(applied):
         wf_layers = [(*_compact(wf_layers, _wf_view()), len(applied))]
     for _f, p in cnt_layers:  # counts are not part of the result
