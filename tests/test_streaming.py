@@ -1601,3 +1601,174 @@ def test_stream_dsir_scoring_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch
+
+
+def test_stream_containment_maintenance_equals_full_recompute(spark, tmp_path):
+    """The containment substrate's streaming face (r12 verdict #5):
+    documents arrive in 3 micro-batches; containment_foreach_batch
+    appends each batch's prefix rows to the persisted artifact
+    (freeze-once => pure appends) and maintains pair/component state.
+    Pins: (1) streamed pairs == full containment_pairs recompute and
+    components == CC over the undirected support; (2) the stream-grown
+    artifact is interchangeable with a monolithic persist_prefix rebuild
+    — containment_pairs_delta returns identical pairs for a NEW delta
+    through either (per-doc prefix ORDER may differ between them — df at
+    ingest time vs final, both lossless fixed orders, the freeze-once
+    theorem — so equivalence is pinned at the consumption layer, plus
+    the per-doc row-count invariant directly); (3) a drained-checkpoint
+    restart changes nothing and a direct REPLAY of the last batch body
+    overwrites its own partitions byte-identically (idempotency)."""
+    import os
+    import shutil
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_delta,
+        persist_prefix,
+        shingle_sets,
+    )
+    from xmlstreamprocessor_spark.operators.graph import connected_components
+    from xmlstreamprocessor_spark.streaming.dedup import (
+        containment_foreach_batch,
+        containment_state,
+    )
+
+    thr = 0.8
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    streamed = docs.filter(F.col("doc_id") % 4 != 3)  # batches 0..2
+    new_delta = docs.filter(F.col("doc_id") % 4 == 3)  # the later ingest
+
+    src = tmp_path / "cdocs_src"
+    src.mkdir()
+    base_t = 1_700_000_000
+    for i in range(3):
+        stage = tmp_path / f"_cstage_{i}"
+        streamed.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dest = src / f"batch_{i}.parquet"
+        shutil.copyfile(stage / part, dest)
+        os.utime(dest, (base_t + 60 * i, base_t + 60 * i))
+
+    state_dir = str(tmp_path / "cont_state")
+    table = "xsp_t_stream_prefix"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    body = containment_foreach_batch(
+        state_dir, table, str(tmp_path / "cont_prefix"), threshold=thr
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", str(tmp_path / "cont_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    try:
+        run_once()
+        assert len(
+            [d for d in os.listdir(f"{state_dir}/cpairs")
+             if d.startswith("batch_id=")]
+        ) == 3
+
+        def pair_set(df):
+            return {
+                (r["contained_id"], r["container_id"]): r["containment"]
+                for r in df.collect()
+            }
+
+        pairs, comp, prefix = containment_state(spark, state_dir, table)
+        full = containment_pairs(spark, None, docs=streamed, threshold=thr)
+        want_pairs = pair_set(full)
+        assert pair_set(pairs) == want_pairs and len(want_pairs) > 0
+        want_comp = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                full, src="contained_id", dst="container_id"
+            ).collect()
+        }
+        assert {
+            (r["node"], r["component"]) for r in comp.collect()
+        } == want_comp
+
+        # per-doc artifact invariant: every streamed doc contributes
+        # exactly min(plen, n) prefix rows, same as a monolithic build
+        plen_rows = {
+            r["contained_id"]: r["cnt"]
+            for r in prefix.groupBy("contained_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        import math
+
+        for r in shingle_sets(streamed).select("doc_id", "n").collect():
+            # _prefix_plen as plain python: max(1, n - ceil(t*n) + 1)
+            want_plen = max(
+                1, r["n"] - math.ceil(thr * r["n"] - 1e-9) + 1
+            )
+            assert plen_rows[r["doc_id"]] == min(want_plen, r["n"])
+
+        # interchangeability: a NEW delta probes the stream-grown
+        # artifact and a monolithic rebuild — identical pairs, and both
+        # equal the no-artifact recompute
+        spark.sql("DROP TABLE IF EXISTS xsp_t_mono_prefix")
+        base_sh = shingle_sets(streamed).localCheckpoint()
+        mono = persist_prefix(
+            base_sh, "xsp_t_mono_prefix",
+            str(tmp_path / "mono_prefix"), threshold=thr,
+        )
+        probe_docs = streamed.unionByName(new_delta)
+        is_d = F.col("doc_id") % 4 == 3
+        got = [
+            pair_set(
+                containment_pairs_delta(
+                    spark, None, threshold=thr, docs=probe_docs,
+                    is_delta=is_d, base_shingle_sets=base_sh,
+                    base_prefix=bp,
+                )
+            )
+            for bp in (prefix, mono, None)
+        ]
+        assert got[0] == got[1] == got[2]
+
+        # drained-checkpoint restart: no new batches, nothing changes
+        run_once()
+        pairs2, comp2, prefix2 = containment_state(spark, state_dir, table)
+        assert pair_set(pairs2) == want_pairs
+        assert prefix2.count() == prefix.count()
+
+        # direct replay of the LAST batch body (the crash-replay shape):
+        # same input => byte-identical partition overwrite, state fixed
+        batch2 = streamed.filter(F.col("doc_id") % 4 == 2)
+        before = {
+            tuple(r)
+            for r in spark.table(table)
+            .select("contained_id", "nc", "shingle", "sb", "batch_id")
+            .collect()
+        }
+        body(batch2, 2)
+        after = {
+            tuple(r)
+            for r in spark.table(table)
+            .select("contained_id", "nc", "shingle", "sb", "batch_id")
+            .collect()
+        }
+        assert after == before
+        pairs3, _, _ = containment_state(spark, state_dir, table)
+        assert pair_set(pairs3) == want_pairs
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql("DROP TABLE IF EXISTS xsp_t_mono_prefix")

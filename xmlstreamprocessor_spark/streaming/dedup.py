@@ -393,3 +393,206 @@ def pair_graph_state(spark, state_dir: str):
     )
     comp = spark.read.parquet(f"{comp_dir}/batch_id={comp_ids[-1]}")
     return pairs, comp
+
+
+def containment_foreach_batch(
+    state_dir: str,
+    table: str,
+    path: str,
+    threshold: float = 0.8,
+    n_sb: int = 16,
+    buckets: int = 16,
+):
+    """Streaming face of the CONTAINMENT substrate (r12 verdict #5) —
+    the ``foreachBatch`` body that keeps the persisted-prefix artifact
+    and the containment pair/component artifacts current as documents
+    stream in, the asymmetric-family sibling of
+    :func:`pair_graph_foreach_batch`:
+
+    * the :func:`operators.dedup.persist_prefix` ARTIFACT (``table`` at
+      ``path``) — each batch APPENDS its own docs' lossless rarest-first
+      prefix rows.  The freeze-once invariant
+      (operators/dedup.py::persist_prefix) is exactly what makes a
+      streaming face possible: the prefix rule is lossless under ANY
+      fixed per-doc shingle order, so rows written by earlier batches
+      are never rewritten as df stats drift — ingest is pure appends.
+      The table is partitioned by ``(sb, batch_id)`` and bucketed by
+      shingle: consumers still statically prune on ``sb`` and join
+      exchange-free on the bucket layout, while a crash-replay of batch
+      N dynamically overwrites exactly its own ``batch_id=N`` partitions
+      — idempotent without a transactional sink, the same
+      write-only-under-your-own-key pattern as the Jaccard face.
+    * ``{state_dir}/shingles/batch_id=N`` — the batch's shingle sets
+      (verification substrate; text never re-parsed)
+    * ``{state_dir}/cdf/batch_id=N`` — the batch's per-shingle df counts
+      (the rarest-first ORDER input; order affects candidate volume
+      only, never losslessness)
+    * ``{state_dir}/cpairs/batch_id=N`` — verified directed containment
+      pairs >= threshold with >= 1 endpoint in the batch
+      (``operators/dedup.containment_pairs_delta``: the batch probes as
+      CONTAINED against full postings, and the PRUNED batch_id<N
+      artifact probes as contained against the batch's postings — never
+      base x base)
+    * ``{state_dir}/components/batch_id=N`` — full CC snapshot over the
+      undirected support of all containment pairs so far
+      (``operators/graph.merge_components``)
+
+    Replay determinism: batch N's prefix order uses df stats over
+    batches <= N (immutable batch_id<N state plus the batch's own rows,
+    computed in-memory before anything is written), its pair generation
+    reads the artifact filtered to ``batch_id < N`` (its own possibly
+    half-written partitions are excluded by construction), and every
+    state write lands only under ``batch_id=N`` with overwrite — so a
+    crash-replay recomputes byte-identical output from identical input.
+
+    A monolithic :func:`persist_prefix` rebuild and the stream-grown
+    artifact may order a doc's prefix differently (df stats at each
+    doc's INGEST time vs final — both fixed orders, both lossless, the
+    freeze-once theorem); the pytest-pinned equivalence is therefore at
+    the consumption layer: ``containment_pairs_delta`` returns identical
+    pairs through either artifact, and the streamed pair/component state
+    equals the full-corpus batch recompute after every micro-batch."""
+    import os
+
+    from xmlstreamprocessor_spark.operators.dedup import (
+        containment_pairs_delta,
+        prefix_rows,
+    )
+    from xmlstreamprocessor_spark.operators.dedup import (
+        shingle_sets as _shingle_sets,
+    )
+    from xmlstreamprocessor_spark.operators.graph import merge_components
+
+    shingle_dir = os.path.join(state_dir, "shingles")
+    cdf_dir = os.path.join(state_dir, "cdf")
+    cpair_dir = os.path.join(state_dir, "cpairs")
+    comp_dir = os.path.join(state_dir, "components")
+
+    def _read_lt(spark, base, schema, batch_id):
+        if not _list_batch_ids(spark, base):
+            return spark.createDataFrame([], schema)
+        df = spark.read.option("basePath", base).parquet(base)
+        return df.filter(F.col("batch_id") < batch_id).drop("batch_id")
+
+    def fn(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_docs = batch_df.select("doc_id", "text").localCheckpoint()
+        base_sh = _read_lt(
+            spark, shingle_dir,
+            "doc_id bigint, s array<string>, n int", batch_id,
+        )
+        batch_sh = _shingle_sets(batch_docs).localCheckpoint()
+        batch_cdf = (
+            batch_sh.select(F.explode("s").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .localCheckpoint()  # evaluated once: df_now input AND state
+        )
+        df_now = (
+            _read_lt(spark, cdf_dir, "shingle string, df bigint", batch_id)
+            .unionByName(batch_cdf)
+            .groupBy("shingle")
+            .agg(F.sum("df").cast("bigint").alias("df"))
+        )
+        # 1) append the batch's prefix rows to the artifact (freeze-once
+        # => earlier batches' rows untouched; dynamic partition
+        # overwrite => replay rewrites only its own batch_id=N dirs)
+        rows = prefix_rows(batch_sh, df_now, threshold, n_sb).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        if spark.catalog.tableExists(table):
+            # session-conf dynamic mode, not the per-writer option: the
+            # bucketed-table insertInto path ignores the writer option
+            # and static mode would wipe every other batch's partitions
+            # (observed — only the last batch survived)
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(conf_key, "static")
+            spark.conf.set(conf_key, "dynamic")
+            try:
+                rows.write.mode("overwrite").insertInto(table)
+            finally:
+                spark.conf.set(conf_key, prev)
+        else:
+            (
+                rows.write.mode("overwrite")
+                .partitionBy("sb", "batch_id")
+                .bucketBy(buckets, "shingle")
+                .sortBy("shingle")
+                .option("path", path)
+                .saveAsTable(table)
+            )
+        # 2) containment pairs with >= 1 batch endpoint: batch docs as
+        # contained probe the full postings; base docs as contained ride
+        # the PRUNED batch_id<N artifact against the batch's postings
+        base_prefix = (
+            spark.table(table).filter(F.col("batch_id") < batch_id)
+            if batch_id > 0
+            else None
+        )
+        delta_pairs = containment_pairs_delta(
+            spark,
+            sf_dir=None,
+            threshold=threshold,
+            docs=batch_docs,
+            is_delta=F.lit(True),
+            base_shingle_sets=base_sh,
+            df_stats=df_now,
+            base_prefix=base_prefix,
+            n_sb=n_sb,
+        ).localCheckpoint()
+
+        prev_ids = [
+            b for b in _list_batch_ids(spark, comp_dir) if b < batch_id
+        ]
+        if prev_ids:
+            base_comp = spark.read.parquet(
+                os.path.join(comp_dir, f"batch_id={max(prev_ids)}")
+            )
+        else:
+            base_comp = spark.createDataFrame(
+                [], "node bigint, component bigint"
+            )
+        merged = merge_components(
+            base_comp, delta_pairs, src="contained_id", dst="container_id"
+        )
+
+        batch_sh.write.mode("overwrite").parquet(
+            os.path.join(shingle_dir, f"batch_id={batch_id}")
+        )
+        batch_cdf.write.mode("overwrite").parquet(
+            os.path.join(cdf_dir, f"batch_id={batch_id}")
+        )
+        delta_pairs.write.mode("overwrite").parquet(
+            os.path.join(cpair_dir, f"batch_id={batch_id}")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(comp_dir, f"batch_id={batch_id}")
+        )
+
+    return fn
+
+
+def containment_state(spark, state_dir: str, table: str | None = None):
+    """Read the live (pairs, components) state maintained by
+    :func:`containment_foreach_batch`, plus the prefix artifact when
+    ``table`` is given.  Empty typed frames before any batch has run."""
+    cpair_dir = state_dir.rstrip("/") + "/cpairs"
+    comp_dir = state_dir.rstrip("/") + "/components"
+    comp_ids = _list_batch_ids(spark, comp_dir)
+    if not comp_ids:
+        pairs = spark.createDataFrame(
+            [], "contained_id bigint, container_id bigint, containment double"
+        )
+        comp = spark.createDataFrame([], "node bigint, component bigint")
+    else:
+        pairs = (
+            spark.read.option("basePath", cpair_dir).parquet(cpair_dir)
+            .drop("batch_id")
+        )
+        comp = spark.read.parquet(f"{comp_dir}/batch_id={comp_ids[-1]}")
+    if table is None:
+        return pairs, comp
+    prefix = (
+        spark.table(table) if spark.catalog.tableExists(table) else None
+    )
+    return pairs, comp, prefix
