@@ -478,3 +478,68 @@ def test_kcenter_materialize_cut_invariant(spark, oracle_sf_dir, monkeypatch):
         before = len(_os.listdir(root))
         sim.sample_kcenter_coreset(spark, oracle_sf_dir, k=10)
         assert len(_os.listdir(root)) == before
+
+
+def test_semantic_prune_invariants(spark, oracle_sf_dir):
+    """SemDeDup pins (r12 verdict #6), verified against a NumPy
+    brute-force replica: (1) one row per corpus document and
+    kept/pruned partition it (pruned ∪ kept == corpus, disjoint);
+    (2) every pruned doc names a same-cluster neighbor with cosine6 >=
+    threshold and STRICTLY better quality order (n_chars DESC, doc_id
+    ASC) — and that neighbor is the best such dominator; (3) no kept
+    doc has any dominator (keeper selection is exactly the dominance
+    rule); (4) each cluster's quality-maximum is always kept."""
+    import numpy as np
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import _SEM_T
+
+    rows = REGISTRY["dedup_semantic_prune"][0](spark, oracle_sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    # (1) partition of the corpus
+    assert {r["doc_id"] for r in rows} == set(emb)
+    kept = {r["doc_id"] for r in rows if r["kept"]}
+    pruned = {r["doc_id"]: r["pruned_by"] for r in rows if not r["kept"]}
+    assert kept | set(pruned) == set(emb) and not (kept & set(pruned))
+    assert all(r["kept"] == (r["pruned_by"] is None) for r in rows)
+    assert 0 < len(pruned) < len(emb)
+
+    def cos6(i, j):
+        ni, nj = np.linalg.norm(emb[i]), np.linalg.norm(emb[j])
+        if ni == 0 or nj == 0:
+            return -1.0
+        return round(float(emb[i] @ emb[j]) / (ni * nj), 6)
+
+    def better(j, i):  # quality order: n_chars DESC, doc_id ASC
+        return (docs[j], -j) > (docs[i], -i)
+
+    cluster = {r["doc_id"]: r["cluster"] for r in rows}
+    by_cluster = {}
+    for d, c in cluster.items():
+        by_cluster.setdefault(c, []).append(d)
+    for r in rows:
+        i = r["doc_id"]
+        doms = [
+            j for j in by_cluster[cluster[i]]
+            if j != i and cos6(i, j) >= _SEM_T and better(j, i)
+        ]
+        if r["kept"]:
+            assert not doms, (i, doms)  # (3)
+        else:  # (2): named dominator is the best one
+            want = min(doms, key=lambda j: (-docs[j], j))
+            assert r["pruned_by"] == want, (i, r["pruned_by"], want)
+    # (4) cluster quality-maxima survive
+    for c, members in by_cluster.items():
+        top = min(members, key=lambda j: (-docs[j], j))
+        assert top in kept, (c, top)

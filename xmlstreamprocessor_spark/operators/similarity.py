@@ -2622,15 +2622,16 @@ def _kc_duck_dist(a: str, b: str) -> str:
     return f"round(1 - COALESCE({duck_cosine6(a, b)}, -1), 6)"
 
 
-def _kcenter_oracle(k: int) -> str:
-    """Unrolled k-stage DuckDB twin: c0 = min vec_id seed; m{i} carries
-    every point's min distance to the chosen set; c{i+1} = argmax of
-    m{i} (vec_id tiebreak) — the exact greedy recurrence, so the whole
-    SELECTION SEQUENCE is hash-checked, not just the final set.  Every
-    m{i} is AS MATERIALIZED: each is referenced twice (by c{i+1} and
-    m{i+1}), and DuckDB's default inlining re-evaluates the whole
-    prefix chain per reference — 2^k blowup, measured 385 s at k=12 /
-    sf0.01 vs ~1 s materialized."""
+def _kcenter_with_body(k: int) -> str:
+    """The unrolled k-stage greedy-selection WITH body shared by the
+    k-center oracle and the SemDeDup oracle: c0 = min vec_id seed; m{i}
+    carries every point's min distance to the chosen set; c{i+1} =
+    argmax of m{i} (vec_id tiebreak) — the exact greedy recurrence, so
+    the whole SELECTION SEQUENCE is hash-checked, not just the final
+    set.  Every m{i} is AS MATERIALIZED: each is referenced twice (by
+    c{i+1} and m{i+1}), and DuckDB's default inlining re-evaluates the
+    whole prefix chain per reference — 2^k blowup, measured 385 s at
+    k=12 / sf0.01 vs ~1 s materialized."""
     stages = ["""
     e AS (SELECT vec_id, embedding FROM embeddings),
     c0 AS MATERIALIZED (
@@ -2651,6 +2652,12 @@ def _kcenter_oracle(k: int) -> str:
                    {_kc_duck_dist('m.embedding', f'c{i}.embedding')}) AS mind
       FROM m{i - 1} m CROSS JOIN c{i}
     )""")
+    return "WITH" + ",".join(stages)
+
+
+def _kcenter_oracle(k: int) -> str:
+    """DuckDB twin of the k-center query: the full greedy selection
+    sequence with per-pick gaps (see :func:`_kcenter_with_body`)."""
     sels = [
         "SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,"
         " CAST(2.0 AS DOUBLE) AS gap FROM c0"
@@ -2659,7 +2666,7 @@ def _kcenter_oracle(k: int) -> str:
         for i in range(1, k)
     ]
     return (
-        "WITH" + ",".join(stages) + "\n"
+        _kcenter_with_body(k) + "\n"
         + "\nUNION ALL ".join(sels) + "\nORDER BY sel_rank"
     )
 
@@ -2752,3 +2759,168 @@ def sample_kcenter_coreset(spark, sf_dir, k: int = _KC_K, iter_hook=None):
         if cur_path is not None:
             drop_scratch(cur_path)
     return spark.createDataFrame(picks, out_schema).orderBy("sel_rank")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic pruning over the k-center anchors (r12 verdict #6)
+# ---------------------------------------------------------------------------
+
+_SEM_T = 0.4  # cosine SIMILARITY floor for "semantic duplicate" — the
+# family convention for the synthetic near-random embeddings (the exact
+# embedding-cosine dedup pair queries verify at the same 0.4)
+
+
+def _semantic_prune_oracle(k: int, t: float) -> str:
+    """DuckDB twin of :func:`dedup_semantic_prune`: replays the greedy
+    k-center selection (shared unrolled stages), assigns every vector to
+    its nearest center (distance, cid tiebreak), and prunes by the same
+    quality-dominance rule over within-cluster cosine neighbors."""
+    ids = " UNION ALL ".join(
+        ["SELECT vec_id FROM c0"]
+        + [f"SELECT vec_id FROM c{i}" for i in range(1, k)]
+    )
+    return _kcenter_with_body(k) + f""",
+    kc_sel AS MATERIALIZED ({ids}),
+    centers AS MATERIALIZED (
+      SELECT e2.vec_id AS cid, e2.embedding AS cv
+      FROM kc_sel s JOIN e e2 ON e2.vec_id = s.vec_id),
+    assign AS MATERIALIZED (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_kc_duck_dist('e.embedding', 'c.cv')} ASC,
+                          c.cid ASC) AS rk
+        FROM e CROSS JOIN centers c) z
+      WHERE rk = 1),
+    aq AS MATERIALIZED (
+      SELECT a.vec_id, a.embedding, a.cid, d.n_chars
+      FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
+    dom AS (
+      SELECT a.vec_id, b.vec_id AS dom_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY b.n_chars DESC, b.vec_id ASC) AS rk
+      FROM aq a JOIN aq b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE COALESCE({duck_cosine6('a.embedding', 'b.embedding')}, -1)
+              >= {t}
+        AND (b.n_chars > a.n_chars
+             OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id))
+    )
+    SELECT a.vec_id AS doc_id, a.cid AS cluster,
+           (p.dom_id IS NULL) AS kept, p.dom_id AS pruned_by
+    FROM aq a LEFT JOIN (SELECT vec_id, dom_id FROM dom WHERE rk = 1) p
+      ON p.vec_id = a.vec_id
+    ORDER BY doc_id"""
+
+
+@query("dedup_semantic_prune", oracle=_semantic_prune_oracle(_KC_K, _SEM_T))
+def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
+                         threshold: float = _SEM_T):
+    """SemDeDup-style semantic pruning (Abbas et al. '23, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding corpus around the greedy
+    k-center anchors (:func:`sample_kcenter_coreset` — the coreset's
+    natural consumer), then within each cluster prune every document
+    that has a semantically-near neighbor (cosine6 >= threshold) of
+    strictly better quality rank (n_chars DESC, doc_id ASC — the
+    ``dedup_keeper_by_quality`` convention), keeping the quality-ranked
+    representatives.  Output is one row PER DOCUMENT — (doc_id, cluster,
+    kept, pruned_by) with ``pruned_by`` the best dominating neighbor —
+    so pruned ∪ kept == corpus by construction (pytest-pinned).  Every
+    pruned doc's similarity component retains its quality-maximum (a
+    pruned doc always names a strictly-better similar neighbor; finite
+    descent bottoms out at a kept doc).
+
+    Scale (100 TB posture): the anchor pass is the k-center loop (k
+    bounded scans, lineage cut every _KC_MAT_EVERY); assignment is a
+    map-only fold over k literal centers (array_min over (dist, cid)
+    structs — whole-stage codegen, no shuffle, no join); the pruning
+    join keys on ``cluster``, so its cost is sum-of-cluster-size^2 —
+    the SemDeDup deployment rule is k ∝ corpus size (the paper runs
+    50k clusters), which bounds cluster sizes and makes the quadratic
+    term per-bucket-bounded exactly like the LSH-band joins.  The
+    registered k=12 exercises the composition at oracle scale.
+
+    Exactness: distances/similarities are the family's 6-decimal
+    rounded cosine with COALESCE(cos, -1) for zero-norm vectors (never
+    similar, assigned by the 2.0-diameter convention); assignment and
+    dominance tiebreaks are total orders, so both engines agree
+    bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    picks = sample_kcenter_coreset(spark, sf_dir, k=k).collect()
+    center_ids = [r["vec_id"] for r in picks]
+    out_schema = (
+        "doc_id bigint, cluster bigint, kept boolean, pruned_by bigint"
+    )
+    if not center_ids:  # empty corpus -> empty report, never a throw
+        return spark.createDataFrame([], out_schema)
+    centers = {
+        r["vec_id"]: r["v"]
+        for r in e.filter(F.col("vec_id").isin(center_ids)).collect()
+    }
+
+    def lit_vec(vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
+
+    entries = [
+        F.struct(
+            F.round(
+                F.lit(1.0)
+                - F.coalesce(
+                    cosine6(F.col("v"), lit_vec(centers[c])), F.lit(-1.0)
+                ),
+                6,
+            ).alias("dist"),
+            F.lit(c).cast("bigint").alias("cid"),
+        )
+        for c in sorted(centers)
+    ]
+    assign = e.withColumn(
+        "cluster", F.array_min(F.array(*entries)).getField("cid")
+    )
+    q = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    a = assign.join(q, "vec_id")
+    b = a.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("n_chars").alias("b_chars"),
+    )
+    sim = F.coalesce(cosine6(F.col("v"), F.col("b_v")), F.lit(-1.0))
+    dom = a.join(
+        b,
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("vec_id") != F.col("b_id")),
+    ).filter(
+        (sim >= F.lit(threshold))
+        & (
+            (F.col("b_chars") > F.col("n_chars"))
+            | (
+                (F.col("b_chars") == F.col("n_chars"))
+                & (F.col("b_id") < F.col("vec_id"))
+            )
+        )
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.desc("b_chars"), F.asc("b_id")
+    )
+    best = (
+        dom.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("b_id").alias("pruned_by"))
+    )
+    return (
+        assign.join(best, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "cluster",
+            F.col("pruned_by").isNull().alias("kept"),
+            "pruned_by",
+        )
+        .orderBy("doc_id")
+    )
