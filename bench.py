@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     # round 12 (second batch): greedy k-center coreset — k bounded
     # driver-loop scans, benched so a loop-cost regression is visible
     "sample_kcenter_coreset",
+    # round 13: SemDeDup semantic prune — composes the k-center anchors
+    # with a within-cluster dominance join; benched so a regression in
+    # either the anchor loop or the cluster-join shape is wall-visible
+    "dedup_semantic_prune",
 ]
 
 
@@ -196,7 +200,44 @@ def main() -> None:
         "protocol": "cold (session memos cleared before each run)",
         "raw_runs_file": "BENCH_RAW_LATEST.json",
     }
+    respikes: dict[str, dict] = {}
     if quiet_mode:
+        # per-query spike certification (r12 verdict #3): whole-run
+        # canaries certify the WINDOW, not individual queries — the r12
+        # 153.39 s certified run carried a jaccard burst ([6.4, 25.4,
+        # 26.8] vs 5-6 s isolated) the bracket could not see.  A raw
+        # spread of max/min > 3 on identical code is the ambient
+        # signature (the ledger's manual practice, now automated): that
+        # query's in-loop median is UNCERTIFIED and an isolated x4
+        # re-measure runs immediately, inside the same canary bracket.
+        # timings/value keep the in-loop medians (comparable across
+        # rounds); ledger adjudication reads respike_medians.
+        for name in BENCH_QUERIES:
+            runs = raw[name]
+            if min(runs) > 0 and max(runs) / min(runs) > 3:
+                fn, _ = REGISTRY[name]
+                iso = []
+                for _run in range(4):
+                    clear_session_memos()
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    iso.append(round(time.perf_counter() - t0, 3))
+                respikes[name] = {
+                    "in_loop_raw": runs,
+                    "isolated_x4": iso,
+                    "isolated_median": round(
+                        statistics.median(iso), 3
+                    ),
+                }
+                print(
+                    f"# RESPIKE {name}: in-loop {runs} -> isolated {iso}",
+                    file=sys.stderr,
+                )
+        if respikes:
+            summary["uncertified_queries"] = sorted(respikes)
+            summary["respike_medians"] = {
+                n: v["isolated_median"] for n, v in respikes.items()
+            }
         canary_after = _canary(spark)
         lo, hi = (CANARY_BAND[0] * CANARY_REF_SEC,
                   CANARY_BAND[1] * CANARY_REF_SEC)
@@ -210,7 +251,9 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RAW_LATEST.json"
     )
     with open(raw_path, "w") as f:
-        json.dump({**summary, "raw_runs": raw}, f, indent=1)
+        json.dump(
+            {**summary, "raw_runs": raw, "respikes": respikes}, f, indent=1
+        )
     # the summary (WITHOUT raw_runs) must be the final stdout line — the
     # driver tail-captures it; raw runs live in the side file above
     print(json.dumps(summary))

@@ -1385,16 +1385,26 @@ def bpe_train(
       member (two adjacency pairs can only interact through a shared
       position, which forces a shared symbol), so every batched member's
       own count is invariant under the batch's earlier merges;
+    * existing pairs can never overtake a member: their counts only
+      DECREASE under batch merges (merges destroy old-old adjacencies,
+      created adjacencies always involve the new merged symbol), and
+      every non-member sorts after the whole prefix, so original
+      tie-breaks stand;
     * every pair a batch merge can CREATE — (x,ab), (ab,y), (ab,ab) —
       is count-bounded by a pre-existing pair that CONFLICTS with the
-      batch ((x,a), (b,y), (b,a) respectively), hence lies outside the
-      disjoint prefix, hence has wc <= the first excluded candidate's;
-    * so requiring every member after the argmax to have wc STRICTLY
-      greater than the first excluded candidate's wc makes each member
-      the true sequential argmax at its turn — strict, because a
-      created pair with an EQUAL count could win the (lft, rgt)
-      tie-break under its new merged name.  The argmax itself is always
-      exact and is kept unconditionally (batch size never 0).
+      batch ((x,a), (b,y), (b,a) respectively); so the EXACT overtaker
+      bound is max(wc) over current pairs sharing a symbol with the
+      batch, batch excluded — computed per round as one filtered
+      aggregation on the persisted counts view;
+    * requiring every member after the argmax to have wc STRICTLY
+      greater than that conflict bound makes each member the true
+      sequential argmax at its turn — strict, because a created pair
+      with an EQUAL count could win the (lft, rgt) tie-break under its
+      new merged name.  The argmax itself is always exact and kept
+      unconditionally (batch size never 0).  (Bounding by the first
+      EXCLUDED candidate instead — the r13 first cut — collapsed Zipf
+      tail plateaus, where counts tie across thousands of disjoint
+      pairs, to batch size 1.)
 
     The recorded weighted_count per merge is the count AT MERGE TIME
     (= the shared snapshot's count, by the invariance above); the merge
@@ -1476,33 +1486,48 @@ def bpe_train(
         # contains the conflict that cuts it or (list shorter than the
         # fetch) proves the candidate list is exhausted
         fetch = max(want * 4, want + 1)
+        cnt = _cnt_view().filter(F.col("wc") > 0).persist()
         cands = (
-            _cnt_view().filter(F.col("wc") > 0)
-            .orderBy(F.desc("wc"), F.asc("lft"), F.asc("rgt"))
+            cnt.orderBy(F.desc("wc"), F.asc("lft"), F.asc("rgt"))
             .limit(fetch)
             .collect()
         )
         if not cands:
+            cnt.unpersist()
             break
         batch = [cands[0]]
         used = {cands[0]["lft"], cands[0]["rgt"]}
-        excl_wc = 0  # exhausted list: no pair outside the batch exists,
-        # so nothing (existing or created) can overtake any member
         for c in cands[1:]:
             if len(batch) >= want or {c["lft"], c["rgt"]} & used:
-                excl_wc = c["wc"]
                 break
             batch.append(c)
             used |= {c["lft"], c["rgt"]}
-        else:
-            if len(cands) == fetch:
-                # list may continue past the fetch: the unseen head has
-                # wc <= the last fetched — treat it as the excluded cut
-                excl_wc = cands[-1]["wc"]
-        # strict-dominance trim (see docstring): members tied with the
-        # first excluded candidate could lose a tie-break to a renamed
-        # created pair — the argmax itself is exact unconditionally
-        batch = [batch[0]] + [b for b in batch[1:] if b["wc"] > excl_wc]
+        if len(batch) > 1:
+            # strict-dominance trim (see docstring): only pairs that
+            # CONFLICT with the batch bound the merge-created
+            # overtakers, and every conflicting pair sorts at/after the
+            # prefix cut — so the exact bound is the max count over all
+            # current pairs sharing a symbol with the batch, minus the
+            # batch itself (one small filtered aggregation on the
+            # persisted counts; using the first EXCLUDED candidate's
+            # count here instead collapsed Zipf tail plateaus — all
+            # counts tied — to batch size 1, measured mean 2.07 at
+            # k=2000).  The argmax is exact unconditionally.
+            in_batch = None
+            for b in batch:
+                m = (F.col("lft") == b["lft"]) & (F.col("rgt") == b["rgt"])
+                in_batch = m if in_batch is None else (in_batch | m)
+            syms = sorted(used)
+            bound = (
+                cnt.filter(
+                    (F.col("lft").isin(syms) | F.col("rgt").isin(syms))
+                    & ~in_batch
+                )
+                .agg(F.max("wc"))
+                .first()[0]
+            ) or 0
+            batch = [batch[0]] + [b for b in batch[1:] if b["wc"] > bound]
+        cnt.unpersist()
         for b in batch:
             merges.append(
                 (len(merges) + 1, b["lft"], b["rgt"],
@@ -1540,7 +1565,12 @@ def bpe_train(
         wf_layers.append((slice_frame, slice_path, len(applied)))
         cnt_layers.append((delta_frame, delta_path))
         affected.unpersist()  # both consumers (slice, delta) are written
-        if len(wf_layers) > compact_every:
+        # compaction cadence counts MERGES, not overlay layers: with
+        # multi-merge batching a layer carries up to batch_m merges, so
+        # the r12 layer-count trigger let mask chains grow to
+        # compact_every * batch_m contains-filters per layer (measured
+        # as the rising last-decile s/merge at k=2000)
+        if len(applied) - wf_layers[0][2] >= compact_every:
             wf_layers = [(*_compact(wf_layers, _wf_view()), len(applied))]
             cnt_layers = [_compact(cnt_layers, _cnt_view())]
         if iter_hook is not None:
