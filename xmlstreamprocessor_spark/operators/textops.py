@@ -1379,32 +1379,32 @@ def bpe_train(
     ``batch_m`` merges chosen so the batched sequence is EXACTLY the
     sequential greedy sequence — provable, not heuristic:
 
-    * the batch is the maximal pairwise-SYMBOL-DISJOINT *prefix* of the
-      (wc DESC, lft, rgt) candidate order, cut at the first conflict;
-    * a merge (a,b) only changes counts of pairs having a or b as a
-      member (two adjacency pairs can only interact through a shared
-      position, which forces a shared symbol), so every batched member's
-      own count is invariant under the batch's earlier merges;
-    * existing pairs can never overtake a member: their counts only
-      DECREASE under batch merges (merges destroy old-old adjacencies,
-      created adjacencies always involve the new merged symbol), and
-      every non-member sorts after the whole prefix, so original
-      tie-breaks stand;
+    * the batch is the maximal COUNT-INVARIANT *prefix* of the
+      (wc DESC, lft, rgt) candidate order, cut at the first conflict,
+      where "conflict" is the exact orientation-aware invariance test:
+      merging (a,b) destroys only (u,a) occurrences (pattern u-a-b) and
+      (b,v) occurrences (pattern a-b-v), so a candidate conflicts with
+      the batch iff its rgt is some member's lft or its lft is some
+      member's rgt — same-orientation symbol sharing ((a,v) / (u,b)) is
+      provably harmless and batches together (the coarse
+      any-shared-symbol test capped measured batch width at 2.07);
+    * every batched member's own count is therefore invariant under the
+      batch's earlier merges, and existing pairs can never overtake a
+      member: old-old counts only DECREASE (created adjacencies always
+      involve the new merged symbol), and every non-member sorts after
+      the whole prefix, so original tie-breaks stand;
     * every pair a batch merge can CREATE — (x,ab), (ab,y), (ab,ab) —
-      is count-bounded by a pre-existing pair that CONFLICTS with the
-      batch ((x,a), (b,y), (b,a) respectively); so the EXACT overtaker
-      bound is max(wc) over current pairs sharing a symbol with the
-      batch, batch excluded — computed per round as one filtered
-      aggregation on the persisted counts view;
+      is count-bounded by a pre-existing pair that refined-CONFLICTS
+      with the batch ((x,a), (b,y), (b,a) respectively); so the EXACT
+      overtaker bound is max(wc) over current refined-conflicting
+      pairs, batch excluded — one filtered aggregation per round on the
+      persisted counts view;
     * requiring every member after the argmax to have wc STRICTLY
       greater than that conflict bound makes each member the true
       sequential argmax at its turn — strict, because a created pair
       with an EQUAL count could win the (lft, rgt) tie-break under its
       new merged name.  The argmax itself is always exact and kept
-      unconditionally (batch size never 0).  (Bounding by the first
-      EXCLUDED candidate instead — the r13 first cut — collapsed Zipf
-      tail plateaus, where counts tie across thousands of disjoint
-      pairs, to batch size 1.)
+      unconditionally (batch size never 0).
 
     The recorded weighted_count per merge is the count AT MERGE TIME
     (= the shared snapshot's count, by the invariance above); the merge
@@ -1496,31 +1496,42 @@ def bpe_train(
             cnt.unpersist()
             break
         batch = [cands[0]]
-        used = {cands[0]["lft"], cands[0]["rgt"]}
+        lefts = {cands[0]["lft"]}
+        rights = {cands[0]["rgt"]}
         for c in cands[1:]:
-            if len(batch) >= want or {c["lft"], c["rgt"]} & used:
+            # ORIENTATION-AWARE conflict (the exact invariance test):
+            # merging (a, b) destroys only (u, a) occurrences (pattern
+            # u-a-b: the a is consumed rightward) and (b, v) occurrences
+            # (pattern a-b-v) — a candidate sharing a symbol the OTHER
+            # way ((a, v) or (u, b)) keeps its exact count, because the
+            # same token instance cannot head two different adjacencies.
+            # The coarse any-shared-symbol test capped measured batch
+            # width at mean 2.07 on the k=2000 Zipf vocab.
+            if len(batch) >= want or c["rgt"] in lefts or c["lft"] in rights:
                 break
             batch.append(c)
-            used |= {c["lft"], c["rgt"]}
+            lefts.add(c["lft"])
+            rights.add(c["rgt"])
         if len(batch) > 1:
-            # strict-dominance trim (see docstring): only pairs that
-            # CONFLICT with the batch bound the merge-created
-            # overtakers, and every conflicting pair sorts at/after the
-            # prefix cut — so the exact bound is the max count over all
-            # current pairs sharing a symbol with the batch, minus the
-            # batch itself (one small filtered aggregation on the
-            # persisted counts; using the first EXCLUDED candidate's
-            # count here instead collapsed Zipf tail plateaus — all
-            # counts tied — to batch size 1, measured mean 2.07 at
-            # k=2000).  The argmax is exact unconditionally.
+            # strict-dominance trim (see docstring): only pairs whose
+            # counts the batch can change bound the merge-created
+            # overtakers ((x, a_i) bounds (x, a_ib_i); (b_i, y) bounds
+            # (a_ib_i, y); (b_i, a_i) bounds (a_ib_i, a_ib_i)) — and
+            # every such pair refined-conflicts with the batch, so the
+            # exact bound is max(wc) over current pairs with rgt in the
+            # batch's lefts or lft in its rights, batch excluded (one
+            # small filtered aggregation on the persisted counts).
+            # The argmax is exact unconditionally.
             in_batch = None
             for b in batch:
                 m = (F.col("lft") == b["lft"]) & (F.col("rgt") == b["rgt"])
                 in_batch = m if in_batch is None else (in_batch | m)
-            syms = sorted(used)
             bound = (
                 cnt.filter(
-                    (F.col("lft").isin(syms) | F.col("rgt").isin(syms))
+                    (
+                        F.col("rgt").isin(sorted(lefts))
+                        | F.col("lft").isin(sorted(rights))
+                    )
                     & ~in_batch
                 )
                 .agg(F.max("wc"))
