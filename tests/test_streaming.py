@@ -1661,8 +1661,11 @@ def test_stream_containment_maintenance_equals_full_recompute(spark, tmp_path):
     state_dir = str(tmp_path / "cont_state")
     table = "xsp_t_stream_prefix"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # compact_every=2: the 3-batch stream exercises the cdf upto=N
+    # snapshot path (write at batch 2, read-below at later replays)
     body = containment_foreach_batch(
-        state_dir, table, str(tmp_path / "cont_prefix"), threshold=thr
+        state_dir, table, str(tmp_path / "cont_prefix"), threshold=thr,
+        compact_every=2,
     )
 
     def run_once():

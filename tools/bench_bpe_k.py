@@ -164,9 +164,11 @@ def main() -> None:
             live += dir_bytes(lp)
     vocab_snapshot = live  # what survives IS the final compacted vocab
     written_total = state["written"] + live
+    # a corpus with no mergeable pair produces zero rounds (the trainer
+    # breaks before the first hook) — report zeros, never IndexError
     dec = max(1, len(walls) // 10)
-    first_dec = sum(walls[:dec]) / dec
-    last_dec = sum(walls[-dec:]) / dec
+    first_dec = sum(walls[:dec]) / dec if walls else 0.0
+    last_dec = sum(walls[-dec:]) / dec if walls else 0.0
     summary = {
         "metric": "bpe_train_k",
         "k": k,
@@ -174,16 +176,20 @@ def main() -> None:
         "rounds": len(rounds),
         "sec_per_round_median": round(
             sorted(r[1] for r in rounds)[len(rounds) // 2], 3
-        ),
+        ) if rounds else 0.0,
         "merges_produced": n_merges,
         "vocab_rows": vocab_rows,
         "sf": sf_dir,
         "total_sec": round(total, 2),
         "setup_sec": setup[0],
-        "sec_per_iter_median": round(sorted(walls)[len(walls) // 2], 3),
+        "sec_per_iter_median": round(
+            sorted(walls)[len(walls) // 2], 3
+        ) if walls else 0.0,
         "sec_per_iter_first_decile_mean": round(first_dec, 3),
         "sec_per_iter_last_decile_mean": round(last_dec, 3),
-        "flat_ratio_last_over_first": round(last_dec / first_dec, 3),
+        "flat_ratio_last_over_first": round(
+            last_dec / first_dec, 3
+        ) if first_dec else 0.0,
         "bytes_written_total": written_total,
         "bytes_final_vocab_snapshot": vocab_snapshot,
         "bytes_r11_design_equiv": 2 * k * vocab_snapshot,

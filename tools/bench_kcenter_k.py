@@ -60,9 +60,11 @@ def main() -> None:
     out = sim.sample_kcenter_coreset(spark, sf_dir, k=k, iter_hook=hook)
     n = out.count()
     total = time.perf_counter() - t0
+    # k=1 (or an empty corpus) records zero selection walls — report
+    # zeros, never IndexError
     dec = max(1, len(walls) // 10)
-    first_dec = sum(walls[:dec]) / dec
-    last_dec = sum(walls[-dec:]) / dec
+    first_dec = sum(walls[:dec]) / dec if walls else 0.0
+    last_dec = sum(walls[-dec:]) / dec if walls else 0.0
     summary = {
         "metric": "kcenter_k",
         "k": k,
@@ -71,10 +73,14 @@ def main() -> None:
         "mat_every": sim._KC_MAT_EVERY,
         "total_sec": round(total, 2),
         "setup_sec": setup[0],
-        "sec_per_iter_median": round(sorted(walls)[len(walls) // 2], 3),
+        "sec_per_iter_median": round(
+            sorted(walls)[len(walls) // 2], 3
+        ) if walls else 0.0,
         "sec_per_iter_first_decile_mean": round(first_dec, 3),
         "sec_per_iter_last_decile_mean": round(last_dec, 3),
-        "flat_ratio_last_over_first": round(last_dec / first_dec, 3),
+        "flat_ratio_last_over_first": round(
+            last_dec / first_dec, 3
+        ) if first_dec else 0.0,
     }
     side = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -2846,7 +2846,11 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
     rounded cosine with COALESCE(cos, -1) for zero-norm vectors (never
     similar, assigned by the 2.0-diameter convention); assignment and
     dominance tiebreaks are total orders, so both engines agree
-    bit-for-bit."""
+    bit-for-bit.  Scope: quality is a DOCUMENTS attribute joined on
+    vec_id == doc_id (the test tables' 1:1 pairing), so the report
+    covers embeddings WITH a documents row — doc-less vectors are out
+    of scope in both engines; a deployment with a separate quality
+    source passes it through the documents seam."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
@@ -2914,8 +2918,16 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("b_id").alias("pruned_by"))
     )
+    # output rows come from the DOCUMENTS-JOINED frame, not the raw
+    # embedding corpus: the quality rank is a documents attribute, so an
+    # embedding without a documents row has no defined quality and is
+    # out of scope for the prune report — and the oracle's aq join says
+    # exactly that (code-review r13: joining `best` onto `assign` here
+    # emitted extra kept=true rows for doc-less vec_ids, a silent
+    # row-count divergence on any corpus where the 1:1 vec_id==doc_id
+    # pairing of the test tables does not hold)
     return (
-        assign.join(best, "vec_id", "left")
+        a.join(best, "vec_id", "left")
         .select(
             F.col("vec_id").alias("doc_id"),
             "cluster",

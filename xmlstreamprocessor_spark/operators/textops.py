@@ -1404,7 +1404,19 @@ def bpe_train(
       sequential argmax at its turn — strict, because a created pair
       with an EQUAL count could win the (lft, rgt) tie-break under its
       new merged name.  The argmax itself is always exact and kept
-      unconditionally (batch size never 0).
+      unconditionally (batch size never 0);
+    * NAME ALIASING (code-review r13): merged tokens are strings, and a
+      member's concatenation can equal a symbol that already exists via
+      a different split ("abc" from (a,bc) while (ab,c) merges) — then
+      creations ADD count to live pairs naming it, outside the
+      decrease-only invariance above, and two members sharing a
+      concatenation would pool creations past the single-parent bound.
+      Guards: candidates touching (or duplicating) a member
+      concatenation conflict in the prefix scan, and the bound
+      aggregation doubles as a GLOBAL alias check — any current pair
+      naming a member concatenation collapses the batch to the argmax,
+      which is exact unconditionally because single-merge rounds never
+      rely on invariance (the delta recount reads real strings).
 
     The recorded weighted_count per merge is the count AT MERGE TIME
     (= the shared snapshot's count, by the invariance above); the merge
@@ -1498,6 +1510,7 @@ def bpe_train(
         batch = [cands[0]]
         lefts = {cands[0]["lft"]}
         rights = {cands[0]["rgt"]}
+        concats = {cands[0]["lft"] + cands[0]["rgt"]}
         for c in cands[1:]:
             # ORIENTATION-AWARE conflict (the exact invariance test):
             # merging (a, b) destroys only (u, a) occurrences (pattern
@@ -1507,11 +1520,29 @@ def bpe_train(
             # same token instance cannot head two different adjacencies.
             # The coarse any-shared-symbol test capped measured batch
             # width at mean 2.07 on the k=2000 Zipf vocab.
-            if len(batch) >= want or c["rgt"] in lefts or c["lft"] in rights:
+            # NAME-ALIASING cuts (code-review r13): a member's merged
+            # token is a STRING, and the same string can already exist
+            # as a symbol built from a different split ("abc" via (a,bc)
+            # while (ab,c) merges) — then created adjacencies ADD count
+            # to pairs naming it, breaking both invariance and the
+            # single-parent overtaker bound.  So a candidate also
+            # conflicts if either symbol equals a member's concatenated
+            # name, and two members may never share a concatenation
+            # (pooled creations would double the parent bound).
+            cat = c["lft"] + c["rgt"]
+            if (
+                len(batch) >= want
+                or c["rgt"] in lefts
+                or c["lft"] in rights
+                or c["rgt"] in concats
+                or c["lft"] in concats
+                or cat in concats
+            ):
                 break
             batch.append(c)
             lefts.add(c["lft"])
             rights.add(c["rgt"])
+            concats.add(cat)
         if len(batch) > 1:
             # strict-dominance trim (see docstring): only pairs whose
             # counts the batch can change bound the merge-created
@@ -1526,18 +1557,33 @@ def bpe_train(
             for b in batch:
                 m = (F.col("lft") == b["lft"]) & (F.col("rgt") == b["rgt"])
                 in_batch = m if in_batch is None else (in_batch | m)
-            bound = (
-                cnt.filter(
-                    (
-                        F.col("rgt").isin(sorted(lefts))
-                        | F.col("lft").isin(sorted(rights))
-                    )
-                    & ~in_batch
+            conflicting = F.col("rgt").isin(sorted(lefts)) | F.col(
+                "lft"
+            ).isin(sorted(rights))
+            # aliased = some CURRENT pair names a member's merged token
+            # (the token string already lives as a symbol): the batch's
+            # merges would INCREASE that pair's live count, outside the
+            # decrease-only invariance the proof rests on — collapse to
+            # the (always-exact) argmax.  The prefix scan only sees the
+            # fetched head; this check is global (code-review r13).
+            aliased = F.col("rgt").isin(sorted(concats)) | F.col(
+                "lft"
+            ).isin(sorted(concats))
+            agg = (
+                cnt.filter(~in_batch)
+                .agg(
+                    F.max(F.when(conflicting, F.col("wc"))).alias("bound"),
+                    F.sum(F.when(aliased, 1).otherwise(0)).alias("na"),
                 )
-                .agg(F.max("wc"))
-                .first()[0]
-            ) or 0
-            batch = [batch[0]] + [b for b in batch[1:] if b["wc"] > bound]
+                .first()
+            )
+            bound = agg["bound"] or 0
+            if (agg["na"] or 0) > 0:
+                batch = [batch[0]]
+            else:
+                batch = [batch[0]] + [
+                    b for b in batch[1:] if b["wc"] > bound
+                ]
         cnt.unpersist()
         for b in batch:
             merges.append(

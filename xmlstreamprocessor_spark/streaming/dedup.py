@@ -11,6 +11,8 @@ signature table, built entirely from stateless JVM expressions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -181,6 +183,61 @@ def _list_batch_ids(spark, base: str, prefix: str = "batch_id=") -> list[int]:
     )
 
 
+def _read_lt(spark, base, schema, batch_id):
+    """Union of batch_id < ``batch_id`` partitions under ``base``, empty
+    typed frame if none.  Shared by both foreachBatch faces (hoisted
+    from two identical nested copies — code-review r13)."""
+    if not _list_batch_ids(spark, base):
+        return spark.createDataFrame([], schema)
+    df = spark.read.option("basePath", base).parquet(base)
+    return df.filter(F.col("batch_id") < batch_id).drop("batch_id")
+
+
+def _df_base(spark, df_dir, compact_dir, batch_id):
+    """Per-shingle df over all documents in batches < batch_id: the
+    newest compact snapshot strictly below batch_id plus only the
+    per-batch partitions it does not cover — O(compact_every)
+    partitions per read instead of O(batch-count).  Strictly BELOW,
+    because a replay of compacting batch N must never read its own
+    upto=N snapshot — a crash mid-snapshot-write leaves a partial
+    directory, and consuming it would either brick the read (no
+    committed files) or silently undercount the base; the previous
+    snapshot plus the [upto, N) per-batch partitions (never deleted)
+    always reconstruct the exact base.  Shared by the Jaccard and
+    containment faces (code-review r13: the containment face shipped
+    without compaction, re-creating the O(batch-count) state-read
+    creep the r9 soak measured on the Jaccard face)."""
+    schema = "shingle string, df bigint"
+    uptos = [
+        u
+        for u in _list_batch_ids(spark, compact_dir, prefix="upto=")
+        if u < batch_id
+    ]
+    upto = max(uptos) if uptos else 0
+    ids = [
+        i for i in _list_batch_ids(spark, df_dir) if upto <= i < batch_id
+    ]
+    parts = []
+    if upto > 0:
+        parts.append(
+            spark.read.parquet(os.path.join(compact_dir, f"upto={upto}"))
+        )
+    if ids:
+        # explicit per-partition paths: the read never lists or opens
+        # the already-compacted directories
+        parts.append(
+            spark.read.parquet(
+                *[os.path.join(df_dir, f"batch_id={i}") for i in ids]
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("shingle").agg(F.sum("df").alias("df"))
+
+
 def pair_graph_foreach_batch(
     state_dir: str, threshold: float = 0.5, compact_every: int = 16
 ):
@@ -260,54 +317,6 @@ def pair_graph_foreach_batch(
     pair_dir = os.path.join(state_dir, "pairs")
     comp_dir = os.path.join(state_dir, "components")
 
-    def _read_lt(spark, base, schema, batch_id):
-        """Union of batch_id < batch_id partitions, empty frame if none."""
-        if not _list_batch_ids(spark, base):
-            return spark.createDataFrame([], schema)
-        df = spark.read.option("basePath", base).parquet(base)
-        return df.filter(F.col("batch_id") < batch_id).drop("batch_id")
-
-    def _df_base(spark, batch_id):
-        """Per-shingle df over all documents in batches < batch_id: the
-        newest compact snapshot at or below batch_id plus only the
-        per-batch partitions it does not cover — O(compact_every)
-        partitions per read instead of O(batch-count)."""
-        schema = "shingle string, df bigint"
-        # strictly BELOW batch_id: a replay of compacting batch N must
-        # never read its own upto=N snapshot — a crash mid-snapshot-write
-        # leaves a partial directory, and consuming it would either brick
-        # the read (no committed files) or silently undercount the base.
-        # The previous snapshot plus the [upto, N) per-batch partitions
-        # (never deleted) always reconstruct the exact base.
-        uptos = [
-            u
-            for u in _list_batch_ids(spark, df_compact_dir, prefix="upto=")
-            if u < batch_id
-        ]
-        upto = max(uptos) if uptos else 0
-        ids = [
-            i for i in _list_batch_ids(spark, df_dir) if upto <= i < batch_id
-        ]
-        parts = []
-        if upto > 0:
-            parts.append(
-                spark.read.parquet(os.path.join(df_compact_dir, f"upto={upto}"))
-            )
-        if ids:
-            # explicit per-partition paths: the read never lists or
-            # opens the already-compacted directories
-            parts.append(
-                spark.read.parquet(
-                    *[os.path.join(df_dir, f"batch_id={i}") for i in ids]
-                )
-            )
-        if not parts:
-            return spark.createDataFrame([], schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.groupBy("shingle").agg(F.sum("df").alias("df"))
-
     def fn(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_docs = batch_df.select("doc_id", "text").localCheckpoint()
@@ -315,7 +324,7 @@ def pair_graph_foreach_batch(
             spark, shingle_dir,
             "doc_id bigint, s array<string>, n int", batch_id,
         )
-        base_df = _df_base(spark, batch_id)
+        base_df = _df_base(spark, df_dir, df_compact_dir, batch_id)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # fold everything below this batch into one snapshot — the
             # exact frame the batch reads as its base, so the write is a
@@ -402,6 +411,7 @@ def containment_foreach_batch(
     threshold: float = 0.8,
     n_sb: int = 16,
     buckets: int = 16,
+    compact_every: int = 16,
 ):
     """Streaming face of the CONTAINMENT substrate (r12 verdict #5) —
     the ``foreachBatch`` body that keeps the persisted-prefix artifact
@@ -426,7 +436,9 @@ def containment_foreach_batch(
       (verification substrate; text never re-parsed)
     * ``{state_dir}/cdf/batch_id=N`` — the batch's per-shingle df counts
       (the rarest-first ORDER input; order affects candidate volume
-      only, never losslessness)
+      only, never losslessness), compacted every ``compact_every``
+      batches to ``{state_dir}/cdf_compact/upto=N`` exactly like the
+      Jaccard face's df_stats (bounded state reads, replay-idempotent)
     * ``{state_dir}/cpairs/batch_id=N`` — verified directed containment
       pairs >= threshold with >= 1 endpoint in the batch
       (``operators/dedup.containment_pairs_delta``: the batch probes as
@@ -465,14 +477,9 @@ def containment_foreach_batch(
 
     shingle_dir = os.path.join(state_dir, "shingles")
     cdf_dir = os.path.join(state_dir, "cdf")
+    cdf_compact_dir = os.path.join(state_dir, "cdf_compact")
     cpair_dir = os.path.join(state_dir, "cpairs")
     comp_dir = os.path.join(state_dir, "components")
-
-    def _read_lt(spark, base, schema, batch_id):
-        if not _list_batch_ids(spark, base):
-            return spark.createDataFrame([], schema)
-        df = spark.read.option("basePath", base).parquet(base)
-        return df.filter(F.col("batch_id") < batch_id).drop("batch_id")
 
     def fn(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -488,9 +495,20 @@ def containment_foreach_batch(
             .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
             .localCheckpoint()  # evaluated once: df_now input AND state
         )
+        base_cdf = _df_base(spark, cdf_dir, cdf_compact_dir, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # same replay-idempotent upto=N snapshot protocol as the
+            # Jaccard face: a pure function of the batch_id<N state the
+            # batch itself reads, written only under its own key
+            # (code-review r13 — without this the per-batch df read
+            # re-unions O(batch-count) partitions, the creep the r9
+            # soak measured)
+            base_cdf = base_cdf.localCheckpoint()
+            base_cdf.write.mode("overwrite").parquet(
+                os.path.join(cdf_compact_dir, f"upto={batch_id}")
+            )
         df_now = (
-            _read_lt(spark, cdf_dir, "shingle string, df bigint", batch_id)
-            .unionByName(batch_cdf)
+            base_cdf.unionByName(batch_cdf)
             .groupBy("shingle")
             .agg(F.sum("df").cast("bigint").alias("df"))
         )
