@@ -2888,27 +2888,43 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
     q = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "n_chars"
     )
-    a = assign.join(q, "vec_id")
+    # per-ROW norm, computed ONCE before the join: inlining cosine6 in
+    # the pair filter evaluated SIX interpreted aggregate() lambdas per
+    # candidate pair (dot + both norms, each twice through the
+    # zero-guard CASE) — 13.7 s for 231 output rows at sf0.1, profiled.
+    # With stored norms a pair costs one dot product, and the identical
+    # round(dot/(na*nb), 6) arithmetic keeps the oracle hash exact.
+    a = assign.join(q, "vec_id").withColumn("nrm", norm(F.col("v")))
     b = a.select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("b_v"),
         F.col("cluster").alias("b_cluster"),
         F.col("n_chars").alias("b_chars"),
+        F.col("nrm").alias("b_nrm"),
     )
-    sim = F.coalesce(cosine6(F.col("v"), F.col("b_v")), F.lit(-1.0))
+    sim = F.when(
+        (F.col("nrm") * F.col("b_nrm")) != 0,
+        F.round(
+            dot(F.col("v"), F.col("b_v")) / (F.col("nrm") * F.col("b_nrm")),
+            6,
+        ),
+    ).otherwise(F.lit(-1.0))
     dom = a.join(
         b,
         (F.col("cluster") == F.col("b_cluster"))
         & (F.col("vec_id") != F.col("b_id")),
     ).filter(
-        (sim >= F.lit(threshold))
-        & (
+        # cheap scalar dominance conjuncts FIRST: they halve the pairs
+        # before the per-pair dot product runs (written order is the
+        # codegen short-circuit order)
+        (
             (F.col("b_chars") > F.col("n_chars"))
             | (
                 (F.col("b_chars") == F.col("n_chars"))
                 & (F.col("b_id") < F.col("vec_id"))
             )
         )
+        & (sim >= F.lit(threshold))
     )
     wbest = Window.partitionBy("vec_id").orderBy(
         F.desc("b_chars"), F.asc("b_id")
