@@ -17,7 +17,7 @@ the moment the trainer drops it (plus whatever survives the run), via
 wrappers around dedup.scratch_path/drop_scratch — the same seam the
 slice-write pytest spies on.
 
-Usage: python tools/bench_bpe_k.py [k] [sf_dir] [--synth N] [--batch-m M]
+Usage: python tools/bench_bpe_k.py [k] [sf_dir] [--synth N] [--batch-m M] [--alpha W]
 One JSON line on stdout; per-merge walls (round wall / merges applied
 that round — multi-merge batching, r13) to BENCH_BPE_K_LATEST.json.
 ``--batch-m 1`` measures the pre-r13 sequential behavior.
@@ -55,28 +55,44 @@ def dir_bytes(path: str) -> int:
     return total
 
 
-def synth_vocab(spark, n: int):
+def synth_vocab(spark, n: int, alpha: int = 16):
     """N distinct pseudo-words with Zipf-shaped frequencies, derived
-    deterministically from md5(id): 8..17 letters from the a-p alphabet
-    (hex digits translated), so pair diversity is realistic and two runs
-    build the identical vocabulary."""
+    deterministically from md5(id), so pair diversity is realistic and
+    two runs build the identical vocabulary.  ``alpha`` picks the
+    letter-alphabet width: 16 (the original hex-translate, 8..17-letter
+    words) or up to 26 (each md5 byte mapped mod alpha onto a..,
+    8..16-letter words) — the knob behind the addendum-B claim that
+    batch width is conflict-density-bound: a wider alphabet spreads the
+    Zipf head over more symbols, so the count-invariant prefix is
+    longer and batches widen."""
     from pyspark.sql import functions as F
 
+    if alpha == 16:
+        w = F.substring(
+            F.translate(
+                F.md5(F.col("id").cast("string").cast("binary")),
+                "0123456789",
+                "ghijklmnop",
+            ),
+            1,
+            (8 + F.col("id") % 10).cast("int"),
+        )
+    else:
+        # byte i of md5 -> chr(97 + byte % alpha); word length 8..16
+        # keeps i*2-1+2 <= 32 inside the hex digest
+        w = F.expr(
+            "concat_ws('', transform(sequence(1, int(8 + id % 9)),"
+            " i -> char(97 + cast(conv(substring("
+            "md5(cast(cast(id as string) as binary)), i*2-1, 2),"
+            f" 16, 10) as int) % {alpha})))"
+        )
     return (
         spark.range(n)
         .select(
             (F.floor(F.lit(float(n)) / (F.col("id") + 1)) + 1)
             .cast("bigint")
             .alias("freq"),
-            F.substring(
-                F.translate(
-                    F.md5(F.col("id").cast("string").cast("binary")),
-                    "0123456789",
-                    "ghijklmnop",
-                ),
-                1,
-                (8 + F.col("id") % 10).cast("int"),
-            ).alias("w"),
+            w.alias("w"),
         )
         .groupBy("w")
         .agg(F.sum("freq").alias("freq"))
@@ -103,6 +119,11 @@ def main() -> None:
     if "--batch-m" in rest:
         i = rest.index("--batch-m")
         batch_m = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2:]
+    alpha = 16
+    if "--alpha" in rest:
+        i = rest.index("--alpha")
+        alpha = int(rest[i + 1])
         rest = rest[:i] + rest[i + 2:]
     sf_dir = rest[0] if rest else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -145,7 +166,7 @@ def main() -> None:
         prev[0] = now
         prev_rank[0] = rank
 
-    docs = synth_vocab(spark, synth_n) if synth_n else None
+    docs = synth_vocab(spark, synth_n, alpha) if synth_n else None
     t0 = time.perf_counter()
     try:
         merges, wf = bpe_train(
@@ -173,6 +194,7 @@ def main() -> None:
         "metric": "bpe_train_k",
         "k": k,
         "batch_m": batch_m,
+        "alpha": alpha,
         "rounds": len(rounds),
         "sec_per_round_median": round(
             sorted(r[1] for r in rounds)[len(rounds) // 2], 3
