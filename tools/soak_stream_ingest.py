@@ -14,7 +14,14 @@ identical code path to the wrapped stream, without paying the stream
 engine's per-trigger latency, which would mask the state-read slope.
 
 Usage: python tools/soak_stream_ingest.py [n_batches] [compact_every]
+                                          [--face containment]
        (defaults: 100 0; 0 = no compaction)
+
+``--face containment`` soaks ``containment_foreach_batch`` instead
+(r13): the same per-batch-wall-vs-batch_id measurement over the
+containment substrate's streaming face — prefix-artifact appends,
+cdf state reads (compacted every ``compact_every``), pair/component
+maintenance.
 """
 
 from __future__ import annotations
@@ -32,13 +39,16 @@ from pyspark.sql import functions as F
 
 from xmlstreamprocessor_spark.session import get_session
 from xmlstreamprocessor_spark.streaming import pair_graph_foreach_batch
+from xmlstreamprocessor_spark.streaming.dedup import containment_foreach_batch
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    compact_every = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    face = "containment" if "--face" in sys.argv and "containment" in sys.argv else "jaccard"
+    n_batches = int(args[0]) if len(args) > 0 else 100
+    compact_every = int(args[1]) if len(args) > 1 else 0
     spark = get_session()
     docs = (
         spark.read.parquet(f"{SF}/documents.parquet")
@@ -46,11 +56,23 @@ def main() -> None:
         .localCheckpoint()
     )
     state_dir = tempfile.mkdtemp(prefix="xsp_soak_")
-    fn = pair_graph_foreach_batch(
-        os.path.join(state_dir, "st"),
-        threshold=0.5,
-        compact_every=compact_every,
-    )
+    table = None
+    if face == "containment":
+        table = "xsp_t_soak_prefix"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        fn = containment_foreach_batch(
+            os.path.join(state_dir, "st"),
+            table,
+            os.path.join(state_dir, "pfx"),
+            threshold=0.8,
+            compact_every=compact_every,
+        )
+    else:
+        fn = pair_graph_foreach_batch(
+            os.path.join(state_dir, "st"),
+            threshold=0.5,
+            compact_every=compact_every,
+        )
     walls = []
     try:
         for b in range(n_batches):
@@ -65,6 +87,7 @@ def main() -> None:
         head = sum(walls[:q]) / q
         tail = sum(walls[-q:]) / q
         print(json.dumps({
+            "face": face,
             "n_batches": n_batches,
             "compact_every": compact_every,
             "total_sec": round(sum(walls), 1),
@@ -74,6 +97,8 @@ def main() -> None:
             "walls": walls,
         }))
     finally:
+        if table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
