@@ -459,6 +459,82 @@ def test_bpe_apply_reproduces_training_segmentation(spark):
     assert one == py  # Spark string fold == symbol-list Sennrich merge
 
 
+def test_bpe_apply_frame_chunked_matches_unchunked(spark):
+    """bpe_apply_frame's materialize cuts are value-level identities
+    (r13 verdict #3): applying a merge table with chunk_m smaller than
+    the table (forcing scratch round-trips mid-chain) produces EXACTLY
+    the single-expression-chain segmentation, and both reproduce the
+    trainer's final vocabulary.  Also pins the zero-I/O fast path for
+    tables at or under chunk_m, and that superseded scratch snapshots
+    are dropped one-deep in the loop."""
+    from pyspark.sql import functions as FF
+
+    import xmlstreamprocessor_spark.operators.dedup as dd
+    from xmlstreamprocessor_spark.operators.textops import (
+        bpe_apply_expr,
+        bpe_apply_frame,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana banana cabana anna"),
+            (2, "an and hand andante banana band nana"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = (
+        docs.select(
+            FF.explode(
+                FF.split(FF.trim(FF.lower(FF.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter((FF.length("w") >= 2) & FF.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(FF.count(FF.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "w",
+            "freq",
+            FF.concat(
+                FF.lit("|"), FF.regexp_replace("w", "(.)", "$1|")
+            ).alias("seg"),
+        )
+    )
+    merges, _trained = bpe_train(spark, None, k=7, docs=vocab)
+    rows = merges.orderBy("merge_rank").collect()
+    assert len(rows) >= 5  # enough merges to span several chunks
+    single = {
+        r["w"]: r["seg"]
+        for r in vocab.select(
+            "w", bpe_apply_expr(rows, FF.col("seg")).alias("seg")
+        ).collect()
+    }
+    import os
+
+    dropped = []
+    real_drop = dd.drop_scratch
+
+    def spy_drop(p):
+        dropped.append(p)
+        real_drop(p)
+
+    dd.drop_scratch = spy_drop
+    try:
+        chunked = bpe_apply_frame(vocab, rows, chunk_m=2)
+        got = {r["w"]: r["seg"] for r in chunked.collect()}
+    finally:
+        dd.drop_scratch = real_drop
+    assert got == single
+    # one cut per full chunk except the last; all but the live final
+    # snapshot dropped in-loop
+    n_cuts = (len(rows) - 1) // 2
+    assert len(dropped) == n_cuts - 1
+    assert all(not os.path.exists(p) for p in dropped if os.sep in p)
+    # fast path: table <= chunk_m adds no scratch and matches too
+    fast = bpe_apply_frame(vocab, rows, chunk_m=len(rows))
+    assert {r["w"]: r["seg"] for r in fast.collect()} == single
+
+
 def test_bpe_merge_never_crosses_symbol_boundaries(spark):
     """Regression pin for the code-review finding: merge (h,e) must NOT
     apply inside a word whose segmentation is [th, e] — the pair there

@@ -1689,11 +1689,89 @@ def bpe_apply_expr(merge_rows, seg_col):
 
     merge_rows: iterable of Rows/dicts with left_sym/right_sym in
     merge_rank order (bounded: k rows, driver-side by design — the merge
-    table IS the trained artifact)."""
+    table IS the trained artifact).
+
+    BOUNDED AT k=10, UNBOUNDED IN k: the chain is one expression per
+    merge, so a production 30k-merge table is a 30k-deep expression
+    tree through analysis/codegen — use :func:`bpe_apply_frame` for
+    large tables (r13 verdict #3)."""
     col = seg_col
     for r in merge_rows:
         col = _bpe_merge_expr(col, r["left_sym"], r["right_sym"])
     return col
+
+
+_BPE_APPLY_CHUNK = 32  # merges folded per expression between materialize
+# cuts in bpe_apply_frame: deep enough to amortize the scratch
+# round-trip, shallow enough that the analyzed plan stays bounded
+
+
+def bpe_apply_frame(frame, merge_rows, seg_col: str = "seg",
+                    chunk_m: int = _BPE_APPLY_CHUNK):
+    """Apply an ordered merge table to a frame's ``seg_col`` with the
+    expression chain BOUNDED in the table size (r13 verdict #3 — the
+    lineage-cut lesson applied a third time, after the BPE trainer
+    snapshots r12 and the k-center running frame r13): merges fold in
+    rank order as chained :func:`_bpe_merge_expr` expressions, but in
+    CHUNKS of ``chunk_m``, with the frame MATERIALIZED to parquet
+    scratch between chunks.  Every chunk's analyzed plan is therefore at
+    most ``chunk_m`` folds deep regardless of k — a 30k-merge production
+    table costs k/chunk_m bounded scratch round-trips instead of one
+    30k-deep expression tree through analysis/codegen.
+
+    Exactness is by construction: the folds are the IDENTICAL
+    expressions :func:`bpe_apply_expr` chains (rank order, left-to-right
+    fold), only the cut points differ — a materialize is a value-level
+    identity.  Pinned by tests/test_textops.py (chunked == unchunked ==
+    training segmentation).
+
+    Tables at or under ``chunk_m`` (the registered k=10 query) take the
+    zero-I/O path: one expression chain, the exact plan shape this
+    function had before the bound existed.
+
+    Returns the frame with ``seg_col`` rewritten; when chunking
+    engaged, the result is parquet-scratch-backed (session-owned, the
+    ``bpe_train`` vocab convention) with superseded snapshots dropped
+    one-deep in the loop."""
+    # call-time import, like bpe_train: the bench tools wrap these names
+    # on the dedup module to observe write volume
+    from xmlstreamprocessor_spark.operators.dedup import (
+        drop_scratch,
+        scratch_path,
+    )
+
+    rows = list(merge_rows)
+    if chunk_m <= 0:
+        raise ValueError(f"chunk_m must be positive, got {chunk_m}")
+    if len(rows) <= chunk_m:
+        return frame.withColumn(
+            seg_col, bpe_apply_expr(rows, F.col(seg_col))
+        )
+    spark = frame.sparkSession
+    cur, cur_path = frame, None
+    try:
+        for lo in range(0, len(rows), chunk_m):
+            chunk = rows[lo:lo + chunk_m]
+            cur = cur.withColumn(
+                seg_col, bpe_apply_expr(chunk, F.col(seg_col))
+            )
+            if lo + chunk_m < len(rows):
+                # lineage cut: store the partially-encoded frame and
+                # restart the fold from the stored column; supersede the
+                # previous snapshot so scratch stays one-deep
+                p = scratch_path(spark)
+                cur.write.parquet(p)
+                cur = spark.read.parquet(p)
+                if cur_path is not None:
+                    drop_scratch(cur_path)
+                cur_path = p
+    except BaseException:
+        if cur_path is not None:
+            drop_scratch(cur_path)
+        raise
+    # the returned frame READS the last snapshot — it stays live,
+    # owned by the session scratch root (interpreter-exit cleanup)
+    return cur
 
 
 @query("tokenizer_bpe_encode_corpus", oracle=_bpe_encode_oracle(_BPE_K))
@@ -1705,8 +1783,11 @@ def tokenizer_bpe_encode_corpus(spark, sf_dir):
     each token).  The encode path is deliberately NOT the trainer's final
     vocabulary: it re-segments from raw characters and replays the
     COLLECTED merge table as chained symbol-fold expressions
-    (bpe_apply_expr), the same single-pass map-only shape a real pipeline
-    uses to tokenize held-out text at 100 TB.  The DuckDB oracle reads
+    (bpe_apply_frame — chunked with materialize cuts, so the expression
+    chain is BOUNDED in the merge-table size; at the registered k=10 it
+    takes the zero-I/O single-chain path), the same map-only shape a
+    real pipeline uses to tokenize held-out text at 100 TB.  The DuckDB
+    oracle reads
     the training-time segmentation instead, so the hash compare pins
     apply == training segmentation — the invariant BPE correctness rests
     on (Sennrich et al., ACL'16).
@@ -1719,9 +1800,7 @@ def tokenizer_bpe_encode_corpus(spark, sf_dir):
     # _trained is parquet-scratch-backed (nothing to unpersist); the
     # encode path deliberately re-segments from raw characters instead
     rows = merges.orderBy("merge_rank").collect()  # bounded: k rows
-    enc = _bpe_vocab(spark, sf_dir).select(
-        "freq", bpe_apply_expr(rows, F.col("seg")).alias("seg")
-    )
+    enc = bpe_apply_frame(_bpe_vocab(spark, sf_dir), rows)
     tok = enc.select(
         "freq", F.explode(F.split("seg", "[|]")).alias("token")
     ).filter(F.col("token") != "")
