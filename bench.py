@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     # with a within-cluster dominance join; benched so a regression in
     # either the anchor loop or the cluster-join shape is wall-visible
     "dedup_semantic_prune",
+    # round 14: the Lloyd-anchored production-k face (broadcast-join
+    # assignment + integer-domain centroid means) — benched so a
+    # regression in the bounded-iteration anchor path is wall-visible
+    "dedup_semantic_prune_kmeans",
 ]
 
 

@@ -37,6 +37,8 @@ _OPS_EMPTY = [
     "dedup_pairs_delta", "graph_components_incremental",
     "pipeline_drop_contained_stats", "dedup_lsh_band_stats",
     "similarity_topk_ivfpq_rerank", "xml_udtf_lineitem_array",
+    # round-14 addition
+    "dedup_semantic_prune_kmeans",
 ]
 
 

@@ -543,3 +543,112 @@ def test_semantic_prune_invariants(spark, oracle_sf_dir):
     for c, members in by_cluster.items():
         top = min(members, key=lambda j: (-docs[j], j))
         assert top in kept, (c, top)
+
+
+def test_semantic_prune_kmeans_matches_numpy_replica(spark, oracle_sf_dir):
+    """The Lloyd-anchored SemDeDup face (r13 verdict #2), verified
+    against a full NumPy replica of the EXACT recurrence: k lowest-id
+    seeds, n_iter nearest-centroid assignments with (dist, cell)
+    tiebreak, integer-domain centroid means (floor(x*1e6) BIGINT sums —
+    associative, so the replica's summation order provably matches) with
+    the round(sum/n/1e6, 6) re-entry, final assignment, then the shared
+    quality-dominance prune.  Pins the whole output table — clusters,
+    kept flags, and pruned_by — plus the corpus-partition invariant and
+    the anchor='kmeans' dispatch seam on dedup_semantic_prune."""
+    import math
+
+    import numpy as np
+
+    from xmlstreamprocessor_spark.operators.registry import REGISTRY
+    from xmlstreamprocessor_spark.operators.similarity import (
+        _SEM_KM_ITER,
+        _SEM_KM_K,
+        _SEM_T,
+        dedup_semantic_prune,
+    )
+
+    rows = REGISTRY["dedup_semantic_prune_kmeans"][0](
+        spark, oracle_sf_dir
+    ).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def round6(x):  # Spark/DuckDB round: half away from zero
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def dist6(v, c):
+        nv, nc = np.linalg.norm(v), np.linalg.norm(c)
+        cos = round(float(v @ c) / (nv * nc), 6) if nv * nc != 0 else -1.0
+        return round6(1.0 - cos)
+
+    ids = sorted(emb)
+    cents = {i: emb[i].copy() for i in ids[:_SEM_KM_K]}
+
+    def assign_all():
+        return {
+            i: min(
+                ((dist6(emb[i], c), cell) for cell, c in cents.items())
+            )[1]
+            for i in ids
+        }
+
+    a = assign_all()
+    for _ in range(_SEM_KM_ITER):
+        by_cell = {}
+        for i, cell in a.items():
+            by_cell.setdefault(cell, []).append(i)
+        cents = {}
+        for cell, members in by_cell.items():
+            s = np.sum(
+                [np.floor(emb[i] * 1e6).astype(np.int64) for i in members],
+                axis=0,
+            )
+            cents[cell] = np.array(
+                [round6(float(x) / len(members) / 1e6) for x in s]
+            )
+        a = assign_all()
+
+    got = {r["doc_id"]: (r["cluster"], r["kept"], r["pruned_by"]) for r in rows}
+    assert set(got) == set(emb)  # one row per corpus document
+    assert {d: c for d, (c, _, _) in got.items()} == a
+    # replay the dominance prune on the replica's clusters
+    by_cluster = {}
+    for d, c in a.items():
+        by_cluster.setdefault(c, []).append(d)
+
+    def cos6(i, j):
+        ni, nj = np.linalg.norm(emb[i]), np.linalg.norm(emb[j])
+        if ni == 0 or nj == 0:
+            return -1.0
+        return round(float(emb[i] @ emb[j]) / (ni * nj), 6)
+
+    for i, (c, kept_flag, pruned_by) in got.items():
+        doms = [
+            j
+            for j in by_cluster[c]
+            if j != i
+            and cos6(i, j) >= _SEM_T
+            and (docs[j], -j) > (docs[i], -i)
+        ]
+        if kept_flag:
+            assert not doms and pruned_by is None, (i, doms)
+        else:
+            assert pruned_by == min(doms, key=lambda j: (-docs[j], j))
+    # the anchor seam routes to the same face
+    via_seam = dedup_semantic_prune(
+        spark, oracle_sf_dir, k=_SEM_KM_K, anchor="kmeans"
+    ).collect()
+    assert {
+        r["doc_id"]: (r["cluster"], r["kept"], r["pruned_by"])
+        for r in via_seam
+    } == got

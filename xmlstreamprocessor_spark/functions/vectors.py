@@ -23,6 +23,23 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """:func:`dot` unrolled over literal indices — the IDENTICAL
+    left-to-right accumulation (0.0 + a[0]*b[0] + a[1]*b[1] + ...), so
+    results are bit-for-bit equal to the aggregate fold and the DuckDB
+    list_dot_product, but as a plain Add/Multiply chain that stays in
+    whole-stage CODEGEN.  Spark's higher-order functions (aggregate /
+    zip_with) evaluate INTERPRETED, which is fine once per row but
+    dominates wide pair joins: the r13 semantic-prune profile measured
+    six interpreted lambdas per candidate pair at 13.7 s for 231 rows.
+    Use this form in hot pair/assignment loops where ``dim`` is known;
+    requires uniform-length arrays (GetArrayItem is ANSI-strict)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

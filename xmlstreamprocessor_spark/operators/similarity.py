@@ -19,6 +19,7 @@ from xmlstreamprocessor_spark.functions.vectors import (
     as_double_array,
     cosine6,
     dot,
+    dot_unrolled,
     duck_cosine6,
     norm,
 )
@@ -2770,6 +2771,30 @@ _SEM_T = 0.4  # cosine SIMILARITY floor for "semantic duplicate" — the
 # embedding-cosine dedup pair queries verify at the same 0.4)
 
 
+def _semantic_dom_tail_sql(t: float) -> str:
+    """The within-cluster quality-dominance prune tail shared by every
+    semantic-prune oracle: expects a CTE ``aq(vec_id, embedding, cid,
+    n_chars)`` — the documents-joined assignment — and emits the final
+    (doc_id, cluster, kept, pruned_by) report."""
+    return f""",
+    dom AS (
+      SELECT a.vec_id, b.vec_id AS dom_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY b.n_chars DESC, b.vec_id ASC) AS rk
+      FROM aq a JOIN aq b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE COALESCE({duck_cosine6('a.embedding', 'b.embedding')}, -1)
+              >= {t}
+        AND (b.n_chars > a.n_chars
+             OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id))
+    )
+    SELECT a.vec_id AS doc_id, a.cid AS cluster,
+           (p.dom_id IS NULL) AS kept, p.dom_id AS pruned_by
+    FROM aq a LEFT JOIN (SELECT vec_id, dom_id FROM dom WHERE rk = 1) p
+      ON p.vec_id = a.vec_id
+    ORDER BY doc_id"""
+
+
 def _semantic_prune_oracle(k: int, t: float) -> str:
     """DuckDB twin of :func:`dedup_semantic_prune`: replays the greedy
     k-center selection (shared unrolled stages), assigns every vector to
@@ -2795,28 +2820,15 @@ def _semantic_prune_oracle(k: int, t: float) -> str:
       WHERE rk = 1),
     aq AS MATERIALIZED (
       SELECT a.vec_id, a.embedding, a.cid, d.n_chars
-      FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
-    dom AS (
-      SELECT a.vec_id, b.vec_id AS dom_id,
-             row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY b.n_chars DESC, b.vec_id ASC) AS rk
-      FROM aq a JOIN aq b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-      WHERE COALESCE({duck_cosine6('a.embedding', 'b.embedding')}, -1)
-              >= {t}
-        AND (b.n_chars > a.n_chars
-             OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id))
+      FROM assign a JOIN documents d ON d.doc_id = a.vec_id)""" + (
+        _semantic_dom_tail_sql(t)
     )
-    SELECT a.vec_id AS doc_id, a.cid AS cluster,
-           (p.dom_id IS NULL) AS kept, p.dom_id AS pruned_by
-    FROM aq a LEFT JOIN (SELECT vec_id, dom_id FROM dom WHERE rk = 1) p
-      ON p.vec_id = a.vec_id
-    ORDER BY doc_id"""
 
 
 @query("dedup_semantic_prune", oracle=_semantic_prune_oracle(_KC_K, _SEM_T))
 def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
-                         threshold: float = _SEM_T):
+                         threshold: float = _SEM_T,
+                         anchor: str = "kcenter"):
     """SemDeDup-style semantic pruning (Abbas et al. '23, "SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication"): cluster the embedding corpus around the greedy
@@ -2850,7 +2862,22 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
     vec_id == doc_id (the test tables' 1:1 pairing), so the report
     covers embeddings WITH a documents row — doc-less vectors are out
     of scope in both engines; a deployment with a separate quality
-    source passes it through the documents seam."""
+    source passes it through the documents seam.
+
+    ``anchor="kmeans"`` routes to :func:`dedup_semantic_prune_kmeans`
+    (r13 verdict #2): the greedy k-center anchor pass is k sequential
+    driver scans — right for the diversity-anchored k<=~100 regime, but
+    the SemDeDup deployment rule is k ∝ corpus (the paper runs 50k
+    clusters), where the bounded-iteration Lloyd anchors with a
+    broadcast-join assignment are the scale path."""
+    if anchor == "kmeans":
+        return dedup_semantic_prune_kmeans(
+            spark, sf_dir, k=k, threshold=threshold
+        )
+    if anchor != "kcenter":
+        raise ValueError(
+            f"anchor must be 'kcenter' or 'kmeans', got {anchor!r}"
+        )
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
@@ -2895,6 +2922,27 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
     # With stored norms a pair costs one dot product, and the identical
     # round(dot/(na*nb), 6) arithmetic keeps the oracle hash exact.
     a = assign.join(q, "vec_id").withColumn("nrm", norm(F.col("v")))
+    return _dominance_prune_report(
+        a, threshold, dim=len(next(iter(centers.values())))
+    )
+
+
+def _dominance_prune_report(a, threshold: float, dim: int | None = None):
+    """The within-cluster quality-dominance prune shared by every
+    semantic-prune face (the Spark twin of :func:`_semantic_dom_tail_sql`):
+    ``a`` is the documents-joined assignment frame (vec_id, v, cluster,
+    n_chars, nrm) — one row per in-scope document.  When ``dim`` is
+    known the per-pair dot product runs as the unrolled CODEGEN chain
+    (bit-identical accumulation — see :func:`dot_unrolled`) instead of
+    the interpreted aggregate fold.  Output rows come
+    from the DOCUMENTS-JOINED frame, not the raw embedding corpus: the
+    quality rank is a documents attribute, so an embedding without a
+    documents row has no defined quality and is out of scope for the
+    prune report — and the oracle's aq join says exactly that
+    (code-review r13: joining ``best`` onto the raw assignment here
+    emitted extra kept=true rows for doc-less vec_ids, a silent
+    row-count divergence on any corpus where the 1:1 vec_id==doc_id
+    pairing of the test tables does not hold)."""
     b = a.select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("b_v"),
@@ -2902,10 +2950,15 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
         F.col("n_chars").alias("b_chars"),
         F.col("nrm").alias("b_nrm"),
     )
+    pair_dot = (
+        dot_unrolled(F.col("v"), F.col("b_v"), dim)
+        if dim is not None
+        else dot(F.col("v"), F.col("b_v"))
+    )
     sim = F.when(
         (F.col("nrm") * F.col("b_nrm")) != 0,
         F.round(
-            dot(F.col("v"), F.col("b_v")) / (F.col("nrm") * F.col("b_nrm")),
+            pair_dot / (F.col("nrm") * F.col("b_nrm")),
             6,
         ),
     ).otherwise(F.lit(-1.0))
@@ -2934,14 +2987,6 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("b_id").alias("pruned_by"))
     )
-    # output rows come from the DOCUMENTS-JOINED frame, not the raw
-    # embedding corpus: the quality rank is a documents attribute, so an
-    # embedding without a documents row has no defined quality and is
-    # out of scope for the prune report — and the oracle's aq join says
-    # exactly that (code-review r13: joining `best` onto `assign` here
-    # emitted extra kept=true rows for doc-less vec_ids, a silent
-    # row-count divergence on any corpus where the 1:1 vec_id==doc_id
-    # pairing of the test tables does not hold)
     return (
         a.join(best, "vec_id", "left")
         .select(
@@ -2952,3 +2997,198 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup at production k: Lloyd-anchored semantic pruning (r13 verdict #2)
+# ---------------------------------------------------------------------------
+
+_SEM_KM_K = 8  # registered seeds (oracle scale); the seam runs k >= 1000
+_SEM_KM_ITER = 2  # Lloyd refinement iterations — bounded regardless of k
+
+# integer-domain projection of the embedding, the _rplsh lesson: per-
+# coordinate floor(x * 1e6) as BIGINT makes every cross-row centroid sum
+# exact integer arithmetic — associative, so engine/partition summation
+# order cannot move a mean (float sums are order-dependent, the reason
+# kmeans_lloyd proper is not oracle-paired).  The mean re-enters the
+# double domain through one deterministic division sequence.
+_DUCK_SEM_EI = (
+    "list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> CAST(floor(x * 1000000.0) AS BIGINT))"
+)
+
+
+def _semantic_kmeans_oracle(k: int, n_iter: int, t: float) -> str:
+    """DuckDB twin of :func:`dedup_semantic_prune_kmeans`: k lowest-id
+    seeds, ``n_iter`` exact Lloyd refinements (nearest-centroid
+    assignment with (dist, cell) tiebreak; integer-domain per-coordinate
+    means rounded to 6 decimals), a final assignment, then the shared
+    quality-dominance prune tail."""
+    stages = [f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+                 {_DUCK_SEM_EI} AS ei
+          FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cell, embedding AS ce FROM e
+      ORDER BY vec_id LIMIT {k})"""]
+    for i in range(1, n_iter + 1):
+        stages.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, ei, cell FROM (
+        SELECT e.vec_id, e.ei, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_kc_duck_dist('e.embedding', 'c.ce')} ASC,
+                          c.cell ASC) AS rk
+        FROM e CROSS JOIN c{i - 1} c) z
+      WHERE rk = 1),
+    c{i} AS MATERIALIZED (
+      SELECT cell, list(m ORDER BY pos) AS ce FROM (
+        SELECT cell, pos,
+               round(CAST(sum(x) AS DOUBLE) / count(*) / 1000000.0, 6) AS m
+        FROM (SELECT cell, unnest(ei) AS x,
+                     generate_subscripts(ei, 1) AS pos FROM a{i}) u
+        GROUP BY cell, pos) g
+      GROUP BY cell)""")
+    return "WITH" + ",".join(stages) + f""",
+    af AS MATERIALIZED (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_kc_duck_dist('e.embedding', 'c.ce')} ASC,
+                          c.cell ASC) AS rk
+        FROM e CROSS JOIN c{n_iter} c) z
+      WHERE rk = 1),
+    aq AS MATERIALIZED (
+      SELECT a.vec_id, a.embedding, a.cell AS cid, d.n_chars
+      FROM af a JOIN documents d ON d.doc_id = a.vec_id)""" + (
+        _semantic_dom_tail_sql(t)
+    )
+
+
+@query(
+    "dedup_semantic_prune_kmeans",
+    oracle=_semantic_kmeans_oracle(_SEM_KM_K, _SEM_KM_ITER, _SEM_T),
+)
+def dedup_semantic_prune_kmeans(spark, sf_dir, k: int = _SEM_KM_K,
+                                n_iter: int = _SEM_KM_ITER,
+                                threshold: float = _SEM_T):
+    """SemDeDup semantic pruning with LLOYD-anchored clusters — the
+    production-k anchor path (r13 verdict #2; Abbas et al. '23 run
+    k-means with k ~ 50,000, one cluster per ~2k examples).  The greedy
+    k-center anchors (:func:`dedup_semantic_prune`) cost k sequential
+    driver scans and fold k literal centers into one assignment
+    expression — right at k<=~100, unbounded in k.  This face is
+    bounded-by-construction at any k:
+
+    * ANCHORS: k lowest-vec_id seeds refined by ``n_iter`` Lloyd
+      iterations (the :func:`kmeans_lloyd` shape) — each iteration is
+      ONE broadcast-join assignment pass plus ONE map-side-combinable
+      per-cell aggregation, regardless of k;
+    * ASSIGNMENT: the centroid table is a BROADCAST FRAME (k x dim
+      doubles), never a k-literal expression fold — the per-pair
+      distance is the unrolled codegen dot chain
+      (:func:`dot_unrolled`), the nearest cell a partial-aggregable
+      min(struct(dist, cell)) — so the widest shuffle is one row per
+      vector, and the analyzed plan is the same size at k=8 and k=50k;
+    * PRUNE: the shared within-cluster quality-dominance tail
+      (:func:`_dominance_prune_report`), whose sum-of-cluster-size^2
+      cost is exactly what k ∝ corpus bounds.
+
+    EXACT cross-engine, unlike generic float k-means (the reason
+    :func:`kmeans_lloyd` is not oracle-paired): centroid sums run in
+    the INTEGER domain — per-coordinate floor(x*1e6) BIGINTs, exact and
+    associative, so partition/engine summation order cannot move a mean
+    (the _rplsh sign-sum lesson) — and re-enter doubles through the one
+    deterministic division sequence round(sum/n/1e6, 6) in BOTH
+    engines.  Distances are the family's rounded cosine with the
+    zero-norm -> 2.0 convention; every tiebreak is a total order; empty
+    cells vanish from the per-cell aggregate identically in both
+    engines.  The DuckDB twin replays the full iteration sequence, so
+    every intermediate centroid table is hash-checked by construction.
+
+    The centroid collect between iterations is bounded (k rows — the
+    centroid table IS the trained artifact, the BPE merge-table
+    convention) and cuts the plan lineage per iteration, so iteration
+    i+1's scan never re-derives iteration i."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    out_schema = (
+        "doc_id bigint, cluster bigint, kept boolean, pruned_by bigint"
+    )
+    seeds = e.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    if not seeds:  # empty corpus -> empty report, never a throw
+        return spark.createDataFrame([], out_schema)
+    dim = len(seeds[0]["v"])
+    rows = e.select(
+        "vec_id",
+        "v",
+        norm(F.col("v")).alias("nrm"),
+        F.transform(
+            "v", lambda x: F.floor(x * F.lit(1000000.0)).cast("bigint")
+        ).alias("ei"),
+    )
+
+    def _assign(cents):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cell bigint, ce array<double>")
+            .select("cell", "ce", norm(F.col("ce")).alias("cnrm"))
+        )
+        sim = F.when(
+            (F.col("nrm") * F.col("cnrm")) != 0,
+            F.round(
+                dot_unrolled(F.col("v"), F.col("ce"), dim)
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ),
+        )
+        dist = F.round(F.lit(1.0) - F.coalesce(sim, F.lit(-1.0)), 6)
+        return (
+            rows.crossJoin(cdf)
+            .select("vec_id", "v", "nrm", "ei", dist.alias("dist"), "cell")
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cell")).alias("mc"),
+                # constant per vec_id (one stream row fans out to the k
+                # broadcast pairs), so first() is deterministic
+                F.first("v").alias("v"),
+                F.first("nrm").alias("nrm"),
+                F.first("ei").alias("ei"),
+            )
+            .select("vec_id", "v", "nrm", "ei", F.col("mc.cell").alias("cell"))
+        )
+
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seeds
+    ]
+    assigned = _assign(cents)
+    for _ in range(n_iter):
+        upd = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("ei")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        cent_rows = upd.select(
+            "cell",
+            F.array(
+                *[
+                    F.round(
+                        F.col(f"s{i}").cast("double")
+                        / F.col("n")
+                        / F.lit(1000000.0),
+                        6,
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("ce"),
+        ).collect()  # bounded: k rows; also the per-iteration lineage cut
+        cents = [(int(r["cell"]), list(r["ce"])) for r in cent_rows]
+        assigned = _assign(cents)
+    q = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    a = assigned.select(
+        "vec_id", "v", "nrm", F.col("cell").alias("cluster")
+    ).join(q, "vec_id")
+    return _dominance_prune_report(a, threshold, dim=dim)
