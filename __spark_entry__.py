@@ -24,88 +24,89 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xmlstreamprocessor_spark.operators import REGISTRY  # noqa: E402
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round, so
-# the head of the ordering is a per-round curated window.  ROUND-13 window
-# (r12 verdict task #1): the THIRTEEN r7-stale carries LEAD the rotation
-# as the r12 verdict required — all 13 live in relational.py and were the
-# queries displaced from the r12 window; after r13 no query's newest
-# driver verdict is older than r8.  One slot is the query ADDED in round
-# 13 (SemDeDup semantic pruning over the k-center anchors); 5 slots
-# re-pin queries whose CODE this round changed (multi-merge batching ->
-# both tokenizer queries; the materialize lineage cut ->
-# sample_kcenter_coreset; the prefix_rows extraction + streaming-append
-# face -> dedup_containment_delta_prefix; the resolve_sb_modulus
-# strict/warning fallback -> dedup_containment_delta).  The remaining 31
-# come from the r8-stale cohort (44 members, newest driver verdict r8 by
-# joining CORRECTNESS_r01..r12; alphabetical-first fill).  The 13 r8
-# members that don't fit (sort_top20_orders,
-# subquery_exists_urgent_customers, subquery_scalar_above_avg_price,
-# temporal_ewma_per_user, temporal_rollup_multires,
-# text_langid_documents, text_stats_documents, text_tfidf_top_terms,
-# window_session_10m_events, window_topk_orders_per_customer,
-# window_trailing_7day_revenue, window_tumbling_hourly_events,
-# xml_udtf_orders_struct) carry to r14 at freshness r8 — none touched
-# this round, and all are re-verified by the local strict gate below
-# before shipping.
+# the head of the ordering is a per-round curated window.  ROUND-14 window
+# (r13 verdict task #1): the THIRTEEN r8-stale carries LEAD the rotation
+# as the r13 verdict required — the exact cohort named in the r13 window
+# note, all untouched since and re-verified by the local strict gate.
+# One slot is the query ADDED in round 14 (dedup_semantic_prune_kmeans —
+# the Lloyd-anchored production-k SemDeDup face, r13 verdict #2).  Three
+# slots re-pin queries whose CODE this round changed: the bounded
+# bpe_apply_frame encode path -> tokenizer_bpe_encode_corpus; the
+# try/finally unpersist discipline in the trainer loop ->
+# tokenizer_bpe_train_k_merges; the shared dominance-tail extraction +
+# codegen dot swap -> dedup_semantic_prune.  The remaining 33 come from
+# the r9-stale cohort (47 members, newest driver verdict r9 by joining
+# CORRECTNESS_r01..r13; alphabetical-first fill).  The 14 r9 members
+# that don't fit (text_pii_scrub, text_quality_filter,
+# text_repetition_filter, text_rolling_hash_fingerprint,
+# text_token_count_bpe, unpivot_lineitem_measures,
+# window_lag_lead_order_gaps, window_range_frame_value_band,
+# window_rank_dense_ntile, window_running_total_per_customer,
+# window_sliding_1h_30m_events, xml_roundtrip_hetero_meta,
+# xml_roundtrip_hetero_meta_jvm, xml_roundtrip_lineitem_array) carry to
+# r15 at freshness r9 — none touched this round, all re-verified by the
+# local strict gate below before shipping.  After r14 no query's newest
+# driver verdict is older than r9.
 # COVERAGE GAP (by design of the 50-slot window): out-of-window queries
 # are verified only by the local strict gate — run `python
 # tools/check_correctness.py` (all queries, same compare as the driver)
 # before shipping a round.
 _PRIORITY = [
-    # the thirteen r7-stale carries — they lead, per the r12 verdict
-    "agg_argmax_order_per_customer",
-    "agg_cube_lineitem_flags",
-    "agg_distinct_counts",
-    "agg_grouping_sets_mixed",
-    "agg_minmax_stats",
-    "distinct_order_status_priority",
-    "join_anti_customers_without_orders",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_presence",
-    "q10_returned_items",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "scalar_date_functions",
+    # the thirteen r8-stale carries — they lead, per the r13 verdict
+    "sort_top20_orders",
+    "subquery_exists_urgent_customers",
+    "subquery_scalar_above_avg_price",
+    "temporal_ewma_per_user",
+    "temporal_rollup_multires",
+    "text_langid_documents",
+    "text_stats_documents",
+    "text_tfidf_top_terms",
+    "window_session_10m_events",
+    "window_topk_orders_per_customer",
+    "window_trailing_7day_revenue",
+    "window_tumbling_hourly_events",
+    "xml_udtf_orders_struct",
     # new query this round (never driver-checked)
-    "dedup_semantic_prune",
-    # queries whose code round 13 changed
-    "tokenizer_bpe_train_k_merges",
+    "dedup_semantic_prune_kmeans",
+    # queries whose code round 14 changed
     "tokenizer_bpe_encode_corpus",
-    "sample_kcenter_coreset",
-    "dedup_containment_delta_prefix",
-    "dedup_containment_delta",
-    # stalest re-checks: newest driver green was round 8 (31 of 44; the
-    # 13 carries to r14 are listed in the note above)
-    "agg_histogram_totalprice",
-    "embedding_int8_quantize",
-    "formats_roundtrip_orders",
-    "graph_components_incremental_persisted",
-    "graph_components_minhash_groups",
-    "graph_dup_group_sizes",
-    "join_left_customer_order_stats",
-    "json_extract_event_props",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "pack_sequences_plan",
-    "pipeline_dedup_mix_pack",
-    "pivot_status_totals_by_priority",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q_revenue_per_nation",
-    "sample_deterministic_rate",
-    "sample_train_val_split",
-    "scalar_array_functions",
-    "scalar_math_functions",
-    "scalar_string_functions",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "setop_union_all_keys",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
+    "tokenizer_bpe_train_k_merges",
+    "dedup_semantic_prune",
+    # stalest re-checks: newest driver green was round 9 (33 of 47; the
+    # 14 carries to r15 are listed in the note above)
+    "agg_stats_moments",
+    "analytic_weekly_retention_cohorts",
+    "analytic_zscore_anomalies",
+    "dedup_connected_components",
+    "dedup_embedding_cosine_pairs_lsh",
+    "dedup_levenshtein_pairs",
+    "dedup_report_bundle",
+    "dedup_simhash_signatures",
+    "dedup_simhash_wide_signatures",
+    "graph_components_dup_groups",
+    "json_variant_shred_props",
+    "lateral_top2_orders_per_customer",
+    "merge_upsert_orders",
+    "mix_weighted_corpus",
+    "multimodal_audio_framing",
+    "multimodal_image_features",
+    "multimodal_image_resize_plan",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    "q2_min_cost_supplier",
+    "sample_stratified_quota",
+    "scalar_map_functions",
+    "scd2_customer_priority_history",
+    "sessionize_events_30m",
+    "setop_except_all_statuses",
+    "similarity_centroid_per_label",
+    "similarity_ivf_assign_cells",
+    "similarity_rplsh_signatures",
+    "similarity_topk_ivf_multiprobe",
+    "temporal_gapfill_interpolate",
+    "temporal_gapfill_locf",
+    "text_decontaminate_overlap",
+    "text_langid_confusion",
 ]
 
 

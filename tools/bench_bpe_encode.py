@@ -132,8 +132,13 @@ def main() -> None:
         "flat_ratio_last_over_first": round(per[-1] / per[0], 3)
         if per[0]
         else 0.0,
-        "checksums_equal": all(
-            r.get("checksum_equal", True) for r in out_rows
+        # None (never asserted) when --chain-cap excluded every ladder
+        # point — a default-true would claim a pin that never ran
+        # (code-review r14)
+        "checksums_equal": (
+            all(r["checksum_equal"] for r in out_rows if "checksum_equal" in r)
+            if any("checksum_equal" in r for r in out_rows)
+            else None
         ),
     }
     side = os.path.join(

@@ -3090,8 +3090,12 @@ def dedup_semantic_prune_kmeans(spark, sf_dir, k: int = _SEM_KM_K,
       doubles), never a k-literal expression fold — the per-pair
       distance is the unrolled codegen dot chain
       (:func:`dot_unrolled`), the nearest cell a partial-aggregable
-      min(struct(dist, cell)) — so the widest shuffle is one row per
-      vector, and the analyzed plan is the same size at k=8 and k=50k;
+      min(struct(dist, cell)) over NARROW (vec_id, dist, cell) pair
+      rows (the dim-sized arrays feed the dist expression but are never
+      projected into the fan-out, then one narrow re-join recovers
+      them) — so the widest shuffle is one ~24-byte row per vector at
+      any k/dim, and the analyzed plan is the same size at k=8 and
+      k=50k;
     * PRUNE: the shared within-cluster quality-dominance tail
       (:func:`_dominance_prune_report`), whose sum-of-cluster-size^2
       cost is exactly what k ∝ corpus bounds.
@@ -3145,20 +3149,20 @@ def dedup_semantic_prune_kmeans(spark, sf_dir, k: int = _SEM_KM_K,
             ),
         )
         dist = F.round(F.lit(1.0) - F.coalesce(sim, F.lit(-1.0)), 6)
-        return (
+        # the k-way fan-out emits NARROW rows (vec_id, dist, cell) — the
+        # dim-sized arrays are consumed by the dist expression and never
+        # projected into the pair rows, so the per-pair row-buffer cost
+        # is ~24 bytes at any k/dim (code-review r14: carrying v/ei
+        # through the fan-out wrote k dim-sized array copies per
+        # vector); consumers re-join the base frame once, narrowly
+        choice = (
             rows.crossJoin(cdf)
-            .select("vec_id", "v", "nrm", "ei", dist.alias("dist"), "cell")
+            .select("vec_id", dist.alias("dist"), "cell")
             .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cell")).alias("mc"),
-                # constant per vec_id (one stream row fans out to the k
-                # broadcast pairs), so first() is deterministic
-                F.first("v").alias("v"),
-                F.first("nrm").alias("nrm"),
-                F.first("ei").alias("ei"),
-            )
-            .select("vec_id", "v", "nrm", "ei", F.col("mc.cell").alias("cell"))
+            .agg(F.min(F.struct("dist", "cell")).alias("mc"))
+            .select("vec_id", F.col("mc.cell").alias("cell"))
         )
+        return rows.join(choice, "vec_id")
 
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seeds

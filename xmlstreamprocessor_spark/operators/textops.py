@@ -1387,7 +1387,10 @@ def bpe_train(
       the batch iff its rgt is some member's lft or its lft is some
       member's rgt — same-orientation symbol sharing ((a,v) / (u,b)) is
       provably harmless and batches together (the coarse
-      any-shared-symbol test capped measured batch width at 2.07);
+      any-shared-symbol test capped measured batch width at 2.07; the
+      SHIPPED refined + alias-guarded test measures mean 2.31 on the
+      16-letter k=2000 Zipf vocab and 2.89 at 26 letters — width tracks
+      symbol diversity, BASELINE.md round-13 addendum B);
     * every batched member's own count is therefore invariant under the
       batch's earlier merges, and existing pairs can never overtake a
       member: old-old counts only DECREASE (created adjacencies always
@@ -1523,7 +1526,9 @@ def bpe_train(
                 # way ((a, v) or (u, b)) keeps its exact count, because the
                 # same token instance cannot head two different adjacencies.
                 # The coarse any-shared-symbol test capped measured batch
-                # width at mean 2.07 on the k=2000 Zipf vocab.
+                # width at mean 2.07 on the k=2000 Zipf vocab (the
+                # shipped test: 2.31 there, 2.89 at 26 letters —
+                # addendum B).
                 # NAME-ALIASING cuts (code-review r13): a member's merged
                 # token is a STRING, and the same string can already exist
                 # as a symbol built from a different split ("abc" via (a,bc)
@@ -1760,7 +1765,13 @@ def bpe_apply_frame(frame, merge_rows, seg_col: str = "seg",
                 # restart the fold from the stored column; supersede the
                 # previous snapshot so scratch stays one-deep
                 p = scratch_path(spark)
-                cur.write.parquet(p)
+                try:
+                    cur.write.parquet(p)
+                except BaseException:
+                    # a failed/partial write must not orphan the
+                    # in-flight snapshot (code-review r14)
+                    drop_scratch(p)
+                    raise
                 cur = spark.read.parquet(p)
                 if cur_path is not None:
                     drop_scratch(cur_path)
