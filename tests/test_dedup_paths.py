@@ -1320,3 +1320,28 @@ def test_resolve_sb_modulus_unstamped_warns_and_strict_raises(
     with _w.catch_warnings(record=True):
         _w.simplefilter("ignore")
         assert resolve_sb_modulus(hand_built, n_sb, strict=False) == n_sb
+
+
+def test_lsh_bucket_cap_routing(spark, oracle_sf_dir):
+    """The bucket_cap production-routing seam on _lsh_pairs (r14: the
+    100x stress OOMed the uncapped verify on a corpus whose replicated
+    near-dup groups merge into band mega-buckets): (1) a cap at or
+    above the largest bucket is a no-op — identical verified pairs to
+    the exact/oracle shape; (2) any cap yields a SUBSET of the exact
+    pairs with identical jaccard values (capping only removes
+    candidates, never invents or rescores); (3) cap=1 leaves only
+    singleton buckets, so zero candidates survive."""
+    from xmlstreamprocessor_spark.operators.dedup import _lsh_pairs
+
+    def pairs(df):
+        return {
+            (r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()
+        }
+
+    exact = pairs(_lsh_pairs(spark, oracle_sf_dir))
+    assert exact  # the corpus has verified near-dups
+    assert pairs(_lsh_pairs(spark, oracle_sf_dir, bucket_cap=10**6)) == exact
+    capped = pairs(_lsh_pairs(spark, oracle_sf_dir, bucket_cap=3))
+    assert set(capped) <= set(exact)
+    assert all(exact[k] == v for k, v in capped.items())
+    assert pairs(_lsh_pairs(spark, oracle_sf_dir, bucket_cap=1)) == {}

@@ -51,6 +51,10 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # keep generated whole-stage methods under HotSpot's 8000-bytecode
+        # JIT refusal threshold — see tune_for_oracle for the measured 13x
+        # cliff on wide expression chains (r14)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # local-mode driver == executor: 32 task threads sharing one heap.
         # 8g starves them once a session has run tens of distinct plans
         # (codegen classes + shuffle/broadcast metadata + task buffers) and
@@ -78,6 +82,17 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Align whole-stage codegen with HotSpot's JIT: the JVM refuses to
+    # compile any method over 8000 bytecodes (-XX:DontCompileHugeMethods),
+    # so a generated whole-stage method past that size runs in the
+    # BYTECODE INTERPRETER — Spark's default limit (65535) happily emits
+    # such methods.  Measured on the k=1000 centroid-assignment fan-out
+    # (60M pairs x 64-term rounded-cosine chain, .scale/sf3): 164 s at
+    # the default vs 12.6 s at 8000 — a 13x cliff, r14 diagnosis in
+    # BASELINE.md.  At 8000 Spark abandons the huge fused method and
+    # falls back to per-operator execution whose split expression
+    # methods all JIT.  Pure execution strategy: values are identical.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     return spark
 
 
