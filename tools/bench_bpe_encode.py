@@ -68,22 +68,41 @@ def main() -> None:
     ap.add_argument("k", nargs="?", type=int, default=2000)
     ap.add_argument("--synth", type=int, default=30000)
     ap.add_argument("--chunk", type=int, default=_BPE_APPLY_CHUNK)
-    ap.add_argument("--ladder", default="250,500,1000,2000")
+    ap.add_argument("--ladder", default="100,250,500,1000,2000")
     ap.add_argument("--chain-cap", type=int, default=500)
     ap.add_argument("--alpha", type=int, default=16)
+    ap.add_argument("--merges-file", default=None, help=(
+        "json cache of the trained merge table: written after a train, "
+        "read instead of re-training when it exists (the k=2000 train "
+        "costs ~30 min — the ladder, not the train, is the measurement)"
+    ))
     ns = ap.parse_args()
     ladder = [int(x) for x in ns.ladder.split(",") if x]
     ladder = sorted(j for j in ladder if j <= ns.k) or [ns.k]
 
     spark = get_session("xsp-bpe-encode")
     spark.range(1).count()
-    t0 = time.perf_counter()
-    merges, _wf = bpe_train(
-        spark, None, k=ns.k, docs=synth_vocab(spark, ns.synth, ns.alpha)
-    )
-    rows = merges.orderBy("merge_rank").collect()
-    train_sec = round(time.perf_counter() - t0, 1)
-    print(f"# trained {len(rows)} merges in {train_sec}s", file=sys.stderr)
+    cached = None
+    if ns.merges_file and os.path.exists(ns.merges_file):
+        with open(ns.merges_file) as f:
+            cached = json.load(f)
+    if cached is not None:
+        rows = cached
+        train_sec = 0.0
+        print(f"# loaded {len(rows)} merges from {ns.merges_file}",
+              file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        merges, _wf = bpe_train(
+            spark, None, k=ns.k, docs=synth_vocab(spark, ns.synth, ns.alpha)
+        )
+        rows = [r.asDict() for r in merges.orderBy("merge_rank").collect()]
+        train_sec = round(time.perf_counter() - t0, 1)
+        print(f"# trained {len(rows)} merges in {train_sec}s",
+              file=sys.stderr)
+        if ns.merges_file:
+            with open(ns.merges_file, "w") as f:
+                json.dump(rows, f)
 
     # encode target: raw-character segmentation, stored once
     base_path = dd.scratch_path(spark)
@@ -103,16 +122,29 @@ def main() -> None:
                 "chunked_sec_per_merge": round(w_chunked / j, 4),
             }
             if j <= ns.chain_cap:
+                # the unbounded single-chain variant FAILS ANALYSIS past
+                # a few hundred folds (Max iterations reached for batch
+                # Resolution, measured at j=250) — that failure is the
+                # r13-verdict evidence, recorded as a row field instead
+                # of killing the ladder
                 t0 = time.perf_counter()
-                chain = base.withColumn(
-                    "seg", bpe_apply_expr(rows[:j], F.col("seg"))
-                )
-                ck_chain = _checksum(chain)
-                row["chain_wall_sec"] = round(time.perf_counter() - t0, 2)
-                row["chain_sec_per_merge"] = round(
-                    row["chain_wall_sec"] / j, 4
-                )
-                row["checksum_equal"] = ck_chain == ck_chunked
+                try:
+                    chain = base.withColumn(
+                        "seg", bpe_apply_expr(rows[:j], F.col("seg"))
+                    )
+                    ck_chain = _checksum(chain)
+                    row["chain_wall_sec"] = round(
+                        time.perf_counter() - t0, 2
+                    )
+                    row["chain_sec_per_merge"] = round(
+                        row["chain_wall_sec"] / j, 4
+                    )
+                    row["checksum_equal"] = ck_chain == ck_chunked
+                except Exception as e:  # noqa: BLE001
+                    row["chain_error"] = str(e)[:160]
+                    row["chain_fail_sec"] = round(
+                        time.perf_counter() - t0, 2
+                    )
             out_rows.append(row)
             print(f"# {row}", file=sys.stderr)
     finally:
