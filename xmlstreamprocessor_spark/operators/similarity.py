@@ -3115,7 +3115,20 @@ def dedup_semantic_prune_kmeans(spark, sf_dir, k: int = _SEM_KM_K,
     The centroid collect between iterations is bounded (k rows — the
     centroid table IS the trained artifact, the BPE merge-table
     convention) and cuts the plan lineage per iteration, so iteration
-    i+1's scan never re-derives iteration i."""
+    i+1's scan never re-derives iteration i.
+
+    Whole execution runs under ``scoped_huge_method_limit`` (r14): the
+    64-term unrolled-dot assignment chain and the dim-wide centroid-sum
+    aggregate are exactly the fused-method shapes HotSpot refuses to JIT
+    at Spark's default hugeMethodLimit (the measured 13x cliff at
+    k=1000/30x, still 1.5-1.7x at this registered shape) — and the cap
+    is scoped here rather than session-global because it HURTS the deep
+    BPE fold chains (OPTIMIZATION_r14.md).  The final report is
+    materialized inside the scope so the dominance tail executes under
+    the cap too; the returned frame is a bounded parquet rescan."""
+    from xmlstreamprocessor_spark.operators.dedup import materialize
+    from xmlstreamprocessor_spark.session import scoped_huge_method_limit
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
@@ -3125,6 +3138,14 @@ def dedup_semantic_prune_kmeans(spark, sf_dir, k: int = _SEM_KM_K,
     seeds = e.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     if not seeds:  # empty corpus -> empty report, never a throw
         return spark.createDataFrame([], out_schema)
+    with scoped_huge_method_limit(spark):
+        return _semantic_kmeans_body(
+            spark, sf_dir, e, seeds, k, n_iter, threshold, materialize
+        )
+
+
+def _semantic_kmeans_body(spark, sf_dir, e, seeds, k, n_iter, threshold,
+                          materialize):
     dim = len(seeds[0]["v"])
     rows = e.select(
         "vec_id",
@@ -3195,4 +3216,7 @@ def dedup_semantic_prune_kmeans(spark, sf_dir, k: int = _SEM_KM_K,
     a = assigned.select(
         "vec_id", "v", "nrm", F.col("cell").alias("cluster")
     ).join(q, "vec_id")
-    return _dominance_prune_report(a, threshold, dim=dim)
+    # materialize INSIDE the scoped-conf block (see caller): the
+    # dominance tail's wide dot chain must execute under the 8000 cap,
+    # and the report is one bounded row per document
+    return materialize(_dominance_prune_report(a, threshold, dim=dim))

@@ -51,10 +51,14 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # keep generated whole-stage methods under HotSpot's 8000-bytecode
-        # JIT refusal threshold — see tune_for_oracle for the measured 13x
-        # cliff on wide expression chains (r14)
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # spark.sql.codegen.hugeMethodLimit stays at the Spark default:
+        # the r14 global 8000 override (HotSpot JIT alignment) was
+        # re-measured with fresh-session interleaved A/Bs at sf0.1 and
+        # found to cost ~2x on the deep BPE fold chains' first/second
+        # runs (47.3/17.6 s at 8000 vs 21.9/10.9 s default) while only
+        # the wide unrolled-dot fan-outs win from it — so the 8000 cap
+        # is now SCOPED to those paths (dedup_semantic_prune_kmeans),
+        # where the 13x k=1000 cliff fix still applies (OPTIMIZATION_r14.md)
         # local-mode driver == executor: 32 task threads sharing one heap.
         # 8g starves them once a session has run tens of distinct plans
         # (codegen classes + shuffle/broadcast metadata + task buffers) and
@@ -82,18 +86,50 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # Align whole-stage codegen with HotSpot's JIT: the JVM refuses to
-    # compile any method over 8000 bytecodes (-XX:DontCompileHugeMethods),
-    # so a generated whole-stage method past that size runs in the
-    # BYTECODE INTERPRETER — Spark's default limit (65535) happily emits
-    # such methods.  Measured on the k=1000 centroid-assignment fan-out
-    # (60M pairs x 64-term rounded-cosine chain, .scale/sf3): 164 s at
-    # the default vs 12.6 s at 8000 — a 13x cliff, r14 diagnosis in
-    # BASELINE.md.  At 8000 Spark abandons the huge fused method and
-    # falls back to per-operator execution whose split expression
-    # methods all JIT.  Pure execution strategy: values are identical.
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    # NOTE: spark.sql.codegen.hugeMethodLimit is deliberately NOT set
+    # here — the r14 global 8000 override was reverted after interleaved
+    # fresh-session A/Bs at sf0.1 showed it costs ~2x on the deep BPE
+    # fold chains while only the wide unrolled-dot fan-outs benefit; the
+    # cap is scoped inside those query paths instead (see
+    # scoped_huge_method_limit below and OPTIMIZATION_r14.md).
     return spark
+
+
+def scoped_huge_method_limit(spark: SparkSession, limit: int = 8000):
+    """Context manager: set ``spark.sql.codegen.hugeMethodLimit`` for a
+    wide-expression-chain computation, restoring the previous value on
+    exit.
+
+    Why scoped, not global: HotSpot refuses to JIT any method over 8000
+    bytecodes (-XX:DontCompileHugeMethods), and Spark's default limit
+    (65535) happily emits fused whole-stage methods past that size —
+    which then run in the bytecode interpreter.  Measured on the k=1000
+    centroid-assignment fan-out (60M pairs x 64-term unrolled-dot chain,
+    .scale/sf3): 164 s at the default vs 12.6 s at 8000, and still
+    1.5-1.7x at the registered k=8/sf0.1 shape.  But the SAME cap costs
+    ~2x on the BPE fold chains' early runs (deep aggregate-lambda trees
+    whose fused method lands between 8000 and 65535 and runs FASTER
+    fused-interpreted than split per-operator).  So callers whose hot
+    loop is a wide arithmetic chain opt in around their computation —
+    the caller must force execution (materialize/collect) inside the
+    ``with`` block, because lazy frames returned out of it execute under
+    the restored conf."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.codegen.hugeMethodLimit"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, str(limit))
+        try:
+            yield spark
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return _cm()
 
 
 def _default_fs_is_local() -> bool:
