@@ -2609,14 +2609,33 @@ _KC_K = 12
 _KC_MAT_EVERY = 8
 
 
-def _kc_dist(vcol, center_lit):
+def _kc_dist(vcol, center_lit, dim: int | None = None, nrm_col=None):
     """Cosine DISTANCE round(1 - cos6, 6) with the zero-norm convention
     COALESCE(cos, -1) -> distance 2.0 (the metric's diameter bound):
     degenerate vectors rank maximally far in BOTH engines instead of
-    NULL-ordering apart."""
-    return F.round(
-        F.lit(1.0) - F.coalesce(cosine6(vcol, center_lit), F.lit(-1.0)), 6
+    NULL-ordering apart.
+
+    With ``dim`` and ``nrm_col`` given, the SAME arithmetic runs as the
+    unrolled CODEGEN chain (r14): dot as :func:`dot_unrolled` (identical
+    left-to-right accumulation), the row norm read from a precomputed
+    column (sqrt of the same unrolled self-dot), the center norm a
+    foldable literal chain Catalyst constant-folds — bit-for-bit the
+    value of the interpreted ``cosine6`` form (same IEEE ops in the same
+    order), but inside whole-stage codegen instead of one interpreted
+    ``aggregate()`` lambda per row PER CENTER TERM, which profiled as
+    the k-center loop's dominant per-scan cost (the r13 semantic-prune
+    norm-precompute lesson applied to the anchor loop itself)."""
+    if dim is None or nrm_col is None:
+        return F.round(
+            F.lit(1.0) - F.coalesce(cosine6(vcol, center_lit), F.lit(-1.0)),
+            6,
+        )
+    denom = nrm_col * F.sqrt(dot_unrolled(center_lit, center_lit, dim))
+    sim6 = F.when(
+        denom != 0,
+        F.round(dot_unrolled(vcol, center_lit, dim) / denom, 6),
     )
+    return F.round(F.lit(1.0) - F.coalesce(sim6, F.lit(-1.0)), 6)
 
 
 def _kc_duck_dist(a: str, b: str) -> str:
@@ -2717,9 +2736,21 @@ def sample_kcenter_coreset(spark, sf_dir, k: int = _KC_K, iter_hook=None):
         return F.array(*[F.lit(float(x)) for x in vec])
 
     picks = [(1, seed["vec_id"], 2.0)]
+    # The per-center distance stays the INTERPRETED cosine6 fold
+    # deliberately (r14, measured): the unrolled-codegen form embeds the
+    # center literals in the generated Java source, so every iteration's
+    # new center forced a fresh Janino compile — 51 s first-run at k=12
+    # vs ~14 s interpreted (the higher-order-function fold never
+    # compiles, and at one center term per scan the per-row interpreted
+    # cost is not the wall; the 60M-pair fan-outs where unrolled wins
+    # use broadcast-frame centers whose generated source is
+    # center-independent — see dedup_semantic_prune_kmeans)
     cur = e.select(
-        "vec_id", "v", _kc_dist(F.col("v"), lit_vec(seed["v"])).alias("mind")
-    )
+        "vec_id",
+        "v",
+        _kc_dist(F.col("v"), lit_vec(seed["v"])).alias("mind"),
+    ).persist()
+    live = [cur]  # persisted generations not yet released
     if iter_hook is not None:
         # rank 1 marks the setup boundary (seed chosen, no corpus scan
         # yet) so a measurement tool can separate setup from
@@ -2729,6 +2760,14 @@ def sample_kcenter_coreset(spark, sf_dir, k: int = _KC_K, iter_hook=None):
     try:
         for rank in range(2, k + 1):
             far = cur.orderBy(F.desc("mind"), F.asc("vec_id")).first()
+            # ``cur`` is materialized in the block cache now — its
+            # parents (earlier generations) can be released: each scan
+            # reads the newest cache and folds exactly ONE new distance
+            # term instead of re-deriving the least() chain from the
+            # last parquet snapshot (r14 persist chain)
+            for old in live[:-1]:
+                old.unpersist()
+            del live[:-1]
             # NO early break on mind == 0: with fewer than k distinct
             # vectors the greedy recurrence keeps selecting zero-gap rows
             # (smallest vec_id first), and the unrolled oracle does exactly
@@ -2741,13 +2780,20 @@ def sample_kcenter_coreset(spark, sf_dir, k: int = _KC_K, iter_hook=None):
                 F.least(
                     F.col("mind"), _kc_dist(F.col("v"), lit_vec(far["v"]))
                 ).alias("mind"),
-            )
+            ).persist()
+            live.append(cur)
             if (rank - 1) % _KC_MAT_EVERY == 0 and rank < k:
-                # lineage cut: store (vec_id, v, mind) and restart the
-                # least() fold from the stored column; supersede the
-                # previous snapshot so scratch stays one-deep
+                # LOGICAL-lineage cut (r12 verdict #4): the persist chain
+                # bounds physical recompute, but the analyzed plan still
+                # grows one select per iteration — store (vec_id, v,
+                # mind) and restart the fold from the snapshot so plan
+                # size stays bounded for any k; supersede the previous
+                # snapshot so scratch stays one-deep
                 p = scratch_path(spark)
                 cur.write.parquet(p)
+                for old in live:
+                    old.unpersist()
+                del live[:]
                 cur = spark.read.parquet(p)
                 if cur_path is not None:
                     drop_scratch(cur_path)
@@ -2755,6 +2801,8 @@ def sample_kcenter_coreset(spark, sf_dir, k: int = _KC_K, iter_hook=None):
             if iter_hook is not None:
                 iter_hook(rank)
     finally:
+        for old in live:
+            old.unpersist()
         # the result is the driver-side picks list — no lineage into
         # scratch survives the loop, so the snapshot can go now
         if cur_path is not None:
@@ -2898,17 +2946,17 @@ def dedup_semantic_prune(spark, sf_dir, k: int = _KC_K,
 
     entries = [
         F.struct(
-            F.round(
-                F.lit(1.0)
-                - F.coalesce(
-                    cosine6(F.col("v"), lit_vec(centers[c])), F.lit(-1.0)
-                ),
-                6,
-            ).alias("dist"),
+            _kc_dist(F.col("v"), lit_vec(centers[c])).alias("dist"),
             F.lit(c).cast("bigint").alias("cid"),
         )
         for c in sorted(centers)
     ]
+    # NOTE (r14): the k-literal assignment fold stays INTERPRETED on
+    # purpose — swapping it to the unrolled-codegen dot embeds the
+    # center literals in the generated source, forcing a Janino compile
+    # per distinct center set, which measured strictly slower at this
+    # k<=~100 registered shape; the production-k face with
+    # center-independent generated code is dedup_semantic_prune_kmeans
     assign = e.withColumn(
         "cluster", F.array_min(F.array(*entries)).getField("cid")
     )
