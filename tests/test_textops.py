@@ -305,7 +305,8 @@ def test_bpe_incremental_counts_match_full_recount(spark):
                 ).alias("seg"),
             )
     )
-    out, wf = bpe_train(spark, None, k=4, docs=vocab)
+    out, wf = bpe_train(spark, None, k=4, docs=vocab,
+                        driver_vocab_max=0)
     assert out.count() == 4
     # full recount over the final segmentation == what an incremental
     # chain of 4 deltas must also produce for merge 5's decision
@@ -316,7 +317,8 @@ def test_bpe_incremental_counts_match_full_recount(spark):
     }
     # drive ONE more merge with the carried state and with the recount:
     # identical argmax proves the carried counts are the true counts
-    out5, wf5 = bpe_train(spark, None, k=5, docs=vocab)
+    out5, wf5 = bpe_train(spark, None, k=5, docs=vocab,
+                          driver_vocab_max=0)
     seq4 = [tuple(r) for r in out.collect()]
     seq5 = [tuple(r) for r in out5.collect()]
     assert seq5[:4] == seq4
@@ -367,7 +369,8 @@ def test_bpe_train_writes_only_the_affected_slice(spark, monkeypatch):
             ).alias("seg"),
         )
     )
-    merges, trained = bpe_train(spark, None, k=2, docs=vocab)
+    merges, trained = bpe_train(spark, None, k=2, docs=vocab,
+                                driver_vocab_max=0)
     seq = [tuple(r) for r in merges.collect()]
     # ties (a,a)=5 vs (a,b)=5 break lexicographically -> (a,a) first
     assert [s[1:4] for s in seq] == [("a", "a", "aa"), ("aa", "b", "aab")]
@@ -667,7 +670,8 @@ def test_bpe_batched_equals_sequential_adversarial_tie(spark):
     seqs = {}
     for m in (1, 8):
         vocab = _vocab_from_words(spark, words)
-        out, _ = bpe_train(spark, None, k=4, docs=vocab, batch_m=m)
+        out, _ = bpe_train(spark, None, k=4, docs=vocab, batch_m=m,
+                           driver_vocab_max=0)
         seqs[m] = [tuple(r) for r in out.collect()]
     assert seqs[1] == seqs[8]
     assert [(s[1], s[2]) for s in seqs[8][:2]] == [("a", "b"), ("c", "ab")]
@@ -694,7 +698,8 @@ def test_bpe_batched_equals_sequential_random_corpora(spark):
         ref = None
         for m in (1, 2, 8):
             vocab = _vocab_from_words(spark, words)
-            out, wf = bpe_train(spark, None, k=9, docs=vocab, batch_m=m)
+            out, wf = bpe_train(spark, None, k=9, docs=vocab, batch_m=m,
+                                driver_vocab_max=0)
             got = (
                 [tuple(r) for r in out.collect()],
                 sorted((r["freq"], r["seg"]) for r in wf.collect()),
@@ -703,3 +708,42 @@ def test_bpe_batched_equals_sequential_random_corpora(spark):
                 ref = got
             else:
                 assert got == ref, (seed, m)
+
+
+def test_bpe_driver_route_equals_distributed(spark):
+    """r14 small-vocab route: the driver-side sequential loop
+    (_bpe_train_driver_loop, the default for vocabs under
+    _BPE_DRIVER_VOCAB_MAX) must produce the IDENTICAL merge table
+    (rank, pair, merged, weighted count) and final vocabulary as the
+    distributed overlay loop, on corpora adversarial for ties, alias
+    collisions, and multi-pass composition."""
+    import random
+
+    from xmlstreamprocessor_spark.operators.textops import bpe_train
+
+    corpora = [
+        # tie-break pressure: (a,a) == (a,b) counts
+        ["aab"] * 5 + ["ab"] * 0 + ["aabb"] * 0 + ["ab"] * 5,
+        # alias pressure: 'ab'+'c' vs 'a'+'bc' can both name 'abc'
+        ["abc"] * 6 + ["bc"] * 5 + ["ab"] * 4 + ["aabc"] * 3,
+        # seeded random soup (conflicts + repeats + degenerate words)
+        None,
+    ]
+    rng = random.Random(41)
+    corpora[2] = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))
+        for _ in range(90)
+    ]
+    for words in corpora:
+        vocab = _vocab_from_words(spark, words)
+        d_out, d_wf = bpe_train(spark, None, k=8, docs=vocab)
+        vocab2 = _vocab_from_words(spark, words)
+        s_out, s_wf = bpe_train(
+            spark, None, k=8, docs=vocab2, batch_m=1, driver_vocab_max=0
+        )
+        assert [tuple(r) for r in d_out.collect()] == [
+            tuple(r) for r in s_out.collect()
+        ], words[:5]
+        assert sorted((r["freq"], r["seg"]) for r in d_wf.collect()) == (
+            sorted((r["freq"], r["seg"]) for r in s_wf.collect())
+        ), words[:5]

@@ -170,7 +170,11 @@ def main() -> None:
     t0 = time.perf_counter()
     try:
         merges, wf = bpe_train(
-            spark, sf_dir, k=k, docs=docs, batch_m=batch_m, iter_hook=hook
+            spark, sf_dir, k=k, docs=docs, batch_m=batch_m, iter_hook=hook,
+            # this tool measures the DISTRIBUTED overlay trainer (write
+            # volume, per-round walls) — bypass the r14 small-vocab
+            # driver route so the measured path is the measured claim
+            driver_vocab_max=0,
         )
         n_merges = merges.count()
         vocab_rows = wf.count()

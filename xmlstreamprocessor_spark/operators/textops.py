@@ -1327,6 +1327,97 @@ def _bpe_merge_expr(seg_col, lft: str, rgt: str):
 
 _BPE_COMPACT_EVERY = 8  # overlay fragments folded into the base every m
 _BPE_BATCH_M = 8  # max merges applied per driver round-trip (see below)
+_BPE_DRIVER_VOCAB_MAX = 65536  # vocabularies at or under this row count
+# train driver-side (the Sennrich/fastBPE architecture — see bpe_train)
+
+
+def _bpe_resegment(syms: list[str], lft: str, rgt: str) -> list[str]:
+    """One exhaustive left-to-right (lft, rgt) merge pass over a symbol
+    list — the exact Python twin of :func:`_bpe_merge_expr`'s string
+    fold (non-overlapping, left-to-right: the merged token never
+    re-matches as the ``lft`` of the next position in the same pass,
+    because the fold compares the RAW next symbol against ``rgt`` and
+    the accumulated tail against ``|lft|``)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == lft and syms[i + 1] == rgt:
+            out.append(lft + rgt)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_driver_loop(vocab_rows, k: int):
+    """EXACT sequential Sennrich greedy over a driver-side (freq, seg)
+    vocabulary — the in-memory merge loop every reference BPE trainer
+    runs (Sennrich et al., ACL'16 learn_bpe; fastBPE; HF tokenizers),
+    here as the small-vocabulary route of :func:`bpe_train`.
+
+    Same total order as the distributed loop: argmax by (wc DESC, lft
+    ASC, rgt ASC) via a lazy max-heap (stale entries re-pushed at their
+    true count — increases always push fresh entries, so the top entry
+    for a pair is never below its true count and re-pushing strictly
+    decreases, which terminates); incremental counts (only words
+    containing the merged pair are re-segmented, their old pairs
+    subtracted and new pairs added — the same delta the distributed
+    overlay writes); the recorded weighted_count is the count at merge
+    time.  Name-keyed counts mean alias collisions (a merge creating a
+    string that already exists as a symbol) fold in naturally — this
+    sequential loop IS the ground truth the distributed batcher's
+    alias guards are proven equal to.
+
+    Returns (merge tuples, final (freq, seg) vocab tuples)."""
+    import heapq
+
+    words: list[list] = []  # [freq, symbol list]
+    counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for r in vocab_rows:
+        freq = int(r["freq"])
+        syms = [s for s in r["seg"].split("|") if s != ""]
+        i = len(words)
+        words.append([freq, syms])
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + freq
+            occ.setdefault(p, set()).add(i)
+    heap = [(-wc, p[0], p[1]) for p, wc in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    while len(merges) < k and heap:
+        neg, lft, rgt = heap[0]
+        cur = counts.get((lft, rgt), 0)
+        if cur <= 0:
+            heapq.heappop(heap)  # dead pair: drop
+            continue
+        if -neg != cur:
+            # stale high entry: re-push at the true (strictly lower)
+            # count so the pair stays findable after pure decreases
+            heapq.heappop(heap)
+            heapq.heappush(heap, (-cur, lft, rgt))
+            continue
+        heapq.heappop(heap)
+        merges.append((len(merges) + 1, lft, rgt, lft + rgt, cur))
+        for i in sorted(occ.get((lft, rgt), ())):
+            freq, syms = words[i]
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) - freq
+                s = occ.get(p)
+                if s is not None:
+                    s.discard(i)
+            new = _bpe_resegment(syms, lft, rgt)
+            words[i][1] = new
+            for p in zip(new, new[1:]):
+                nc = counts.get(p, 0) + freq
+                counts[p] = nc
+                occ.setdefault(p, set()).add(i)
+                heapq.heappush(heap, (-nc, p[0], p[1]))
+    final = [
+        (freq, "|" + "|".join(syms) + "|") for freq, syms in words
+    ]
+    return merges, final
 
 
 def bpe_train(
@@ -1334,6 +1425,7 @@ def bpe_train(
     compact_every: int = _BPE_COMPACT_EVERY,
     batch_m: int = _BPE_BATCH_M,
     iter_hook=None,
+    driver_vocab_max: int | None = _BPE_DRIVER_VOCAB_MAX,
 ):
     """Train k BPE merges (Sennrich et al., ACL'16 "Neural Machine
     Translation of Rare Words with Subword Units") over the corpus
@@ -1435,20 +1527,59 @@ def bpe_train(
     setup boundary) — the measurement seam ``tools/bench_bpe_k.py``
     uses to record per-round walls without duplicating the loop.
     Determinism: counts are exact integer sums and ties break on
-    (lft, rgt) ascending."""
+    (lft, rgt) ascending.
+
+    SMALL-VOCAB ROUTE (r14, measured): vocabularies at or under
+    ``driver_vocab_max`` rows train DRIVER-SIDE via
+    :func:`_bpe_train_driver_loop` — the architecture every reference
+    BPE trainer uses (Sennrich's learn_bpe, fastBPE, HF tokenizers all
+    run the merge loop in memory over the counted word-frequency
+    dictionary; the distributed work at 100 TB is the corpus -> vocab
+    aggregation, which stays a map-side-combinable Spark pass).  The
+    route probes with ONE ``limit(max+1).collect()`` over the vocab
+    frame (a single corpus aggregation pass, zero scratch writes) and
+    falls through to the distributed overlay loop above the bound.
+    Why: the sf-corpus vocabulary is ~30 rows, and the distributed loop
+    spent 3.3-8.6 s per round on pure job/scratch overhead for it
+    (5 jobs x 32 tasks over 30 rows); the driver loop is exact —
+    identical (wc DESC, lft, rgt) argmax, identical left-to-right
+    resegmentation, identical name-keyed counts — and pytest pins
+    driver == distributed on tie/alias-adversarial vocabs while the
+    k=10 oracle replays the sequential unroll.  The default bound is
+    64k rows (~3 MB collected — the merge TABLE collect was always
+    driver-side; this bounds the vocab the same way), far above the
+    test corpora and far below ``spark.driver.maxResultSize``.  Pass
+    ``driver_vocab_max=0`` to force the distributed path (the
+    write-volume tools and overlay pytests do)."""
     from xmlstreamprocessor_spark.operators.dedup import (
         drop_scratch,
         scratch_path,
     )
+
+    src = docs if docs is not None else _bpe_vocab(spark, sf_dir)
+    if driver_vocab_max and driver_vocab_max > 0:
+        head = src.limit(driver_vocab_max + 1).collect()
+        if len(head) <= driver_vocab_max:
+            m_rows, final_rows = _bpe_train_driver_loop(head, k)
+            if iter_hook is not None:
+                iter_hook(0)  # setup boundary, the distributed contract
+                if m_rows:
+                    iter_hook(m_rows[-1][0])
+            out = spark.createDataFrame(
+                m_rows,
+                "merge_rank int, left_sym string, right_sym string,"
+                " merged string, weighted_count bigint",
+            ).orderBy("merge_rank")
+            return out, spark.createDataFrame(
+                final_rows, "freq bigint, seg string"
+            )
 
     def _mat(df):
         p = scratch_path(df.sparkSession)
         df.write.parquet(p)
         return df.sparkSession.read.parquet(p), p
 
-    base, base_path = _mat(
-        docs if docs is not None else _bpe_vocab(spark, sf_dir)
-    )
+    base, base_path = _mat(src)
     applied: list[tuple[str, str]] = []  # merge pairs, loop order
     # vocab overlay: (frame, path, born) — ``born`` = len(applied) at
     # write time; merges applied[born:] mask the layer's stale words
@@ -1807,11 +1938,19 @@ def tokenizer_bpe_encode_corpus(spark, sf_dir):
     encode cost is vocab-sized here (corpus collapses to the distinct-
     word table first) and corpus-sized-but-map-only when applied to new
     text; the merge-table collect is k=10 rows."""
-    merges, _trained = bpe_train(spark, sf_dir, _BPE_K)
-    # _trained is parquet-scratch-backed (nothing to unpersist); the
-    # encode path deliberately re-segments from raw characters instead
+    from xmlstreamprocessor_spark.operators.dedup import materialize
+
+    # ONE corpus vocabulary pass shared by train and encode (r14): the
+    # raw-character (freq, seg) vocab is exactly the trainer's base
+    # table AND the frame encode re-segments, so materialize it once
+    # and feed both — the previous shape ran the corpus explode +
+    # groupBy twice.  Encode still deliberately starts from raw
+    # characters (never the trained vocabulary): apply == training
+    # segmentation is what the oracle hash pins.
+    vocab = materialize(_bpe_vocab(spark, sf_dir))
+    merges, _trained = bpe_train(spark, sf_dir, _BPE_K, docs=vocab)
     rows = merges.orderBy("merge_rank").collect()  # bounded: k rows
-    enc = bpe_apply_frame(_bpe_vocab(spark, sf_dir), rows)
+    enc = bpe_apply_frame(vocab, rows)
     tok = enc.select(
         "freq", F.explode(F.split("seg", "[|]")).alias("token")
     ).filter(F.col("token") != "")
