@@ -574,22 +574,38 @@ def dsir_fit_weights(spark, docs):
     the bounded list of (b, w) Rows — the FROZEN artifact a pipeline
     persists at fit time and replays for map-only scoring of every
     later batch, batch or streaming."""
-    d = _dsir_with_feats(docs)
     is_t = F.col("lang") == _DSIR_TARGET
-    tok = d.select(is_t.alias("is_t"), F.explode("feats").alias("tok"))
-    bc = tok.groupBy(
-        _hash_bucket(F.col("tok"), _DSIR_B).alias("b")
-    ).agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("ct"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("cr"),
+    # EVALUATION BARRIER before the explode (r14, measured 60x): with
+    # the feats expression inlined into the Generate node, Spark
+    # re-evaluates the interpreted transform/filter/concat chain per
+    # OUTPUT ELEMENT — 7.8-9.4 s (noop sink) for a 536k-token stream vs
+    # 0.1-0.5 s when the array is materialized once per row behind a
+    # persist; unpersisted as soon as the bounded collect below has
+    # consumed it (the bpe_train cnt discipline)
+    fe = (
+        _dsir_with_feats(docs)
+        .select(is_t.alias("is_t"), "feats")
+        .persist()
     )
-    counts = (
-        spark.range(_DSIR_B)
-        .select(F.col("id").cast("bigint").alias("b"))
-        .join(bc, "b", "left")
-        .na.fill(0, ["ct", "cr"])
-        .collect()  # bounded by construction: _DSIR_B rows
-    )
+    try:
+        tok = fe.select("is_t", F.explode("feats").alias("tok"))
+        bc = tok.groupBy(
+            _hash_bucket(F.col("tok"), _DSIR_B).alias("b")
+        ).agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+            .cast("bigint").alias("ct"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+            .cast("bigint").alias("cr"),
+        )
+        counts = (
+            spark.range(_DSIR_B)
+            .select(F.col("id").cast("bigint").alias("b"))
+            .join(bc, "b", "left")
+            .na.fill(0, ["ct", "cr"])
+            .collect()  # bounded by construction: _DSIR_B rows
+        )
+    finally:
+        fe.unpersist()
     t_tot = sum(r["ct"] for r in counts)
     r_tot = sum(r["cr"] for r in counts)
     return spark.createDataFrame(
