@@ -1,5 +1,9 @@
 """Fresh-session first-run A/B of one query under a conf override.
-Usage: python tools/ab_firstrun.py <query> <hugeMethodLimit> [n_runs]"""
+Usage: python tools/ab_firstrun.py <query> <hugeMethodLimit> [n_runs]
+
+NOTE: queries that scope the conf internally (dedup_semantic_prune_kmeans
+via scoped_huge_method_limit) override this tool's setting for their own
+execution -- both arms then measure the scoped behavior."""
 from __future__ import annotations
 
 import os

@@ -16,8 +16,13 @@ from xmlstreamprocessor_spark.operators.dedup import (  # noqa: E402
 )
 from xmlstreamprocessor_spark.session import get_session  # noqa: E402
 
+# NOTE (r14): tokenizer_bpe_train_k_merges now routes its ~30-row sf
+# vocab to the driver-side merge loop, so it no longer exercises the
+# distributed fold chains this A/B was written for; and queries that
+# scope the conf internally (dedup_semantic_prune_kmeans) neutralize
+# the override.  Pass explicit query names for meaningful arms.
 QUERIES = sys.argv[1:] or [
-    "tokenizer_bpe_train_k_merges",
+    "tokenizer_bpe_encode_corpus",
     "mix_dsir_importance_resample",
     "dedup_containment_delta_prefix",
     "graph_dup_group_sizes",

@@ -560,12 +560,19 @@ def mix_dsir_importance_resample(spark, sf_dir):
 
 
 def dsir_fit_weights(spark, docs):
-    """Fit the DSIR bucket model over a corpus frame: ONE corpus-token
-    aggregation (map-side combinable to _DSIR_B rows), a bounded
-    _DSIR_B-row collect, totals derived driver-side, and the log-ratio
-    weights computed over a LOCAL 256-row frame (LocalTableScan; an
-    earlier version aggregated the token stream twice, ~2x the wall at
-    sf0.1).  The JVM-side ln keeps the fit single-pass, NOT exact
+    """Fit the DSIR bucket model over a corpus frame: ONE corpus READ
+    pass (map-side combinable to _DSIR_B rows), a bounded _DSIR_B-row
+    collect, totals derived driver-side, and the log-ratio weights
+    computed over a LOCAL 256-row frame (LocalTableScan; an earlier
+    version aggregated the token stream twice, ~2x the wall at sf0.1).
+    Within the pass, the feats arrays are staged through the block
+    store (persist, MEMORY_AND_DISK, released the moment the bounded
+    collect returns) purely as an EVALUATION BARRIER: inlined into the
+    Generate node, the interpreted feats chain re-evaluates per
+    exploded element (measured 60x, r14).  The staged state is
+    token-stream-sized — the same class as the containment family's
+    shingle-once localCheckpoint — and exists only for the duration of
+    the one fit job.  The JVM-side ln keeps the fit single-pass, NOT exact
     cross-engine: the oracle evaluates DuckDB's own libm ln, so the
     fixed-point floor(1e6*x) on each side could in principle straddle a
     floor boundary on a last-ulp divergence and flip a weight by 1 —

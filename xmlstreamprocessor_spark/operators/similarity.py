@@ -2609,33 +2609,24 @@ _KC_K = 12
 _KC_MAT_EVERY = 8
 
 
-def _kc_dist(vcol, center_lit, dim: int | None = None, nrm_col=None):
+def _kc_dist(vcol, center_lit):
     """Cosine DISTANCE round(1 - cos6, 6) with the zero-norm convention
     COALESCE(cos, -1) -> distance 2.0 (the metric's diameter bound):
     degenerate vectors rank maximally far in BOTH engines instead of
     NULL-ordering apart.
 
-    With ``dim`` and ``nrm_col`` given, the SAME arithmetic runs as the
-    unrolled CODEGEN chain (r14): dot as :func:`dot_unrolled` (identical
-    left-to-right accumulation), the row norm read from a precomputed
-    column (sqrt of the same unrolled self-dot), the center norm a
-    foldable literal chain Catalyst constant-folds — bit-for-bit the
-    value of the interpreted ``cosine6`` form (same IEEE ops in the same
-    order), but inside whole-stage codegen instead of one interpreted
-    ``aggregate()`` lambda per row PER CENTER TERM, which profiled as
-    the k-center loop's dominant per-scan cost (the r13 semantic-prune
-    norm-precompute lesson applied to the anchor loop itself)."""
-    if dim is None or nrm_col is None:
-        return F.round(
-            F.lit(1.0) - F.coalesce(cosine6(vcol, center_lit), F.lit(-1.0)),
-            6,
-        )
-    denom = nrm_col * F.sqrt(dot_unrolled(center_lit, center_lit, dim))
-    sim6 = F.when(
-        denom != 0,
-        F.round(dot_unrolled(vcol, center_lit, dim) / denom, 6),
+    Deliberately the INTERPRETED cosine6 fold (r14, measured): an
+    unrolled-codegen variant (dot_unrolled + precomputed norms) embeds
+    the center literals in the generated Java source, so every greedy
+    iteration's new center forced a fresh Janino compile — 51 s
+    first-run at k=12 vs ~14 s interpreted.  Hot fan-outs that want the
+    unrolled chain must feed centers as a BROADCAST FRAME so the
+    generated source is center-independent (dedup_semantic_prune_kmeans
+    does)."""
+    return F.round(
+        F.lit(1.0) - F.coalesce(cosine6(vcol, center_lit), F.lit(-1.0)),
+        6,
     )
-    return F.round(F.lit(1.0) - F.coalesce(sim6, F.lit(-1.0)), 6)
 
 
 def _kc_duck_dist(a: str, b: str) -> str:

@@ -1558,6 +1558,14 @@ def bpe_train(
 
     src = docs if docs is not None else _bpe_vocab(spark, sf_dir)
     if driver_vocab_max and driver_vocab_max > 0:
+        # Probe cost trade (code-review r14): on the large-vocab
+        # FALL-THROUGH this probe pays one extra vocab aggregation
+        # (the collected head is discarded and _mat(src) re-runs it) —
+        # a bounded fraction of a production-k train whose merge loop
+        # dominates by orders of magnitude.  The alternative
+        # (materialize first, probe the parquet) would instead tax the
+        # ROUTED small-vocab case with a scratch write per call, the
+        # very overhead the route removes.
         head = src.limit(driver_vocab_max + 1).collect()
         if len(head) <= driver_vocab_max:
             m_rows, final_rows = _bpe_train_driver_loop(head, k)
@@ -1808,8 +1816,9 @@ def tokenizer_bpe_train_k_merges(spark, sf_dir):
     so every intermediate (not just the final table) is cross-checked by
     construction of the merge sequence."""
     out, _wf = bpe_train(spark, sf_dir, _BPE_K)
-    # the returned vocab frame is parquet-scratch-backed (not persisted);
-    # its final snapshot is owned by the session scratch root
+    # _wf needs no cleanup on either route: a local-relation frame from
+    # the (default) driver route, a session-scratch-owned parquet
+    # snapshot from the distributed route
     return out
 
 
