@@ -174,9 +174,23 @@ def main() -> None:
     canary_before = _canary(spark) if quiet_mode else None
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # ADJUDICATION KNOB (r15, additive — default off, behavior unchanged):
+    # SPARK_GRAFT_BENCH_ORDER=shuffled[:seed] permutes the query order so
+    # an in-loop contamination hypothesis (a heavy codegen neighbor
+    # inflating the medians of whoever runs next) is testable — if the
+    # medians move with the order, the loop is contaminated; if they
+    # stand, they are real.  The permutation is seeded and recorded in
+    # the summary so runs are reproducible.
+    bench_queries = list(BENCH_QUERIES)
+    order_spec = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
+    if order_spec.startswith("shuffled"):
+        import random
+
+        seed = int(order_spec.split(":", 1)[1]) if ":" in order_spec else 0
+        random.Random(seed).shuffle(bench_queries)
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn, _ = REGISTRY[name]
         walls, n = [], 0
         for _run in range(n_runs):
@@ -204,6 +218,8 @@ def main() -> None:
         "protocol": "cold (session memos cleared before each run)",
         "raw_runs_file": "BENCH_RAW_LATEST.json",
     }
+    if order_spec:
+        summary["query_order"] = order_spec
     respikes: dict[str, dict] = {}
     # per-query spike certification (r12 verdict #3, extended to EVERY
     # bench path r14 — verdict #4: the driver's official BENCH_r13

